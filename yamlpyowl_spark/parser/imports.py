@@ -1,0 +1,63 @@
+"""Offline OWL-import resolution.
+
+The reference loads imported ontologies from the network or a local
+file at parse time (core.py:1197-1216). At 10^12-file scale, executors
+must never do ad-hoc I/O inside the parse UDF — instead we pre-build a
+small ``import_map`` on the driver (from vendored/allowed OWL files) and
+broadcast it; the UDF only does dict lookups.
+
+``import_map`` shape::
+
+    { "<iri>":            {"base_iri": ..., "name": ..., "classes": {name: class_iri}},
+      "<localpath base>":  ...same object...,
+    }
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+_OWL = "{http://www.w3.org/2002/07/owl#}"
+_RDF = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+
+
+def _local_name(iri: str) -> str:
+    for sep in ("#", "/"):
+        if sep in iri:
+            iri = iri.rsplit(sep, 1)[-1]
+    return iri
+
+
+def parse_owl_rdfxml(text: str) -> dict:
+    """Extract the ontology IRI and named classes from an RDF/XML OWL
+    file (enough to replicate the reference's class-name registration,
+    core.py:1241-1242). Pure stdlib, no network."""
+    root = ET.fromstring(text)
+
+    base_iri = None
+    onto_el = root.find(f"{_OWL}Ontology")
+    if onto_el is not None:
+        about = onto_el.get(f"{_RDF}about")
+        if about:
+            base_iri = about if about.endswith("#") else about + "#"
+
+    classes = {}
+    for el in root.iter(f"{_OWL}Class"):
+        about = el.get(f"{_RDF}about")
+        if about:
+            classes[_local_name(about)] = about
+
+    name = _local_name((base_iri or "").rstrip("#"))
+    return {"base_iri": base_iri or "", "name": name, "classes": classes}
+
+
+def build_import_map(owl_files: dict) -> dict:
+    """``owl_files``: {filename: rdfxml_text}. Returns the broadcastable
+    import_map keyed by both ontology IRI and filename."""
+    import_map = {}
+    for fname, text in owl_files.items():
+        onto = parse_owl_rdfxml(text)
+        import_map[fname] = onto
+        if onto["base_iri"]:
+            import_map[onto["base_iri"]] = onto
+    return import_map
