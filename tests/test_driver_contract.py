@@ -1,0 +1,104 @@
+"""Preflight of the driver's correctness gate: run every queries()
+entry on Spark AND its oracle_sql() on DuckDB (same tables the driver
+registers), compare row count, column names and the order-insensitive
+value multiset. Catches any Spark↔DuckDB semantic drift before the
+driver does."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("YPO_TEST_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __spark_entry__ as entry_mod
+
+    return entry_mod.queries(), entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def test_all_queries_match_oracles(spark, contract, ddb):
+    queries, oracles = contract
+    assert queries, "no queries registered"
+    failures = []
+    for name, fn in sorted(queries.items()):
+        df = fn(spark, SF_DIR)
+        s_cols = df.columns
+        s_rows = [tuple(r) for r in df.collect()]
+        if name not in oracles:
+            assert len(s_rows) >= 0
+            continue
+        res = ddb.execute(oracles[name])
+        d_cols = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+        if sorted(map(str.lower, s_cols)) != sorted(map(str.lower, d_cols)):
+            failures.append(f"{name}: column mismatch {s_cols} vs {d_cols}")
+            continue
+        if len(s_rows) != len(d_rows):
+            failures.append(f"{name}: row count {len(s_rows)} vs {len(d_rows)}")
+            continue
+        sn = _norm_rows([c.lower() for c in s_cols], s_rows)
+        dn = _norm_rows([c.lower() for c in d_cols], d_rows)
+        if sn != dn:
+            diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+            failures.append(f"{name}: value mismatch, first diffs: {diff}")
+    assert not failures, "\n".join(failures)
+
+
+def test_every_query_has_oracle_or_reason(contract):
+    queries, oracles = contract
+    missing = sorted(set(queries) - set(oracles))
+    # non-SQL-expressible ops are allowed to be rows-only; keep the list
+    # explicit so additions are deliberate
+    allowed_rows_only = set()
+    assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "subj" in df.columns and "src_sha256" in df.columns

@@ -1,0 +1,235 @@
+"""Document-corpus operators for large-scale training-data pipelines:
+exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, language
+ID, quality scoring, token counting, fingerprinting.
+
+All hot-path logic is JVM-side (built-in pyspark.sql.functions, incl.
+higher-order array lambdas) — no Python UDFs. Float-derived metrics
+are emitted as scaled BIGINTs so results are bit-exact across engines
+(the DuckDB oracle replicates each computation verbatim).
+
+Tokenization contract shared with the oracles: tokens = split on a
+single space; shingles = word 3-grams joined by single spaces; hashes
+= lowercase hex md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MINHASH_K = 8  # 4 bands x 2 rows
+LSH_BANDS = 4
+SIMHASH_BITS = 16
+
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "les", "des", "et", "une", "est"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "zh": ["zh0", "zh1", "zh2", "zh3", "zh4", "zh5"],
+}
+
+STOPWORDS = ["the", "and", "of", "to", "in", "a", "is", "it", "on", "for"]
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
+    shingles = F.expr(
+        "case when size(split(text, ' ')) >= 3 then "
+        "transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])) "
+        "else array() end"
+    )
+    return docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    surviving (minimum) doc_id and the duplicate count. Map-side
+    partial aggregation makes this a single shuffle on the hash."""
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, h0..h{k-1}): per-seed minimum of md5(seed:shingle).
+
+    Lexicographic min over fixed-width hex == numeric min; one shuffle
+    (groupBy doc_id) with map-side combine over the exploded shingles.
+    """
+    sh = with_shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Banded LSH over the minhash signature: docs sharing any band
+    bucket become a candidate pair (a < b). The band join is an
+    equi-join on (band, bucket) — broadcast/AQE-skew friendly, never
+    an all-pairs product."""
+    sig = minhash_signatures(docs)
+    rows_per_band = MINHASH_K // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bucket"))
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, over candidate or bounded pairs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, min_jaccard_x1000: int = 100) -> DataFrame:
+    """Exact word-3-gram Jaccard for every pair sharing >=1 shingle.
+    Returns (doc_a, doc_b, jaccard_x1000). For web scale, feed this a
+    candidate-bounded subset (LSH output) — the shingle self-join is
+    |pairs sharing a shingle|, not |docs|^2."""
+    sh = with_shingles(docs).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard_x1000",
+            F.floor(F.col("n_inter") * 1000 / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).cast("bigint"),
+        )
+        .filter(F.col("jaccard_x1000") >= min_jaccard_x1000)
+        .select("doc_a", "doc_b", "jaccard_x1000")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): bit j = sign of sum over tokens of
+    (hex_digit_j(md5(token)) % 2) * 2 - 1. Pure JVM-side lambda exprs;
+    replicated verbatim in the oracle SQL."""
+    bit_sums = [
+        F.expr(
+            f"aggregate(split(text, ' '), 0L, (acc, t) -> acc + "
+            f"(conv(substring(md5(t), {j + 1}, 1), 16, 10) % 2) * 2 - 1)"
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    with_sums = docs.select("doc_id", *bit_sums)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return with_sums.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language scoring; argmax with lexicographic
+    tie-break (deterministic)."""
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = ", ".join(f"'{m}'" for m in markers)
+        scores.append(
+            F.expr(
+                f"size(filter(split(text, ' '), w -> array_contains(array({arr}), w)))"
+            ).alias(f"score_{lang}")
+        )
+    scored = docs.select("doc_id", "lang", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = None
+    for l in reversed(langs):  # earlier langs win ties → build last-to-first
+        cond = F.when(F.col(f"score_{l}") == best, F.lit(l))
+        pred = cond.otherwise(pred) if pred is not None else cond
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("predicted_lang"),
+        best.alias("best_score"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / stopword / token-shape heuristics as scaled integers."""
+    words = _words()
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_tokens = F.size(words)
+    n_stop = F.expr(f"size(filter(split(text, ' '), w -> array_contains(array({stop_arr}), w)))")
+    mean_len_x100 = F.floor(
+        F.expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t))") * 100 / n_tokens
+    ).cast("bigint")
+    stop_ratio_x1e4 = F.floor(n_stop * 10000 / n_tokens).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_len_x100.alias("mean_token_len_x100"),
+        stop_ratio_x1e4.alias("stopword_ratio_x1e4"),
+        (
+            F.when(F.length("text") >= 100, 40).otherwise(0)
+            + F.when((n_stop * 10000 / n_tokens) >= 500, 30).otherwise(0)
+            + F.when(n_tokens >= 20, 30).otherwise(0)
+        ).cast("bigint").alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex token count."""
+    return docs.select(
+        "doc_id",
+        F.size(_words()).alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias(
+            "regex_tokens"
+        ),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint over normalized text."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[ ]+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))

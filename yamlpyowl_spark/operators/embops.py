@@ -1,0 +1,114 @@
+"""Embedding operators: brute-force cosine top-k (baseline), random-
+hyperplane LSH bucketing, and IVF-style centroid assignment (the scale
+path). All arithmetic is JVM-side double math over the float vectors
+via higher-order functions — identical evaluation order to the DuckDB
+oracle replication (sequential left fold), so scaled-integer outputs
+match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+EMB_DIM = 64
+N_PLANES = 8
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str):
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))"
+        )
+    )
+
+
+def deterministic_planes(n_planes: int = N_PLANES, dim: int = EMB_DIM):
+    """Pseudo-random hyperplanes derived from md5 — reproducible in any
+    engine without a RNG: component c of plane p is
+    (md5_byte(p,c) / 255) * 2 - 1."""
+    planes = []
+    for p in range(n_planes):
+        comps = []
+        for c in range(dim):
+            h = hashlib.md5(f"plane:{p}:{c}".encode()).hexdigest()
+            comps.append((int(h[:2], 16) / 255.0) * 2.0 - 1.0)
+        planes.append(comps)
+    return planes
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 3) -> DataFrame:
+    """Brute-force cosine top-k: queries = vec_id < n_queries against
+    the full table. The query side is tiny → broadcast it; the scan
+    side streams once. Output (query_id, neighbor_id, rank,
+    cos_x1e6)."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_x1e6",
+            F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")) * 1e6).cast(
+                "bigint"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_x1e6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_x1e6")
+    )
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Sign-of-dot-product signature per vector → bucket id. At scale,
+    ANN = equi-join on the bucket instead of a cross join."""
+    planes = deterministic_planes(n_planes)
+    sig = None
+    for p, comps in enumerate(planes):
+        arr = "array(" + ", ".join(f"cast({v!r} as double)" for v in comps) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with(embedding, {arr}, (x, y) -> cast(x as double) * y), "
+            f"cast(0 as double), (acc, v) -> acc + v)"
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return emb.select("vec_id", "label", sig.cast("bigint").alias("bucket"))
+
+
+def centroid_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """IVF-style one-pass assignment to fixed seed centroids (the
+    first n vectors by vec_id) — broadcast the centroids, one scan,
+    no shuffle on the big side. Output (vec_id, centroid_id,
+    dist2_x1e6)."""
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(embedding, cent, (x, y) -> "
+        "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2_x1e6").asc(), F.col("centroid_id").asc())
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("dist2_x1e6", F.round(d2 * 1e6).cast("bigint"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "dist2_x1e6")
+    )

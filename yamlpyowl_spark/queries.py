@@ -1,0 +1,619 @@
+"""Driver-contract query registry: one Spark callable + one DuckDB
+oracle SQL per implemented operator (SURVEY.md §2 + training-data ops).
+
+Conventions that make the side-by-side compare exact:
+
+* every computed column is aliased identically in Spark and SQL;
+* float-derived metrics are scaled integers (floor/round applied the
+  same way on both sides);
+* KG queries: the Spark side runs the REAL distributed pipeline from
+  ``corpus.parquet``; the oracle reads ``triples.parquet`` written by
+  the *sequential* pure-Python parse of the same corpus. Matching
+  output proves distributed == sequential end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import vocab as V
+from .operators import docops, embops
+from .operators.bgp import bgp
+from .operators.cc import connected_components
+from .operators.closure import transitive_closure
+from .operators.linking import canonical_mapping
+from .plans.pipeline import KGPipeline
+from .sources.artifacts import corpus_path, ensure_artifacts, errors_path, triples_path
+from .sources.fixtures import build_default_import_map
+
+# ---------------------------------------------------------------------------
+# shared state: one pipeline run per session, cached
+# ---------------------------------------------------------------------------
+
+_CACHE: dict = {}
+
+
+def _ensure_shipped(spark: SparkSession):
+    if not _CACHE.get(("shipped", id(spark))):
+        from .plans.session import ship_package
+
+        try:
+            ship_package(spark)
+        except Exception:
+            pass  # session may forbid addPyFile; workers may still resolve via cwd
+        _CACHE[("shipped", id(spark))] = True
+
+
+def _parsed(spark: SparkSession):
+    key = ("parsed", id(spark))
+    if key not in _CACHE:
+        _ensure_shipped(spark)
+        paths = ensure_artifacts()
+        source = spark.read.parquet(paths["corpus"])
+        pipe = KGPipeline(spark, import_map=build_default_import_map())
+        parsed = pipe.parsed(source).persist()
+        parsed.count()  # materialize the cache once
+        _CACHE[key] = (pipe, parsed)
+    return _CACHE[key]
+
+
+def kg_triples(spark: SparkSession) -> DataFrame:
+    pipe, parsed = _parsed(spark)
+    return pipe.triples(parsed)
+
+
+def kg_errors(spark: SparkSession) -> DataFrame:
+    pipe, parsed = _parsed(spark)
+    return pipe.errors(parsed)
+
+
+def kg_nodes(spark: SparkSession) -> DataFrame:
+    pipe, parsed = _parsed(spark)
+    return pipe.nodes(pipe.triples(parsed))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+
+def _t() -> str:
+    return f"read_parquet('{triples_path()}')"
+
+
+def _c() -> str:
+    return f"read_parquet('{corpus_path()}')"
+
+
+def _e() -> str:
+    return f"read_parquet('{errors_path()}')"
+
+
+_NONBLANK = "substr({col}, 1, 2) <> '_:'"
+
+_SH_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(list_transform(range(1, greatest(len(w) - 1, 1)),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+)
+"""
+
+_SIG_SELECT = "SELECT doc_id, " + ", ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(docops.MINHASH_K)
+) + " FROM sh GROUP BY doc_id"
+
+_NODES_CTE = f"""
+typed AS (
+  SELECT subj, doc_iri, src_repo, src_path, src_commit, src_sha256,
+         CASE obj
+           WHEN '{V.OWL_NAMED_INDIVIDUAL}' THEN 0
+           WHEN '{V.OWL_OBJECT_PROPERTY}' THEN 1
+           WHEN '{V.OWL_DATATYPE_PROPERTY}' THEN 2
+           WHEN '{V.SWRL_IMP}' THEN 3
+           WHEN '{V.OWL_CLASS}' THEN 4
+         END AS kind_rank
+  FROM {{T}}
+  WHERE pred = '{V.RDF_TYPE}' AND substr(subj, 1, 2) <> '_:'
+    AND obj IN ('{V.OWL_NAMED_INDIVIDUAL}', '{V.OWL_OBJECT_PROPERTY}',
+                '{V.OWL_DATATYPE_PROPERTY}', '{V.SWRL_IMP}', '{V.OWL_CLASS}')
+),
+nodes AS (
+  SELECT subj AS iri,
+         (string_split_regex(subj, '[#/]'))[-1] AS name,
+         CASE min(kind_rank) WHEN 0 THEN 'individual' WHEN 1 THEN 'object_property'
+              WHEN 2 THEN 'data_property' WHEN 3 THEN 'rule' ELSE 'class' END AS kind,
+         doc_iri, src_repo, src_path, src_commit, src_sha256
+  FROM typed
+  GROUP BY subj, doc_iri, src_repo, src_path, src_commit, src_sha256
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# -- KG construction ---------------------------------------------------------
+
+
+def _register_kg():
+    RR = "https://w3id.org/yet/undefined/regional-rules-ontology#"
+
+    @_q("kg_triples_full", f"SELECT subj, pred, obj, obj_is_literal, obj_datatype, doc_iri, src_repo, src_path, src_commit, src_sha256 FROM {_t()}")
+    def kg_triples_full(spark, sf_dir):
+        return kg_triples(spark)
+
+    @_q("kg_pred_counts", f"SELECT pred, count(*) AS n FROM {_t()} GROUP BY pred")
+    def kg_pred_counts(spark, sf_dir):
+        return kg_triples(spark).groupBy("pred").agg(F.count("*").alias("n"))
+
+    @_q(
+        "kg_class_hierarchy",
+        f"SELECT subj AS sub, obj AS sup, doc_iri FROM {_t()} "
+        f"WHERE pred = '{V.RDFS_SUBCLASSOF}' AND substr(subj,1,2) <> '_:' AND substr(obj,1,2) <> '_:'",
+    )
+    def kg_class_hierarchy(spark, sf_dir):
+        t = kg_triples(spark)
+        return t.filter(
+            (F.col("pred") == V.RDFS_SUBCLASSOF)
+            & ~F.col("subj").startswith("_:")
+            & ~F.col("obj").startswith("_:")
+        ).select(F.col("subj").alias("sub"), F.col("obj").alias("sup"), "doc_iri")
+
+    @_q(
+        "kg_subclass_closure",
+        f"""WITH RECURSIVE h AS (
+              SELECT DISTINCT subj AS sub, obj AS sup FROM {_t()}
+              WHERE pred = '{V.RDFS_SUBCLASSOF}' AND substr(subj,1,2) <> '_:' AND substr(obj,1,2) <> '_:'
+            ),
+            r(src, dst) AS (
+              SELECT sub, sup FROM h
+              UNION
+              SELECT r.src, h.sup FROM r JOIN h ON r.dst = h.sub
+            )
+            SELECT src, dst FROM r""",
+    )
+    def kg_subclass_closure(spark, sf_dir):
+        t = kg_triples(spark)
+        h = t.filter(
+            (F.col("pred") == V.RDFS_SUBCLASSOF)
+            & ~F.col("subj").startswith("_:")
+            & ~F.col("obj").startswith("_:")
+        ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        return transitive_closure(h)
+
+    @_q(
+        "kg_bgp_hassection",
+        f"SELECT DISTINCT subj AS x, doc_iri FROM {_t()} "
+        f"WHERE pred LIKE '%#hasSection' AND obj = '§ 1.1' AND obj_is_literal",
+    )
+    def kg_bgp_hassection(spark, sf_dir):
+        t = kg_triples(spark)
+        return (
+            t.filter(F.col("pred").endswith("#hasSection") & (F.col("obj") == "§ 1.1") & F.col("obj_is_literal"))
+            .select(F.col("subj").alias("x"), "doc_iri")
+            .distinct()
+        )
+
+    @_q(
+        "kg_bgp_canonical",
+        f"SELECT DISTINCT subj AS x FROM {_t()} "
+        f"WHERE pred = '{RR}hasPart' AND obj = '{RR}dresden'",
+    )
+    def kg_bgp_canonical(spark, sf_dir):
+        # exercises the BGP operator with exact IRIs (reference
+        # tests/test_core.py:133-140)
+        return bgp(kg_triples(spark), [("?x", RR + "hasPart", RR + "dresden")], ["?x"])
+
+    @_q(
+        "kg_bgp_join",
+        f"""SELECT DISTINCT t1.doc_iri, t1.subj AS region, t2.obj AS directive
+            FROM {_t()} t1 JOIN {_t()} t2
+              ON t1.subj = t2.subj AND t1.doc_iri = t2.doc_iri
+            WHERE t1.pred LIKE '%#hasPart' AND t2.pred LIKE '%#hasDirective'""",
+    )
+    def kg_bgp_join(spark, sf_dir):
+        t = kg_triples(spark)
+        t1 = t.filter(F.col("pred").endswith("#hasPart")).select("doc_iri", "subj", F.col("obj").alias("part"))
+        t2 = t.filter(F.col("pred").endswith("#hasDirective")).select("doc_iri", "subj", F.col("obj").alias("directive"))
+        return (
+            t1.join(t2, ["doc_iri", "subj"])
+            .select("doc_iri", F.col("subj").alias("region"), "directive")
+            .distinct()
+        )
+
+    @_q("kg_nodes", f"WITH {_NODES_CTE.format(T=_t())} SELECT iri, name, kind, doc_iri, src_repo, src_path, src_commit, src_sha256 FROM nodes")
+    def kg_nodes_q(spark, sf_dir):
+        return kg_nodes(spark)
+
+    @_q("kg_errors_by_stage", f"SELECT src_repo, stage, count(*) AS n FROM {_e()} GROUP BY src_repo, stage")
+    def kg_errors_by_stage(spark, sf_dir):
+        return kg_errors(spark).groupBy("src_repo", "stage").agg(F.count("*").alias("n"))
+
+    @_q(
+        "kg_entity_linking",
+        f"""WITH {_NODES_CTE.format(T=_t())}
+            SELECT kind || '|' || lower(regexp_replace(name, '[_-]', '', 'g')) AS link_key,
+                   count(*) AS n_mentions, min(iri) AS canonical_iri
+            FROM nodes GROUP BY 1""",
+    )
+    def kg_entity_linking(spark, sf_dir):
+        mapping = canonical_mapping(kg_nodes(spark))
+        return mapping.groupBy("link_key", "canonical_iri").agg(
+            F.count("*").alias("n_mentions")
+        ).select("link_key", "n_mentions", "canonical_iri")
+
+    @_q(
+        "kg_connected_components",
+        f"""WITH RECURSIVE e AS (
+              SELECT DISTINCT subj AS a, obj AS b FROM {_t()}
+              WHERE pred LIKE '%#hasPart' AND NOT obj_is_literal
+                AND substr(subj,1,2) <> '_:' AND substr(obj,1,2) <> '_:' AND subj <> obj
+            ),
+            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(node, m) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.node, s.b FROM reach r JOIN sym s ON r.m = s.a
+            )
+            SELECT node, least(node, min(m)) AS component FROM reach GROUP BY node""",
+    )
+    def kg_connected_components(spark, sf_dir):
+        t = kg_triples(spark)
+        e = t.filter(
+            F.col("pred").endswith("#hasPart")
+            & ~F.col("obj_is_literal")
+            & ~F.col("subj").startswith("_:")
+            & ~F.col("obj").startswith("_:")
+        ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        return connected_components(e)
+
+    @_q(
+        "kg_rc_individuals",
+        f"""WITH {_NODES_CTE.format(T=_t())}
+            SELECT doc_iri, name, src_repo FROM nodes
+            WHERE kind = 'individual' AND regexp_matches(name, '^iX_.*_RC_[0-9]+$')""",
+    )
+    def kg_rc_individuals(spark, sf_dir):
+        return kg_nodes(spark).filter(
+            (F.col("kind") == "individual") & F.col("name").rlike("^iX_.*_RC_[0-9]+$")
+        ).select("doc_iri", "name", "src_repo")
+
+    @_q(
+        "kg_sha_lineage",
+        f"""SELECT t.src_repo, t.src_path, (t.src_sha256 = sha256(c.content)) AS sha_match
+            FROM (SELECT DISTINCT src_repo, src_path, src_sha256 FROM {_t()}) t
+            JOIN {_c()} c ON t.src_repo = c.repo AND t.src_path = c.path""",
+    )
+    def kg_sha_lineage(spark, sf_dir):
+        paths = ensure_artifacts()
+        corpus = spark.read.parquet(paths["corpus"]).select(
+            F.col("repo").alias("src_repo"),
+            F.col("path").alias("src_path"),
+            F.sha2("content", 256).alias("sha"),
+        )
+        t = kg_triples(spark).select("src_repo", "src_path", "src_sha256").distinct()
+        return t.join(corpus, ["src_repo", "src_path"]).select(
+            "src_repo", "src_path", (F.col("src_sha256") == F.col("sha")).alias("sha_match")
+        )
+
+    @_q(
+        "kg_doc_stats",
+        f"""SELECT doc_iri, src_repo, src_path, count(*) AS n_triples,
+                   count(DISTINCT subj) AS n_subjects,
+                   sum(CASE WHEN obj_is_literal THEN 1 ELSE 0 END) AS n_literals
+            FROM {_t()} GROUP BY doc_iri, src_repo, src_path""",
+    )
+    def kg_doc_stats(spark, sf_dir):
+        return kg_triples(spark).groupBy("doc_iri", "src_repo", "src_path").agg(
+            F.count("*").alias("n_triples"),
+            F.countDistinct("subj").alias("n_subjects"),
+            F.sum(F.when(F.col("obj_is_literal"), 1).otherwise(0)).alias("n_literals"),
+        )
+
+    @_q(
+        "kg_datatype_histogram",
+        f"SELECT obj_datatype, count(*) AS n FROM {_t()} WHERE obj_is_literal GROUP BY obj_datatype",
+    )
+    def kg_datatype_histogram(spark, sf_dir):
+        return (
+            kg_triples(spark)
+            .filter(F.col("obj_is_literal"))
+            .groupBy("obj_datatype")
+            .agg(F.count("*").alias("n"))
+        )
+
+    @_q(
+        "kg_swrl_rules",
+        f"SELECT doc_iri, subj AS rule_iri, obj AS src FROM {_t()} WHERE pred = '{V.YPO_RULE_SRC}'",
+    )
+    def kg_swrl_rules(spark, sf_dir):
+        return kg_triples(spark).filter(F.col("pred") == V.YPO_RULE_SRC).select(
+            "doc_iri", F.col("subj").alias("rule_iri"), F.col("obj").alias("src")
+        )
+
+
+# -- document corpus (training-data ops) --------------------------------------
+
+
+def _register_docops():
+    @_q(
+        "doc_exact_dedup",
+        "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_docs "
+        "FROM documents GROUP BY md5(text)",
+    )
+    def doc_exact_dedup(spark, sf_dir):
+        return docops.exact_dedup_groups(_docs(spark, sf_dir)).select(
+            "text_hash", "keep_id", "n_docs"
+        )
+
+    @_q("doc_minhash_signatures", f"WITH {_SH_CTE} {_SIG_SELECT}")
+    def doc_minhash_signatures(spark, sf_dir):
+        return docops.minhash_signatures(_docs(spark, sf_dir))
+
+    _band_parts = []
+    rows_per_band = docops.MINHASH_K // docops.LSH_BANDS
+    for b in range(docops.LSH_BANDS):
+        concat = " || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        _band_parts.append(f"SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig")
+    _bands_sql = " UNION ALL ".join(_band_parts)
+
+    @_q(
+        "doc_lsh_candidates",
+        f"""WITH {_SH_CTE}, sig AS ({_SIG_SELECT}), bands AS ({_bands_sql})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+    )
+    def doc_lsh_candidates(spark, sf_dir):
+        return docops.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+    @_q(
+        "doc_ngram_jaccard",
+        f"""WITH docs AS (SELECT * FROM documents WHERE doc_id < 300), {_SH_CTE.replace("FROM documents", "FROM docs").replace("sh AS", "shx AS").replace("AS t(s)", "AS t(s)")},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(floor(n_inter * 1000.0 / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) AS jaccard_x1000
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE floor(n_inter * 1000.0 / (sa.n_sh + sb.n_sh - n_inter)) >= 100""",
+    )
+    def doc_ngram_jaccard(spark, sf_dir):
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+        return docops.ngram_jaccard_pairs(docs, min_jaccard_x1000=100)
+
+    _bits_sql = ", ".join(
+        f"list_sum(list_transform(string_split(text, ' '), "
+        f"t -> ((strpos('0123456789abcdef', substr(md5(t), {j + 1}, 1)) - 1) % 2) * 2 - 1)) AS s{j}"
+        for j in range(docops.SIMHASH_BITS)
+    )
+    _sim_sum = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(docops.SIMHASH_BITS)
+    )
+
+    @_q(
+        "doc_simhash",
+        f"SELECT doc_id, CAST({_sim_sum} AS BIGINT) AS simhash "
+        f"FROM (SELECT doc_id, {_bits_sql} FROM documents)",
+    )
+    def doc_simhash(spark, sf_dir):
+        return docops.simhash(_docs(spark, sf_dir))
+
+    _langs = sorted(docops.LANG_MARKERS)
+    _score_sql = ", ".join(
+        "len(list_filter(string_split(text, ' '), w -> list_contains(["
+        + ", ".join(f"'{m}'" for m in docops.LANG_MARKERS[lang])
+        + f"], w))) AS score_{lang}"
+        for lang in _langs
+    )
+    _best = "greatest(" + ", ".join(f"score_{l}" for l in _langs) + ")"
+    _pred = "CASE " + " ".join(
+        f"WHEN score_{l} = {_best} THEN '{l}'" for l in _langs
+    ) + " END"
+
+    @_q(
+        "doc_language_id",
+        f"""SELECT doc_id, lang AS actual_lang, {_pred} AS predicted_lang,
+                   CAST({_best} AS INT) AS best_score
+            FROM (SELECT doc_id, lang, {_score_sql} FROM documents)""",
+    )
+    def doc_language_id(spark, sf_dir):
+        df = docops.language_id(_docs(spark, sf_dir))
+        return df.withColumn("best_score", F.col("best_score").cast("int"))
+
+    _stop_arr = ", ".join(f"'{s}'" for s in docops.STOPWORDS)
+
+    @_q(
+        "doc_quality",
+        f"""SELECT doc_id, length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(floor(list_sum(list_transform(string_split(text, ' '), t -> length(t))) * 100.0
+                        / len(string_split(text, ' '))) AS BIGINT) AS mean_token_len_x100,
+                   CAST(floor(len(list_filter(string_split(text, ' '), w -> list_contains([{_stop_arr}], w))) * 10000.0
+                        / len(string_split(text, ' '))) AS BIGINT) AS stopword_ratio_x1e4,
+                   CAST((CASE WHEN length(text) >= 100 THEN 40 ELSE 0 END
+                       + CASE WHEN len(list_filter(string_split(text, ' '), w -> list_contains([{_stop_arr}], w))) * 10000.0
+                              / len(string_split(text, ' ')) >= 500 THEN 30 ELSE 0 END
+                       + CASE WHEN len(string_split(text, ' ')) >= 20 THEN 30 ELSE 0 END) AS BIGINT) AS quality_score
+            FROM documents""",
+    )
+    def doc_quality(spark, sf_dir):
+        return docops.quality_scores(_docs(spark, sf_dir))
+
+    @_q(
+        "doc_token_counts",
+        """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+                  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS regex_tokens
+           FROM documents""",
+    )
+    def doc_token_counts(spark, sf_dir):
+        return docops.token_counts(_docs(spark, sf_dir))
+
+    @_q(
+        "doc_fingerprints",
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ ]+', ' ', 'g'))) AS fingerprint FROM documents",
+    )
+    def doc_fingerprints(spark, sf_dir):
+        return docops.fingerprints(_docs(spark, sf_dir))
+
+
+# -- embeddings ---------------------------------------------------------------
+
+
+def _register_embops():
+    dim = embops.EMB_DIM
+
+    _dot_sql = (
+        "list_sum(list_transform(range(1, {n}), i -> q.q_emb[i]::DOUBLE * c.c_emb[i]::DOUBLE))"
+    ).format(n=dim + 1)
+    _nq = "sqrt(list_sum(list_transform(range(1, {n}), i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE)))".format(n=dim + 1)
+    _nc = "sqrt(list_sum(list_transform(range(1, {n}), i -> c.c_emb[i]::DOUBLE * c.c_emb[i]::DOUBLE)))".format(n=dim + 1)
+
+    @_q(
+        "emb_cosine_topk",
+        f"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+             sims AS (
+               SELECT q.query_id, c.neighbor_id,
+                      CAST(round({_dot_sql} / ({_nq} * {_nc}) * 1e6) AS BIGINT) AS cos_x1e6
+               FROM q, c WHERE q.query_id <> c.neighbor_id
+             )
+             SELECT query_id, neighbor_id, rank, cos_x1e6 FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+               FROM sims
+             ) WHERE rank <= 3""",
+    )
+    def emb_cosine_topk(spark, sf_dir):
+        return embops.cosine_topk(_emb(spark, sf_dir))
+
+    planes = embops.deterministic_planes()
+    plane_terms = []
+    for p, comps in enumerate(planes):
+        arr = "[" + ", ".join(repr(v) for v in comps) + "]"
+        dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> embedding[i]::DOUBLE * ({arr}::DOUBLE[])[i]))"
+        plane_terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    _bucket = " + ".join(plane_terms)
+
+    @_q(
+        "emb_lsh_buckets",
+        f"SELECT vec_id, label, CAST({_bucket} AS BIGINT) AS bucket FROM embeddings",
+    )
+    def emb_lsh_buckets(spark, sf_dir):
+        return embops.lsh_buckets(_emb(spark, sf_dir))
+
+    _d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE) * (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE)))"
+    )
+
+    @_q(
+        "emb_centroid_assign",
+        f"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8)
+            SELECT vec_id, centroid_id, dist2_x1e6 FROM (
+              SELECT e.vec_id, c.centroid_id,
+                     CAST(round({_d2} * 1e6) AS BIGINT) AS dist2_x1e6,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY CAST(round({_d2} * 1e6) AS BIGINT) ASC, c.centroid_id ASC) AS rn
+              FROM embeddings e, c
+            ) WHERE rn = 1""",
+    )
+    def emb_centroid_assign(spark, sf_dir):
+        return embops.centroid_assign(_emb(spark, sf_dir))
+
+
+# -- classic relational (coverage of scan/filter/agg/join/window) -------------
+
+
+def _register_relational():
+    @_q(
+        "rel_lineitem_agg",
+        """SELECT l_returnflag, l_linestatus,
+                  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_x100,
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_x100,
+                  count(*) AS n
+           FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    )
+    def rel_lineitem_agg(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_x100"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("price_x100"),
+            F.count("*").alias("n"),
+        )
+
+    @_q(
+        "rel_nation_revenue",
+        """SELECT n.n_name, sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_x100,
+                  count(*) AS n_orders
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY n.n_name""",
+    )
+    def rel_nation_revenue(spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("revenue_x100"),
+                F.count("*").alias("n_orders"),
+            )
+        )
+
+    @_q(
+        "rel_latest_event_per_user",
+        """SELECT user_id, event_id, event_type FROM (
+             SELECT user_id, event_id, event_type,
+                    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events
+           ) WHERE rn = 1""",
+    )
+    def rel_latest_event_per_user(spark, sf_dir):
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type")
+        )
+
+
+_register_kg()
+_register_docops()
+_register_embops()
+_register_relational()
