@@ -35,19 +35,24 @@ from .sources.fixtures import build_default_import_map
 _CACHE: dict = {}
 
 
+def _session_key(spark: SparkSession) -> str:
+    # NOT id(spark): python ids get reused after a stopped session is GC'd
+    return spark.sparkContext.applicationId
+
+
 def _ensure_shipped(spark: SparkSession):
-    if not _CACHE.get(("shipped", id(spark))):
+    if not _CACHE.get(("shipped", _session_key(spark))):
         from .plans.session import ship_package
 
         try:
             ship_package(spark)
         except Exception:
             pass  # session may forbid addPyFile; workers may still resolve via cwd
-        _CACHE[("shipped", id(spark))] = True
+        _CACHE[("shipped", _session_key(spark))] = True
 
 
 def _parsed(spark: SparkSession):
-    key = ("parsed", id(spark))
+    key = ("parsed", _session_key(spark))
     if key not in _CACHE:
         _ensure_shipped(spark)
         paths = ensure_artifacts()

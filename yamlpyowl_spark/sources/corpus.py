@@ -116,8 +116,10 @@ def corpus_rows(**kw) -> List[Row]:
     return list(iter_corpus_rows(**kw))
 
 
-def write_corpus_parquet(out_path: str, **kw) -> int:
-    """Write the corpus with pyarrow (no SparkSession needed). Returns row count."""
+def write_corpus_parquet(out_path: str, row_group_size: int = 256, **kw) -> int:
+    """Write the corpus with pyarrow (no SparkSession needed). Returns
+    row count. Small row groups keep the file splittable — a single
+    giant row group would serialize the Spark scan into one task."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -132,7 +134,7 @@ def write_corpus_parquet(out_path: str, **kw) -> int:
             "content": list(cols[4]),
         }
     )
-    pq.write_table(table, out_path)
+    pq.write_table(table, out_path, row_group_size=row_group_size)
     return len(rows)
 
 
