@@ -363,6 +363,17 @@ def _register_kg():
             "doc_iri", F.col("subj").alias("rule_iri"), F.col("obj").alias("src")
         )
 
+    # rows-only (no oracle): mutually-recursive datalog fixpoint — not
+    # expressible as one SQL statement; semantics are pinned by
+    # tests/test_swrl_chain.py against the reference's post-reasoner
+    # assertions
+    @_q("kg_swrl_forward_chain")
+    def kg_swrl_forward_chain(spark, sf_dir):
+        from .operators.swrl import forward_chain
+
+        t = kg_triples(spark).filter(F.col("src_repo") == "org/regional-rules")
+        return forward_chain(t)
+
 
 # -- document corpus (training-data ops) --------------------------------------
 
