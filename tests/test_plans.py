@@ -1,0 +1,102 @@
+"""Physical-plan assertions: the properties that matter at 100 TB.
+
+These pin the *shape* of the plans, not timings: filters reach the
+parquet scan (PushedFilters), only needed columns are read
+(ReadSchema), exactly one Python stage exists in the parse pipeline,
+and the small side of the linking join broadcasts.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yamlpyowl_spark.plans.pipeline import KGPipeline, ontology_document_filter
+from yamlpyowl_spark.sources.artifacts import ensure_artifacts
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    paths = ensure_artifacts()
+    return spark.read.parquet(paths["corpus"])
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_scan_filter_pushed_down(corpus):
+    df = ontology_document_filter(corpus)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    # the lang equality is a pushable predicate; EndsWith pushes as
+    # StringEndsWith on parquet
+    assert "IsNotNull(lang)" in plan or "EqualTo(lang,yaml)" in plan, plan
+    assert "StringEndsWith(path" in plan, plan
+
+
+def test_parse_prunes_columns(spark, corpus):
+    """content dominates bytes — but the scan must NOT read content for
+    queries that don't need it."""
+    meta_only = ontology_document_filter(corpus).select("repo", "path")
+    plan = _plan(meta_only)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "content" not in read_schema[0], read_schema
+
+
+def test_single_python_stage(spark, corpus):
+    pipe = KGPipeline(spark, parse_partitions=8)
+    plan = _plan(pipe.parsed(corpus))
+    assert plan.count("MapInPandas") == 1
+    # no row-at-a-time python UDFs anywhere
+    assert "BatchEvalPython" not in plan
+
+
+def test_parse_reads_only_needed_columns(spark, corpus):
+    pipe = KGPipeline(spark, parse_partitions=8)
+    plan = _plan(pipe.parsed(corpus))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema
+    # lang is filter-only; commit/repo/path/content feed the UDF
+    assert "content" in read_schema[0]
+
+
+def test_linking_join_broadcasts(spark, corpus):
+    from yamlpyowl_spark.operators.linking import canonical_mapping
+
+    pipe = KGPipeline(spark, parse_partitions=8)
+    parsed = pipe.parsed(corpus)
+    nodes = pipe.nodes(pipe.triples(parsed))
+    plan = _plan(canonical_mapping(nodes))
+    # the per-key canonical table is tiny relative to mentions → AQE or
+    # static planning must choose a broadcast join, not sort-merge
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower(), plan
+
+
+def test_docops_stay_jvm_side(spark):
+    from yamlpyowl_spark.operators import docops
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    for fn in (docops.simhash, docops.quality_scores, docops.token_counts, docops.language_id):
+        plan = _plan(fn(docs))
+        # higher-order array lambdas run JVM-side (interpreted exprs, no
+        # codegen span) — what matters is that NO Python stage exists
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__
+    # plain-expression ops keep whole-stage codegen ("*(n)" spans)
+    plan = _plan(docops.fingerprints(docs))
+    assert "*(1)" in plan
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    from yamlpyowl_spark.operators.docops import exact_dedup_groups
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = _plan(exact_dedup_groups(docs))
+    # map-side combine: two HashAggregate levels around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
