@@ -1,0 +1,78 @@
+"""Multimodal plumbing: schemas, batch shapes, explode, determinism —
+the decode stub is validated against a pure-python/numpy reference."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yamlpyowl_spark.operators.multimodal import (
+    _keystream,
+    decode_image,
+    image_features,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthesize_media(spark, n=30).repartition(4).persist()
+
+
+def test_media_schema(media):
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    row = media.filter(F.col("kind") == "image").first()
+    assert row["meta"]["width"] * row["meta"]["height"] * row["meta"]["channels"] == len(row["data"])
+
+
+def test_image_features_match_numpy_reference(spark, media):
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    for r in media.filter(F.col("kind") == "image").collect():
+        m = r["meta"]
+        px = np.frombuffer(bytes(r["data"]), dtype=np.uint8).reshape(
+            m["height"], m["width"], m["channels"]
+        ).astype(np.float64)
+        f = feats[r["media_id"]]
+        assert f["mean_x100"] == int(np.floor(px.mean() * 100))
+        assert f["std_x100"] == int(np.floor(px.std() * 100))
+        assert f["n_pixels"] == m["width"] * m["height"]
+
+
+def test_resize_composes(spark, media):
+    small = resize_images(media, out_w=4, out_h=4)
+    rows = small.collect()
+    assert all(len(r["data"]) == 4 * 4 * 3 for r in rows)
+    assert all(r["meta"]["width"] == 4 for r in rows)
+    # resized output is itself a valid media table → features compose
+    feats = image_features(small)
+    assert feats.count() == len(rows)
+
+
+def test_frame_sampling(spark, media):
+    frames = sample_frames(media, every_n=2)
+    vids = media.filter(F.col("kind") == "video").collect()
+    got = frames.groupBy("media_id").count().collect()
+    expect = {r["media_id"]: (r["meta"]["n_frames"] + 1) // 2 for r in vids}
+    assert {r["media_id"]: r["count"] for r in got} == expect
+    f = frames.first()
+    assert len(f["frame_data"]) == 8 * 8 * 3
+
+
+def test_decode_rejects_non_fake_payload():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n", 100, 100, 3)
+
+
+def test_determinism_across_partitionings(spark):
+    a = image_features(synthesize_media(spark, n=30).repartition(2)).collect()
+    b = image_features(synthesize_media(spark, n=30).repartition(7)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_keystream_deterministic():
+    assert _keystream("x", 100) == _keystream("x", 100)
+    assert _keystream("x", 16) == hashlib.md5(b"x:0").digest()

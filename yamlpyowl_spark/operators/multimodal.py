@@ -1,0 +1,189 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The Spark-side plumbing is real and tested: schemas, partitioning,
+``mapInPandas`` batch shapes, explode of frame samples. The *codec*
+step is a clearly-marked stub: real decoders (PIL/ffmpeg/librosa) are
+not in this container, so ``decode_image``/``decode_audio`` fall back
+to a deterministic fake (md5-keystream pixels) unless a real library
+is importable. Swapping in a real codec changes ONE function; every
+plan stays identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("data", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("channels", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mean_x100", T.LongType(), False),
+        T.StructField("std_x100", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_data", T.BinaryType(), False),
+    ]
+)
+
+
+def _keystream(seed: str, n: int) -> bytes:
+    """Deterministic byte stream (stands in for decoded pixel data)."""
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{seed}:{counter}".encode()).digest()
+        counter += 1
+    return bytes(out[:n])
+
+
+def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (no external data)."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            w, h, c = 8 + (i % 8), 8 + (i % 4), 3
+            data = _keystream(f"{seed}:img:{i}", w * h * c)
+            meta = (w, h, c, None, None, "fake-rgb8")
+        elif kind == "audio":
+            sr, secs = 8000, 1 + (i % 2)
+            data = _keystream(f"{seed}:aud:{i}", sr * secs)
+            meta = (None, None, 1, sr, None, "fake-pcm8")
+        else:
+            w, h, c, nf = 8, 8, 3, 4 + (i % 5)
+            data = _keystream(f"{seed}:vid:{i}", w * h * c * nf)
+            meta = (w, h, c, None, nf, "fake-rgb8-frames")
+        rows.append((i, kind, bytearray(data), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(data: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """STUB CODEC: interpret the binary payload as raw uint8 pixels.
+
+    A real deployment replaces this body with e.g.
+    ``np.asarray(PIL.Image.open(io.BytesIO(data)))``. Formats other
+    than the synthetic 'fake-rgb8' raise, loudly.
+    """
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size != width * height * channels:
+        raise NotImplementedError(
+            "real image codecs are not available in this environment; "
+            "only the deterministic 'fake-rgb8' payload is decodable"
+        )
+    return arr.reshape(height, width, channels)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Per-image mean/std (scaled ints) via one mapInPandas stage.
+
+    Batch shape: the UDF receives Arrow batches of (media_id, data,
+    meta) and returns one feature row per image — the canonical
+    decode-then-reduce pattern; heavy pixel data never crosses back to
+    the JVM."""
+    src = media.filter(F.col("kind") == "image").select("media_id", "data", "meta.*")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, data, w, h, c in zip(
+                pdf["media_id"], pdf["data"], pdf["width"], pdf["height"], pdf["channels"]
+            ):
+                px = decode_image(bytes(data), int(w), int(h), int(c)).astype(np.float64)
+                out.append(
+                    (
+                        int(mid),
+                        int(np.floor(px.mean() * 100)),
+                        int(np.floor(px.std() * 100)),
+                        int(px.size // int(c)),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "mean_x100", "std_x100", "n_pixels"])
+
+    return src.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Nearest-neighbor resize inside the UDF; returns a new media table
+    with updated payloads + metadata (same schema → composable)."""
+    src = media.filter(F.col("kind") == "image")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                m = r["meta"]
+                px = decode_image(bytes(r["data"]), m["width"], m["height"], m["channels"])
+                ys = (np.arange(out_h) * m["height"] // out_h).astype(int)
+                xs = (np.arange(out_w) * m["width"] // out_w).astype(int)
+                small = px[np.ix_(ys, xs)]
+                rows.append(
+                    (
+                        int(r["media_id"]),
+                        "image",
+                        small.tobytes(),
+                        {
+                            "width": out_w,
+                            "height": out_h,
+                            "channels": int(m["channels"]),
+                            "sample_rate": None,
+                            "n_frames": None,
+                            "format": "fake-rgb8",
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "data", "meta"])
+
+    return src.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video → one row per sampled frame (frame explode pattern)."""
+    src = media.filter(F.col("kind") == "video").select("media_id", "data", "meta.*")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data, w, h, c, nf in zip(
+                pdf["media_id"], pdf["data"], pdf["width"], pdf["height"], pdf["channels"], pdf["n_frames"]
+            ):
+                frame_bytes = int(w) * int(h) * int(c)
+                for fi in range(0, int(nf), every_n):
+                    rows.append(
+                        (int(mid), fi, bytes(data)[fi * frame_bytes : (fi + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_data"])
+
+    return src.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -629,7 +629,29 @@ def _register_relational():
         )
 
 
+def _register_multimodal():
+    # rows-only (no oracle): the decode step is a pandas-UDF codec stub —
+    # not SQL-expressible; semantics pinned by tests/test_multimodal.py
+    # against a numpy reference implementation
+    @_q("mm_image_features")
+    def mm_image_features(spark, sf_dir):
+        from .operators.multimodal import image_features, synthesize_media
+
+        return image_features(synthesize_media(spark, n=64))
+
+    @_q("mm_frame_sample_counts")
+    def mm_frame_sample_counts(spark, sf_dir):
+        from .operators.multimodal import sample_frames, synthesize_media
+
+        return (
+            sample_frames(synthesize_media(spark, n=64), every_n=2)
+            .groupBy("media_id")
+            .agg(F.count("*").alias("n_frames_sampled"))
+        )
+
+
 _register_kg()
 _register_docops()
 _register_embops()
 _register_relational()
+_register_multimodal()
