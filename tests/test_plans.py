@@ -49,7 +49,7 @@ def test_parse_prunes_columns(spark, corpus):
 def test_single_python_stage(spark, corpus):
     pipe = KGPipeline(spark, parse_partitions=8)
     plan = _plan(pipe.parsed(corpus))
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInArrow") == 1
     # no row-at-a-time python UDFs anywhere
     assert "BatchEvalPython" not in plan
 
@@ -84,7 +84,7 @@ def test_docops_stay_jvm_side(spark):
         plan = _plan(fn(docs))
         # higher-order array lambdas run JVM-side (interpreted exprs, no
         # codegen span) — what matters is that NO Python stage exists
-        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, fn.__name__
+        assert "MapInArrow" not in plan and "BatchEvalPython" not in plan, fn.__name__
         assert "ArrowEvalPython" not in plan, fn.__name__
     # plain-expression ops keep whole-stage codegen ("*(n)" spans)
     plan = _plan(docops.fingerprints(docs))

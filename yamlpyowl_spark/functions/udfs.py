@@ -1,19 +1,20 @@
 """Arrow-batched parse stage.
 
-One ``mapInPandas`` stage turns batches of source rows into batches of
+One ``mapInArrow`` stage turns batches of source rows into batches of
 triple/error rows. YAML-ontology semantics are inherently sequential
 *per document* (SURVEY.md §1.4), so the document is the unit of work;
-batching and the Python↔JVM crossing are Arrow-vectorized. No per-row
-Python at the Spark plan level: the plan contains exactly one
-MapInPandas operator for the whole parse.
+batching and the Python↔JVM crossing are Arrow-vectorized — the UDF
+builds pyarrow RecordBatches column-wise (per-document constants are
+extended with C-speed list ops), skipping pandas entirely in the hot
+path. No per-row Python at the Spark plan level.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional
 
-import pandas as pd
+import pyarrow as pa
 
 from ..parser.document import DocumentParser, ParseError
 
@@ -33,51 +34,97 @@ _PARSED_COLUMNS = [
     "message",
 ]
 
+_ARROW_TYPES = {c: pa.string() for c in _PARSED_COLUMNS}
+_ARROW_TYPES["obj_is_literal"] = pa.bool_()
+_ARROW_SCHEMA = pa.schema([(c, _ARROW_TYPES[c]) for c in _PARSED_COLUMNS])
 
-def parse_rows_to_records(
+
+def parse_rows_to_columns(
     repos, paths, commits, contents, import_map: Optional[dict]
-) -> List[tuple]:
-    """Parse a batch of documents; returns combined triple+error records.
+) -> Dict[str, list]:
+    """Parse a batch of documents into column lists (triples + errors).
 
     A document that fails anywhere produces exactly one error record and
     no triples (matching the reference's all-or-nothing observable
     behavior per document).
     """
-    out: List[tuple] = []
+    cols: Dict[str, list] = {c: [] for c in _PARSED_COLUMNS}
     for repo, path, commit, content in zip(repos, paths, commits, contents):
         sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
         try:
             result = DocumentParser(content, import_map=import_map).parse()
         except ParseError as err:
             stage = "yaml_load" if str(err).startswith("yaml_load") else "parse"
-            out.append(
-                ("e", None, None, None, None, None, None, repo, path, commit, sha, stage, str(err)[:2000])
-            )
+            _append_error(cols, repo, path, commit, sha, stage, str(err)[:2000])
             continue
         except Exception as err:  # never kill an executor on a poison doc
-            out.append(
-                ("e", None, None, None, None, None, None, repo, path, commit, sha, "internal", str(err)[:2000])
-            )
+            _append_error(cols, repo, path, commit, sha, "internal", str(err)[:2000])
             continue
-        for (s, p, o, lit, dt) in result.triples:
-            out.append(("t", s, p, o, lit, dt, result.iri, repo, path, commit, sha, None, None))
-    return out
+        n = len(result.triples)
+        if n == 0:
+            continue
+        s, p, o, lit, dt = zip(*result.triples)
+        cols["rec"].extend(["t"] * n)
+        cols["subj"].extend(s)
+        cols["pred"].extend(p)
+        cols["obj"].extend(o)
+        cols["obj_is_literal"].extend(lit)
+        cols["obj_datatype"].extend(dt)
+        cols["doc_iri"].extend([result.iri] * n)
+        cols["src_repo"].extend([repo] * n)
+        cols["src_path"].extend([path] * n)
+        cols["src_commit"].extend([commit] * n)
+        cols["src_sha256"].extend([sha] * n)
+        cols["stage"].extend([None] * n)
+        cols["message"].extend([None] * n)
+    return cols
+
+
+def _append_error(cols, repo, path, commit, sha, stage, message):
+    for c, v in (
+        ("rec", "e"),
+        ("subj", None),
+        ("pred", None),
+        ("obj", None),
+        ("obj_is_literal", None),
+        ("obj_datatype", None),
+        ("doc_iri", None),
+        ("src_repo", repo),
+        ("src_path", path),
+        ("src_commit", commit),
+        ("src_sha256", sha),
+        ("stage", stage),
+        ("message", message),
+    ):
+        cols[c].append(v)
+
+
+def parse_rows_to_records(
+    repos, paths, commits, contents, import_map: Optional[dict]
+) -> List[tuple]:
+    """Row-tuple view of :func:`parse_rows_to_columns` (used by the
+    artifact builder and equality tests)."""
+    cols = parse_rows_to_columns(repos, paths, commits, contents, import_map)
+    return list(zip(*(cols[c] for c in _PARSED_COLUMNS)))
 
 
 def make_parse_udf(import_map: Optional[dict]):
-    """Build the mapInPandas function. ``import_map`` is a small plain
-    dict captured in the closure — Spark ships it once per task via the
-    serialized function (broadcast-equivalent for this size)."""
+    """Build the mapInArrow function. ``import_map`` is a small plain
+    dict captured in the closure — shipped once per task with the
+    serialized function."""
 
-    def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            records = parse_rows_to_records(
-                pdf["repo"].tolist(),
-                pdf["path"].tolist(),
-                pdf["commit"].tolist(),
-                pdf["content"].tolist(),
+    def parse_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = parse_rows_to_columns(
+                batch.column("repo").to_pylist(),
+                batch.column("path").to_pylist(),
+                batch.column("commit").to_pylist(),
+                batch.column("content").to_pylist(),
                 import_map,
             )
-            yield pd.DataFrame.from_records(records, columns=_PARSED_COLUMNS)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[c], type=_ARROW_TYPES[c]) for c in _PARSED_COLUMNS],
+                schema=_ARROW_SCHEMA,
+            )
 
     return parse_batches

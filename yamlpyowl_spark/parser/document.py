@@ -33,6 +33,10 @@ from typing import Any, Dict, List, Optional, Tuple, Union
 
 import yaml
 
+# libyaml's C loader is ~10x faster and implements the identical YAML 1.1
+# safe schema; parse cost is the pipeline's hot path at 10^12-file scale
+_YAML_LOADER = getattr(yaml, "CSafeLoader", yaml.SafeLoader)
+
 from .. import vocab as V
 from .model import (
     Construct,
@@ -159,7 +163,7 @@ class DocumentParser:
 
     def parse(self) -> ParseResult:
         try:
-            raw = yaml.safe_load(self.content)
+            raw = yaml.load(self.content, Loader=_YAML_LOADER)
         except yaml.YAMLError as err:
             raise ParseError(f"yaml_load: {err}") from err
         if not isinstance(raw, list) or not all(isinstance(d, dict) for d in raw):

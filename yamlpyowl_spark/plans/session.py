@@ -61,7 +61,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("YPO_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # text-heavy rows: small scan splits keep the scan+shuffle-write
+        # phase parallel (a 128MB default turns a 256MB corpus into 2
+        # serial scan tasks — an Amdahl bottleneck at high parallelism)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
