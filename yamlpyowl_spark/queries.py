@@ -497,6 +497,46 @@ def _register_docops():
         return docops.token_counts(_docs(spark, sf_dir))
 
     @_q(
+        "doc_dedup_survivors",
+        """WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
+           keepers AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(text)),
+           kd AS (SELECT d.doc_id, d.text FROM docs d JOIN keepers k ON d.doc_id = k.doc_id),
+           shx AS (
+             SELECT DISTINCT doc_id, s AS shingle
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM kd),
+                  UNNEST(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+           ),
+           sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+           inter AS (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+             FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id
+           ),
+           losers AS (
+             SELECT DISTINCT doc_b AS doc_id FROM inter
+             JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+             WHERE floor(n_inter * 1000.0 / (sa.n_sh + sb.n_sh - n_inter)) >= 800
+           )
+           SELECT doc_id FROM kd WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
+    )
+    def doc_dedup_survivors(spark, sf_dir):
+        """End-to-end dedup composition: exact dedup keeps the min doc_id
+        per hash group, then near-dup pairs (3-gram Jaccard >= 0.8 among
+        keepers) drop the larger id — the survivor list a training-data
+        pipeline feeds downstream."""
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+        keepers = docops.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+        kept = docs.join(keepers, "doc_id").select("doc_id", "text")
+        losers = (
+            docops.ngram_jaccard_pairs(kept, min_jaccard_x1000=800)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        return kept.select("doc_id").join(losers, "doc_id", "left_anti")
+
+    @_q(
         "doc_fingerprints",
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ ]+', ' ', 'g'))) AS fingerprint FROM documents",
     )
@@ -606,6 +646,115 @@ def _register_relational():
             .agg(
                 F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("revenue_x100"),
                 F.count("*").alias("n_orders"),
+            )
+        )
+
+    @_q(
+        "rel_event_sessions",
+        """WITH x AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+           flags AS (
+             SELECT user_id, event_id, t,
+                    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+             FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+           ),
+           sess AS (
+             SELECT user_id, t,
+                    sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_idx
+             FROM flags
+           )
+           SELECT user_id, session_idx, count(*) AS n_events,
+                  max(t) - min(t) AS duration_sec
+           FROM sess GROUP BY user_id, session_idx""",
+    )
+    def rel_event_sessions(spark, sf_dir):
+        # sessionization: 30-min inactivity gap starts a new session —
+        # lag + running-sum of new-session flags (the standard pattern)
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id",
+            "event_id",
+            # ts is TIMESTAMP_NTZ; cast via timestamp (session tz = UTC) to
+            # epoch seconds — matches DuckDB's epoch() on the naive value
+            F.col("ts").cast("timestamp").cast("long").alias("t"),
+        )
+        w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        flags = ev.withColumn(
+            "new_s",
+            F.when(
+                F.lag("t").over(w).isNull() | ((F.col("t") - F.lag("t").over(w)) > 1800), 1
+            ).otherwise(0),
+        )
+        sess = flags.withColumn(
+            "session_idx",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        return sess.groupBy("user_id", "session_idx").agg(
+            F.count("*").alias("n_events"),
+            (F.max("t") - F.min("t")).alias("duration_sec"),
+        )
+
+    @_q(
+        "rel_top_users_per_event_type",
+        """SELECT event_type, user_id, value_x100, rnk FROM (
+             SELECT event_type, user_id,
+                    sum(CAST(round(value * 100) AS BIGINT)) AS value_x100,
+                    ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY sum(CAST(round(value * 100) AS BIGINT)) DESC,
+                                                user_id ASC) AS rnk
+             FROM events GROUP BY event_type, user_id
+           ) WHERE rnk <= 3""",
+    )
+    def rel_top_users_per_event_type(spark, sf_dir):
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        agg = ev.groupBy("event_type", "user_id").agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_x100")
+        )
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("value_x100").desc(), F.col("user_id").asc()
+        )
+        return (
+            agg.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("event_type", "user_id", "value_x100", "rnk")
+        )
+
+    @_q(
+        "rel_clickers_without_purchase",
+        """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+           EXCEPT
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""",
+    )
+    def rel_clickers_without_purchase(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+        buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        return clickers.exceptAll(buyers).distinct()
+
+    @_q(
+        "rel_orders_rollup",
+        """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+                  COALESCE(o_orderpriority, '(all)') AS priority,
+                  count(*) AS n,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_x100
+           FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    )
+    def rel_orders_rollup(spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return (
+            o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_x100"),
+            )
+            .select(
+                F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+                "n",
+                "total_x100",
             )
         )
 
