@@ -173,3 +173,18 @@ def test_materialize_and_resume(spark, pipe, source, tmp_path_factory):
     # third run: nothing new
     r3 = pipe.materialize(source, out)
     assert r3["n_new_docs"] == 0
+
+
+def test_partition_metrics(spark, pipe, source, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kgmetrics"))
+    pipe.materialize(source, out)
+    m = spark.read.parquet(f"{out}/_metrics")
+    rows = m.collect()
+    assert all(r["wall_ms"] >= 0 and r["partition_id"] >= 0 for r in rows)
+    # metric sums reconcile with the real outputs (lineage invariant)
+    t = spark.read.parquet(f"{out}/triples").count()
+    e = spark.read.parquet(f"{out}/errors").count()
+    assert sum(r["n_triples"] for r in rows) == t
+    assert sum(r["n_errors"] for r in rows) == e
+    # metrics records never leak into triples/errors
+    assert spark.read.parquet(f"{out}/triples").filter(F.col("subj").isNull()).count() == 0

@@ -108,12 +108,22 @@ def parse_rows_to_records(
     return list(zip(*(cols[c] for c in _PARSED_COLUMNS)))
 
 
-def make_parse_udf(import_map: Optional[dict]):
+def make_parse_udf(import_map: Optional[dict], emit_metrics: bool = False):
     """Build the mapInArrow function. ``import_map`` is a small plain
     dict captured in the closure — shipped once per task with the
-    serialized function."""
+    serialized function.
+
+    With ``emit_metrics=True`` each task appends one ``rec='m'`` record
+    carrying per-partition lineage/metrics as JSON (partition id, doc &
+    triple & error counts, wall ms) — the UDF wraps the whole partition
+    iterator, so it times itself with no extra pass."""
 
     def parse_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import json
+        import time
+
+        t0 = time.time()
+        n_docs = n_triples = n_errors = 0
         for batch in batches:
             cols = parse_rows_to_columns(
                 batch.column("repo").to_pylist(),
@@ -122,8 +132,37 @@ def make_parse_udf(import_map: Optional[dict]):
                 batch.column("content").to_pylist(),
                 import_map,
             )
+            if emit_metrics:
+                n_docs += batch.num_rows
+                n_errors += sum(1 for r in cols["rec"] if r == "e")
+                n_triples += len(cols["rec"]) - sum(1 for r in cols["rec"] if r == "e")
             yield pa.RecordBatch.from_arrays(
                 [pa.array(cols[c], type=_ARROW_TYPES[c]) for c in _PARSED_COLUMNS],
+                schema=_ARROW_SCHEMA,
+            )
+        if emit_metrics:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            payload = json.dumps(
+                {
+                    "partition_id": ctx.partitionId() if ctx else -1,
+                    "n_docs": n_docs,
+                    "n_triples": n_triples,
+                    "n_errors": n_errors,
+                    "wall_ms": int((time.time() - t0) * 1000),
+                }
+            )
+            mcols = {c: [None] for c in _PARSED_COLUMNS}
+            mcols["rec"] = ["m"]
+            mcols["stage"] = ["metrics"]
+            mcols["message"] = [payload]
+            mcols["src_repo"] = [""]
+            mcols["src_path"] = [""]
+            mcols["src_commit"] = [""]
+            mcols["src_sha256"] = [""]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(mcols[c], type=_ARROW_TYPES[c]) for c in _PARSED_COLUMNS],
                 schema=_ARROW_SCHEMA,
             )
 

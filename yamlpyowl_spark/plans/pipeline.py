@@ -78,7 +78,11 @@ class KGPipeline:
     # ------------------------------------------------------------------
 
     def parsed(
-        self, source: DataFrame, already_filtered: bool = False, repartition: bool = True
+        self,
+        source: DataFrame,
+        already_filtered: bool = False,
+        repartition: bool = True,
+        emit_metrics: bool = False,
     ) -> DataFrame:
         """source(repo,path,commit,lang,content) → combined parsed records.
 
@@ -100,7 +104,9 @@ class KGPipeline:
                 n_parts,
                 F.pmod(F.hash("repo", "path", F.lit(self.salt_buckets)), F.lit(n_parts)),
             )
-        return df.mapInArrow(make_parse_udf(self.import_map), schema=PARSED_SCHEMA)
+        return df.mapInArrow(
+            make_parse_udf(self.import_map, emit_metrics=emit_metrics), schema=PARSED_SCHEMA
+        )
 
     @staticmethod
     def triples(parsed: DataFrame) -> DataFrame:
@@ -240,15 +246,30 @@ class KGPipeline:
                 how="left_anti",
             )
 
-        parsed = self.parsed(docs.drop("src_sha256_pre"), already_filtered=True).persist()
+        parsed = self.parsed(
+            docs.drop("src_sha256_pre"), already_filtered=True, emit_metrics=True
+        ).persist()
         try:
             triples = self.triples(parsed)
             errors = self.errors(parsed)
             triples.write.mode("append").parquet(f"{out_dir}/triples")
             errors.write.mode("append").parquet(f"{out_dir}/errors")
 
+            # per-partition lineage/metrics emitted by the parse tasks
+            metrics_schema = (
+                "partition_id INT, n_docs LONG, n_triples LONG, n_errors LONG, wall_ms LONG"
+            )
+            metrics = (
+                parsed.filter(F.col("rec") == "m")
+                .select(F.from_json("message", metrics_schema).alias("m"))
+                .select("m.*")
+                .withColumn("run_id", F.lit(run_id))
+            )
+            metrics.write.mode("append").parquet(f"{out_dir}/_metrics")
+
             progress = (
-                parsed.groupBy("src_repo", "src_path", "src_commit", "src_sha256")
+                parsed.filter(F.col("rec") != "m")  # metrics rows carry no doc key
+                .groupBy("src_repo", "src_path", "src_commit", "src_sha256")
                 .agg(
                     F.sum(F.when(F.col("rec") == "t", 1).otherwise(0)).alias("n_triples"),
                     F.sum(F.when(F.col("rec") == "e", 1).otherwise(0)).alias("n_errors"),
