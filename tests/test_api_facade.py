@@ -1,0 +1,90 @@
+"""User-facade parity: the reference's session usage pattern, on Spark.
+Mirrors reference tests/test_core.py:119-144 (make_query pre/post
+reasoner) with the actual SPARQL text from those tests."""
+
+import os
+
+import pytest
+
+from yamlpyowl_spark.api import OntologyManager
+from yamlpyowl_spark.operators.sparql import SparqlError, parse_sparql
+from yamlpyowl_spark.sources.fixtures import REFERENCE_DIR, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference fixtures not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def om(spark):
+    return OntologyManager(
+        os.path.join(REFERENCE_DIR, "examples/regional-rules.owl.yml"), spark
+    )
+
+
+def test_symbol_tables(om):
+    assert "GeographicEntity" in om.concepts
+    assert om.roles["hasPart"] == "object_property"
+    assert om.roles["hasSection"] == "data_property"
+    assert "munich" in om.individuals
+    assert "top_down" in om.rules
+
+
+def test_query_has_section(om):
+    # reference tests/test_core.py:124-131 (verbatim query text)
+    q = f"""
+    PREFIX P: <{om.iri}>
+    SELECT ?x WHERE {{
+    ?x P:hasSection "§ 1.1".
+    }}
+    """
+    assert om.make_query(q) == {"iX_DocumentReference_RC_0"}
+
+
+def test_query_has_part_pre_and_post_reasoner(om):
+    # reference tests/test_core.py:133-144
+    q = f"""
+    PREFIX P: <{om.iri}>
+    SELECT ?x WHERE {{
+    ?x P:hasPart P:dresden.
+    }}
+    """
+    assert om.make_query(q) == {"saxony"}
+    n = om.sync_reasoner()
+    assert n > 0
+    assert om.make_query(q) == {"saxony", "germany"}
+
+
+def test_two_pattern_query(om):
+    q = f"""
+    PREFIX P: <{om.iri}>
+    SELECT ?d WHERE {{
+    ?doc P:appliesTo P:dresden .
+    ?doc P:appliesTo ?d .
+    }}
+    """
+    assert om.make_query(q) == {"dresden"}
+
+
+def test_sparql_parser_rejects_unsupported():
+    with pytest.raises(SparqlError, match="OPTIONAL"):
+        parse_sparql("SELECT ?x WHERE { OPTIONAL { ?x ?p ?o } }")
+    with pytest.raises(SparqlError, match="undeclared prefix"):
+        parse_sparql("SELECT ?x WHERE { ?x Q:foo ?y . }")
+    with pytest.raises(SparqlError):
+        parse_sparql("ASK { ?x ?p ?o }")
+
+
+def test_sparql_parser_terms():
+    sel, pats = parse_sparql(
+        'PREFIX p: <http://x#> SELECT ?a ?b WHERE { ?a p:r "lit" . <http://y#z> p:q ?b . ?a p:n 42 . }'
+    )
+    assert sel == ["?a", "?b"]
+    assert pats[0] == ("?a", "http://x#r", "lit")
+    assert pats[1] == ("http://y#z", "http://x#q", "?b")
+    assert pats[2] == ("?a", "http://x#n", "42")
+
+
+def test_facade_rejects_broken_document(spark):
+    with pytest.raises(ValueError, match="failed to parse"):
+        OntologyManager("- iri: https://x#\n- owl_class:\n    A:\n      SubClassOf: [bad\n", spark)

@@ -1,0 +1,108 @@
+"""Drop-in user facade mirroring the reference's ``OntologyManager``.
+
+A user of cknoll/yamlpyowl writes::
+
+    om = ypo.OntologyManager("examples/pizza.owl.yml", world)
+    om.n.mypizza1 ...
+    om.make_query(sparql)
+    om.sync_reasoner(...)
+
+This facade exposes the same session surface on Spark::
+
+    om = OntologyManager("examples/pizza.owl.yml", spark)
+    om.triples                      # the triples DataFrame
+    om.concepts / om.roles / om.individuals
+    om.make_query(sparql)           # set of result names, like the reference
+    om.sync_reasoner()              # SWRL forward chain + closure, merged in
+
+Single-document convenience on top of the distributed pipeline — the
+same parser, the same operators.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Set
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.sparql import make_query as _make_query
+from .operators.swrl import forward_chain
+from .parser.document import DocumentParser
+from .schema import SOURCE_SCHEMA
+from .sources.fixtures import build_default_import_map
+
+
+class OntologyManager:
+    def __init__(
+        self,
+        fpath_or_content: str,
+        spark: SparkSession,
+        import_map: Optional[dict] = None,
+        repo: str = "local",
+        path: str = "ontology.owl.yml",
+    ):
+        if os.path.exists(fpath_or_content):
+            path = fpath_or_content
+            with open(fpath_or_content) as fh:
+                content = fh.read()
+        else:
+            content = fpath_or_content
+        self.spark = spark
+        if import_map is None:
+            import_map = build_default_import_map()
+
+        # parse once on the driver for the symbol tables (tiny), and hold
+        # the triples as a DataFrame for querying (scales out)
+        parser = DocumentParser(content, import_map=import_map)
+        try:
+            result = parser.parse()
+        except Exception as err:
+            raise ValueError(f"document failed to parse: {err}") from err
+        self.iri = result.iri
+        self.concepts = [c.name for c in parser.concepts]
+        self.roles = {name: r.kind for name, r in parser.roles.items()}
+        self.individuals = [i.name for i in parser.individuals]
+        self.rules = [r.name for r in result.rules]
+
+        src = spark.createDataFrame(
+            [(repo, path, "0" * 40, "yaml", content)], SOURCE_SCHEMA
+        )
+        from .plans.pipeline import KGPipeline
+
+        pipe = KGPipeline(spark, import_map=import_map, parse_partitions=1)
+        parsed = pipe.parsed(src).persist()
+        self.triples: DataFrame = pipe.triples(parsed)
+        errors = pipe.errors(parsed).collect()
+        if errors:
+            raise ValueError(f"document failed to parse: {errors[0]['message']}")
+        self._reasoned = False
+
+    def make_query(self, sparql_src: str) -> Set[str]:
+        """Single-variable SELECT → set of local names (the reference
+        returns a set of entities, core.py:1321-1340)."""
+        df = _make_query(self.triples, sparql_src)
+        if len(df.columns) == 1:
+            return {
+                r[0].replace(self.iri, "") if isinstance(r[0], str) else r[0]
+                for r in df.collect()
+            }
+        return {tuple(r) for r in df.collect()}
+
+    def sync_reasoner(self, **_kwargs) -> int:
+        """Forward-chain SWRL rules + transitive/inverse axioms and merge
+        the inferred facts into ``self.triples`` (the reference shells
+        out to Pellet here, core.py:1342-1343). Returns #inferred."""
+        if self._reasoned:
+            return 0
+        inferred = forward_chain(self.triples)
+        n = inferred.count()
+        lineage = self.triples.select(
+            "src_repo", "src_path", "src_commit", "src_sha256"
+        ).limit(1)
+        enriched = inferred.crossJoin(F.broadcast(lineage))
+        self.triples = self.triples.unionByName(
+            enriched.select(*self.triples.columns)
+        ).persist()
+        self._reasoned = True
+        return n
