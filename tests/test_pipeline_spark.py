@@ -188,3 +188,17 @@ def test_partition_metrics(spark, pipe, source, tmp_path_factory):
     assert sum(r["n_errors"] for r in rows) == e
     # metrics records never leak into triples/errors
     assert spark.read.parquet(f"{out}/triples").filter(F.col("subj").isNull()).count() == 0
+
+
+def test_skew_spread_across_partitions(spark, import_map, tmp_path_factory):
+    """A giant monorepo holding ~90% of all docs must NOT pin one parse
+    task: the salted repartition spreads it, and the per-partition
+    metrics prove it (max partition ≤ 3x the mean)."""
+    skewed = corpus_df(spark, n_forks=24, giant_repo_fraction=0.9)
+    pipe8 = KGPipeline(spark, import_map=import_map, parse_partitions=8)
+    out = str(tmp_path_factory.mktemp("skew"))
+    pipe8.materialize(skewed, out)
+    m = [r for r in spark.read.parquet(f"{out}/_metrics").collect() if r["n_docs"] > 0]
+    docs = [r["n_docs"] for r in m]
+    assert len(docs) >= 6  # work landed on most partitions
+    assert max(docs) <= 3 * (sum(docs) / len(docs))

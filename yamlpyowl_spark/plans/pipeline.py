@@ -98,12 +98,12 @@ class KGPipeline:
             # cores on the bench corpus), coarse enough that per-task
             # overhead stays negligible
             n_parts = self.parse_partitions or self.spark.sparkContext.defaultParallelism * 8
-            # salted repartition: documents from one giant repo spread
-            # across all tasks — salt on (repo, path, K) not just repo
-            df = df.repartition(
-                n_parts,
-                F.pmod(F.hash("repo", "path", F.lit(self.salt_buckets)), F.lit(n_parts)),
-            )
+            # skew-spreading repartition on the FULL (repo, path) key —
+            # documents from one giant monorepo scatter across all tasks.
+            # NB: do not pre-bucket with pmod(hash(...), n) — Spark hashes
+            # the expression value again, and hashing n values into n
+            # buckets collides (empty partitions + clumps).
+            df = df.repartition(n_parts, F.col("repo"), F.col("path"))
         return df.mapInArrow(
             make_parse_udf(self.import_map, emit_metrics=emit_metrics), schema=PARSED_SCHEMA
         )

@@ -56,8 +56,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # documents are whole files in `content`; keep Arrow batches small
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # documents are whole files in `content`; cap Arrow batches so a
+        # batch of ~10KB docs stays ~10MB in / tens of MB out per worker
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("YPO_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
