@@ -1,0 +1,68 @@
+"""CLI surface (parity with the reference's `yamlpyowl -c` converter)."""
+
+import os
+
+import pytest
+
+from yamlpyowl_spark import vocab as V
+from yamlpyowl_spark.cli import main, ntriples_line
+from yamlpyowl_spark.sources.fixtures import REFERENCE_DIR, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference fixtures not mounted"
+)
+
+PIZZA = os.path.join(REFERENCE_DIR, "examples/pizza.owl.yml")
+
+
+def test_ntriples_formatting():
+    assert (
+        ntriples_line("http://x#a", "http://x#p", "http://x#b", False, None)
+        == "<http://x#a> <http://x#p> <http://x#b> ."
+    )
+    assert (
+        ntriples_line("_:b0", "http://x#p", 'he said "hi"\n', True, V.XSD_STRING)
+        == '_:b0 <http://x#p> "he said \\"hi\\"\\n" .'
+    )
+    assert ntriples_line("http://x#a", "http://x#p", "12.5", True, V.XSD_DOUBLE).endswith(
+        '"12.5"^^<http://www.w3.org/2001/XMLSchema#double> .'
+    )
+
+
+def test_cli_convert(spark, tmp_path, capsys):
+    out = str(tmp_path / "rdf")
+    assert main(["convert", PIZZA, "-o", out], spark=spark) == 0
+    nt = open(os.path.join(out, "triples.nt")).read().splitlines()
+    assert len(nt) == 127  # pizza's full triple count
+    iri = "https://w3id.org/yet/undefined/simplified-pizza-ontology#"
+    assert f"<{iri}mypizza1> <{iri}hasBase> <{iri}iThinAndCrispyBase> ." in nt
+    assert all(line.endswith(" .") for line in nt)
+    assert os.path.isdir(os.path.join(out, "triples.parquet"))
+
+
+def test_cli_query(spark, capsys):
+    iri = "https://w3id.org/yet/undefined/simplified-pizza-ontology#"
+    q = f"PREFIX P: <{iri}> SELECT ?x WHERE {{ P:mypizza1 P:hasTopping ?x. }}"
+    assert main(["query", PIZZA, q], spark=spark) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == ["iMozzarellaTopping", "iTomatoTopping"]
+
+
+def test_cli_pipeline(spark, tmp_path):
+    from yamlpyowl_spark.sources.corpus import write_corpus_parquet
+
+    src = str(tmp_path / "corpus.parquet")
+    write_corpus_parquet(src, n_forks=1)
+    out = str(tmp_path / "kg")
+    assert main(["pipeline", src, out], spark=spark) == 0
+    assert os.path.isdir(os.path.join(out, "triples"))
+    assert os.path.isdir(os.path.join(out, "_metrics"))
+
+
+def test_scan_rejects_wrong_shape(spark, tmp_path):
+    from yamlpyowl_spark.sources.scan import read_source_table
+
+    p = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([(1, "x")], ["a", "b"]).write.parquet(p)
+    with pytest.raises(ValueError, match="missing columns"):
+        read_source_table(spark, p)

@@ -46,6 +46,10 @@ class OntologyManager:
             path = fpath_or_content
             with open(fpath_or_content) as fh:
                 content = fh.read()
+        elif "\n" not in fpath_or_content:
+            # single-line arg that isn't a file → almost certainly a path
+            # typo, not an inline document
+            raise FileNotFoundError(f"no such ontology file: {fpath_or_content}")
         else:
             content = fpath_or_content
         self.spark = spark
