@@ -544,3 +544,54 @@ class TestDeterminism:
             "iX_Observation_RC_1",
         ]
         assert len(res.rules) == 1
+
+
+class TestExtraConstructs:
+    def test_not_constructor(self):
+        doc = """
+- iri: "https://x#"
+- multiple_owl_classes:
+    - A:
+        SubClassOf: "owl:Thing"
+    - B:
+        SubClassOf: "owl:Thing"
+        EquivalentTo:
+            Not:
+                - A
+"""
+        from kg_assert import TIndex
+
+        idx = TIndex(parse_document(doc))
+        eq = idx.resolved_objs("B", V.OWL_EQUIVALENT_CLASS)
+        assert eq == [{"_kind": "Class", "complementOf": "A"}]
+
+    def test_large_document_scales_linearly(self):
+        # 500 classes + 500 individuals + 1000 facts in one document
+        lines = ['- iri: "https://big#"', "- multiple_owl_classes:"]
+        lines += [f"    - C{i}:\n        SubClassOf: {'owl:Thing' if i == 0 else f'C{i-1}'}".replace("owl:Thing", '"owl:Thing"') for i in range(500)]
+        lines += [
+            "- owl_object_property:",
+            "    rel:",
+            "      Domain: C0",
+            "      Range: C0",
+        ]
+        lines += ["- owl_multiple_individuals:", "    names:"]
+        lines += [f"        - i{i}" for i in range(500)]
+        lines += ["    types: [C0]"]
+        lines += ["- property_facts:", "    rel:", "      Facts:"]
+        lines += [f"        - i{i}: [i{(i + 1) % 500}, i{(i + 7) % 500}]" for i in range(500)]
+        doc = "\n".join(lines)
+        res = parse_document(doc)
+        # 500 classes (2 triples) + 500 individuals (2) + prop (3) + 1000 facts + onto
+        assert len(res.triples) == 500 * 2 + 500 * 2 + 3 + 1000 + 1
+
+    def test_unicode_everywhere(self):
+        doc = (
+            '- iri: "https://ü#"\n'
+            '- annotation: "héllo wörld — 中文"\n'
+            "- owl_class:\n"
+            "    Straße:\n"
+            '      SubClassOf: "owl:Thing"\n'
+        )
+        res = parse_document(doc)
+        assert ("https://ü#Straße", V.RDF_TYPE, V.OWL_CLASS, False, None) in res.triples
