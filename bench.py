@@ -96,18 +96,21 @@ def parse_job(spark, corpus_path: str) -> dict:
     return {"sec": dt, "n_triples": n_triples, "n_docs": n_docs}
 
 
-SCALE_N = int(os.environ.get("YPO_SCALE_N", "4"))
+SCALE_N = int(os.environ.get("YPO_SCALE_N", "2"))
 SCALE_4N = 4 * SCALE_N
 
 
 def scaling_experiment(corpus_path: str) -> dict:
     """Same job, same input, N vs 4N parallelism.
 
-    A pandas-UDF task occupies ~2 cores (a JVM task thread + its Python
-    worker process), so on this 32-core box local[4] (≈8 effective
-    cores) vs local[16] (≈32) is the faithful N→4N stand-in;
-    local[8]→local[32] would ask for 64 cores and measure
-    oversubscription, not scaling.
+    An arrow-UDF task occupies ~2 cores (a JVM task thread + its Python
+    worker process), so local parallelism k uses ~2k effective cores;
+    local[8]→local[32] on a 32-core box would ask for 64 cores and
+    measure oversubscription, not scaling. Default pair: local[2] vs
+    local[8] (4 vs 16 effective cores) — enough headroom that sandbox
+    background noise doesn't distort the ratio (repeatedly 0.83-0.86
+    here); the saturated pair local[4]→local[16] reaches 0.99 at higher
+    absolute throughput but varies ±0.15 with machine load.
     """
     from yamlpyowl_spark.plans.session import get_spark
 
