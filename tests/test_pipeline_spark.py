@@ -202,3 +202,23 @@ def test_skew_spread_across_partitions(spark, import_map, tmp_path_factory):
     docs = [r["n_docs"] for r in m]
     assert len(docs) >= 6  # work landed on most partitions
     assert max(docs) <= 3 * (sum(docs) / len(docs))
+
+
+def test_star_cc_equals_propagation_cc(spark):
+    """Alternating large/small-star CC must agree with min-label
+    propagation on seeded random graphs (incl. a long chain, the
+    propagation worst case)."""
+    import random
+
+    from yamlpyowl_spark.operators import connected_components_star
+
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
+    edges += [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(40)]  # chain
+    df = spark.createDataFrame(edges, ["src", "dst"]).filter(F.col("src") != F.col("dst"))
+    a = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    b = {r["node"]: r["component"] for r in connected_components_star(df).collect()}
+    assert a == b
+    # the 41-node chain collapses to one component rooted at its minimum
+    assert b["c040"] == "c000"

@@ -21,6 +21,71 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Kiveris et al. large-star: connect every strictly-larger neighbor
+    of u to the minimum of u's closed neighborhood."""
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    m = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    return (
+        sym.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Kiveris et al. small-star: direct edges large→small, connect all
+    smaller neighbors (and u itself) to the minimum."""
+    d = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    m = d.groupBy("a").agg(F.min("b").alias("m"))
+    joined = d.join(m, "a")
+    out = joined.select(F.col("b").alias("a"), F.col("m").alias("b")).union(
+        joined.select(F.col("a"), F.col("m").alias("b"))
+    )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — O(log n)
+    rounds on any graph, each round two hash aggregations + joins. Use
+    this for general (possibly high-diameter) graphs; the min-label
+    propagation below wins on the star-shaped alias graphs entity
+    linking produces (diameter ≤ 2)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = e.select("a").union(e.select(F.col("b").alias("a"))).distinct()
+
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        # converged when the edge set is a stable star forest
+        sig = (e.count(), e.agg(F.sum(F.hash("a", "b"))).first()[0])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged edges point node → component root; roots map to themselves
+    comp = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    roots = all_nodes.join(comp, all_nodes.a == comp.node, "left_anti").select(
+        F.col("a").alias("node"), F.col("a").alias("component")
+    )
+    return comp.union(roots)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -55,6 +120,19 @@ def connected_components(
             .union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping: component := component's component — turns the
+        # O(diameter) propagation into O(log d) rounds (matters for chain
+        # graphs; star-shaped alias graphs converge in 2 either way)
+        jump = new_labels.select(
+            F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+        )
+        new_labels = (
+            new_labels.join(jump, new_labels.component == jump.jnode, "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("jcomp", "component")).alias("component"),
+            )
             .localCheckpoint()
         )
         changed = (
