@@ -91,6 +91,31 @@ def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     return emb.select("vec_id", "label", sig.cast("bigint").alias("bucket"))
 
 
+def near_dup_pairs(emb: DataFrame, min_cos_x1e6: int = 250_000) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: the scale path —
+    LSH-bucket equi-join (never an all-pairs product) then exact cosine
+    on candidates only. Returns (vec_a, vec_b, cos_x1e6)."""
+    b = lsh_buckets(emb).join(emb, "vec_id").select("vec_id", "bucket", "embedding")
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("x.embedding").alias("ea"),
+            F.col("y.embedding").alias("eb"),
+        )
+    )
+    cos = F.round(_dot("ea", "eb") / (_norm("ea") * _norm("eb")) * 1e6).cast("bigint")
+    return (
+        pairs.withColumn("cos_x1e6", cos)
+        .filter(F.col("cos_x1e6") >= min_cos_x1e6)
+        .select("vec_a", "vec_b", "cos_x1e6")
+        .distinct()
+    )
+
+
 def centroid_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     """IVF-style one-pass assignment to fixed seed centroids (the
     first n vectors by vec_id) — broadcast the centroids, one scan,

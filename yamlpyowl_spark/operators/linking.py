@@ -75,16 +75,21 @@ def canonical_nodes(nodes: DataFrame, salt_buckets: int = 16) -> DataFrame:
 
 
 def canonical_edges(edges: DataFrame, canonical: DataFrame) -> DataFrame:
-    """Rewrite an edge table onto canonical node ids (two joins)."""
+    """Rewrite an edge table onto canonical ids — src, dst AND the
+    predicate (properties are nodes too; without this, fork copies of
+    the same logical edge keep distinct per-document predicate IRIs and
+    never collapse)."""
     mapping = canonical.select("iri", "canonical_id").distinct()
     return (
         edges.join(mapping.withColumnRenamed("iri", "src_id"), "src_id", "left")
         .withColumnRenamed("canonical_id", "src_canon")
         .join(mapping.withColumnRenamed("iri", "dst_id"), "dst_id", "left")
         .withColumnRenamed("canonical_id", "dst_canon")
+        .join(mapping.withColumnRenamed("iri", "pred"), "pred", "left")
+        .withColumnRenamed("canonical_id", "pred_canon")
         .select(
             F.coalesce("src_canon", F.col("src_id")).alias("src_id"),
-            "pred",
+            F.coalesce("pred_canon", F.col("pred")).alias("pred"),
             F.coalesce("dst_canon", F.col("dst_id")).alias("dst_id"),
         )
     )

@@ -588,6 +588,22 @@ def _register_embops():
     def emb_lsh_buckets(spark, sf_dir):
         return embops.lsh_buckets(_emb(spark, sf_dir))
 
+    _pdot = f"list_sum(list_transform(range(1, {dim + 1}), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))"
+    _pnx = f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))"
+    _pny = f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)))"
+
+    @_q(
+        "emb_near_dup_pairs",
+        f"""WITH b AS (SELECT vec_id, embedding, CAST({_bucket} AS BIGINT) AS bucket FROM embeddings)
+            SELECT vec_a, vec_b, cos_x1e6 FROM (
+              SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                     CAST(round({_pdot} / ({_pnx} * {_pny}) * 1e6) AS BIGINT) AS cos_x1e6
+              FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+            ) WHERE cos_x1e6 >= 250000""",
+    )
+    def emb_near_dup_pairs(spark, sf_dir):
+        return embops.near_dup_pairs(_emb(spark, sf_dir))
+
     _d2 = (
         f"list_sum(list_transform(range(1, {dim + 1}), "
         f"i -> (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE) * (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE)))"
@@ -608,6 +624,45 @@ def _register_embops():
 
 
 # -- classic relational (coverage of scan/filter/agg/join/window) -------------
+
+
+def _register_more_kg():
+    @_q(
+        "kg_canonical_edges",
+        f"""WITH {_NODES_CTE.format(T=_t())},
+            mapping AS (
+              SELECT iri,
+                     min(iri) OVER (
+                       PARTITION BY kind || '|' || lower(regexp_replace(name, '[_-]', '', 'g'))
+                     ) AS canonical
+              FROM nodes
+            ),
+            edges AS (
+              SELECT subj, pred, obj FROM {_t()}
+              WHERE NOT obj_is_literal AND substr(subj,1,2) <> '_:'
+                AND substr(obj,1,2) <> '_:' AND pred <> '{V.RDF_TYPE}'
+            )
+            SELECT COALESCE(ms.canonical, e.subj) AS src_id,
+                   COALESCE(mp.canonical, e.pred) AS pred,
+                   COALESCE(mo.canonical, e.obj) AS dst_id, count(*) AS n
+            FROM edges e
+            LEFT JOIN mapping ms ON e.subj = ms.iri
+            LEFT JOIN mapping mo ON e.obj = mo.iri
+            LEFT JOIN mapping mp ON e.pred = mp.iri
+            GROUP BY 1, 2, 3""",
+    )
+    def kg_canonical_edges(spark, sf_dir):
+        """Graph materialization onto canonical ids: fork mentions of the
+        same logical edge collapse (the `n` column counts them)."""
+        from .operators.linking import canonical_edges, canonical_nodes
+
+        pipe, parsed = _parsed(spark)
+        triples = pipe.triples(parsed)
+        canon = canonical_nodes(pipe.nodes(triples))
+        edges = pipe.edges(triples)
+        return canonical_edges(edges, canon).groupBy("src_id", "pred", "dst_id").agg(
+            F.count("*").alias("n")
+        )
 
 
 def _register_relational():
@@ -800,6 +855,7 @@ def _register_multimodal():
 
 
 _register_kg()
+_register_more_kg()
 _register_docops()
 _register_embops()
 _register_relational()
