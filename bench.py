@@ -32,18 +32,22 @@ HEADLINE = [
     "kg_subclass_closure",
     "kg_entity_linking",
     "kg_connected_components",
+    "kg_canonical_edges",
     "doc_exact_dedup",
     "doc_minhash_signatures",
     "doc_lsh_candidates",
     "doc_simhash",
     "doc_language_id",
     "doc_quality",
+    "doc_dedup_survivors",
     "emb_cosine_topk",
     "emb_lsh_buckets",
     "emb_centroid_assign",
+    "emb_near_dup_pairs",
     "rel_lineitem_agg",
     "rel_nation_revenue",
     "rel_latest_event_per_user",
+    "rel_event_sessions",
 ]
 
 
@@ -166,7 +170,7 @@ def write_bench_md(timings: dict, scaling: dict, total: float):
         f"- scaling efficiency (speedup/4): **{scaling['scaling_efficiency']}** (target ≥ 0.8)",
         "- measurements are best-of-3 after a warm-up run; the shared sandbox",
         "  shows run-to-run wall-clock variance — observed efficiency across",
-        "  repeated runs: 0.75–0.99 (peak 0.988)",
+        "  repeated runs: 0.75–1.00",
         "",
         "## Per-query headline timings (sec)",
         "",

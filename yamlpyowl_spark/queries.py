@@ -658,8 +658,10 @@ def _register_more_kg():
 
         pipe, parsed = _parsed(spark)
         triples = pipe.triples(parsed)
-        canon = canonical_nodes(pipe.nodes(triples))
-        edges = pipe.edges(triples)
+        # snapshot: the CC result feeds three joins — without this the
+        # whole iterative lineage re-executes per join
+        canon = canonical_nodes(pipe.nodes(triples)).localCheckpoint()
+        edges = pipe.edges(triples).localCheckpoint()
         return canonical_edges(edges, canon).groupBy("src_id", "pred", "dst_id").agg(
             F.count("*").alias("n")
         )
