@@ -72,8 +72,17 @@ def _marker_path() -> str:
 
 def ensure_artifacts() -> dict:
     """Build artifacts if missing/stale. Pure Python — no SparkSession."""
+    from .fixtures import reference_available
+
     os.makedirs(ARTIFACT_DIR, exist_ok=True)
-    manifest = {"version": _VERSION, "params": CORPUS_PARAMS}
+    # reference availability is part of the cache key: artifacts built
+    # from the demo fallback must not be reused once /root/reference
+    # appears (and vice versa)
+    manifest = {
+        "version": _VERSION,
+        "params": CORPUS_PARAMS,
+        "reference": reference_available(),
+    }
     try:
         with open(_marker_path()) as fh:
             if json.load(fh) == manifest and all(
