@@ -59,6 +59,58 @@ def _norm_rows(cols, rows):
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+def _arrow_kind(t):
+    """Canonical type kind for a pyarrow type (DuckDB result side)."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"dec({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_kind(t.value_type)}>"
+    return str(t)
+
+
+_SPARK_KIND = {
+    "bigint": "int64",
+    "int": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+    "double": "float",
+    "float": "float",
+    "string": "str",
+    "boolean": "bool",
+    "binary": "bin",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+    "date": "date",
+}
+
+
+def _spark_kind(simple):
+    """Canonical type kind for a Spark simpleString (query side)."""
+    if simple in _SPARK_KIND:
+        return _SPARK_KIND[simple]
+    if simple.startswith("decimal("):
+        return "dec" + simple[len("decimal") :]
+    if simple.startswith("array<") and simple.endswith(">"):
+        return f"list<{_spark_kind(simple[6:-1])}>"
+    return simple
+
+
 def test_all_queries_match_oracles(spark, contract, ddb):
     queries, oracles = contract
     assert queries, "no queries registered"
@@ -70,11 +122,22 @@ def test_all_queries_match_oracles(spark, contract, ddb):
         if name not in oracles:
             assert len(s_rows) >= 0
             continue
-        res = ddb.execute(oracles[name])
-        d_cols = [d[0] for d in res.description]
-        d_rows = res.fetchall()
+        d_tbl = ddb.execute(oracles[name]).arrow()
+        d_cols = d_tbl.column_names
+        d_rows = [tuple(r.values()) for r in d_tbl.to_pylist()]
         if sorted(map(str.lower, s_cols)) != sorted(map(str.lower, d_cols)):
             failures.append(f"{name}: column mismatch {s_cols} vs {d_cols}")
+            continue
+        # dtype drift (e.g. DuckDB HUGEINT vs Spark BIGINT) breaks the
+        # driver's value-hash even when every value matches — compare
+        # canonical type kinds per column name (round-1 verdict item #1)
+        s_kinds = {f.name.lower(): _spark_kind(f.dataType.simpleString()) for f in df.schema}
+        d_kinds = {
+            d_cols[i].lower(): _arrow_kind(d_tbl.schema.types[i]) for i in range(len(d_cols))
+        }
+        bad = {c: (s_kinds[c], d_kinds[c]) for c in s_kinds if s_kinds[c] != d_kinds[c]}
+        if bad:
+            failures.append(f"{name}: dtype mismatch (spark, duckdb): {bad}")
             continue
         if len(s_rows) != len(d_rows):
             failures.append(f"{name}: row count {len(s_rows)} vs {len(d_rows)}")

@@ -206,8 +206,8 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     stop_ratio_x1e4 = F.floor(n_stop * 10000 / n_tokens).cast("bigint")
     return docs.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
         mean_len_x100.alias("mean_token_len_x100"),
         stop_ratio_x1e4.alias("stopword_ratio_x1e4"),
         (
@@ -222,10 +222,10 @@ def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + BPE-ish regex token count."""
     return docs.select(
         "doc_id",
-        F.size(_words()).alias("ws_tokens"),
-        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias(
-            "regex_tokens"
-        ),
+        F.size(_words()).cast("bigint").alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("bigint")
+        .alias("regex_tokens"),
     )
 
 

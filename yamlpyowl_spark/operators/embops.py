@@ -69,7 +69,7 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 3) -> DataFrame:
         F.col("cos_x1e6").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_x1e6")
     )

@@ -332,7 +332,7 @@ def _register_kg():
         "kg_doc_stats",
         f"""SELECT doc_iri, src_repo, src_path, count(*) AS n_triples,
                    count(DISTINCT subj) AS n_subjects,
-                   sum(CASE WHEN obj_is_literal THEN 1 ELSE 0 END) AS n_literals
+                   CAST(sum(CASE WHEN obj_is_literal THEN 1 ELSE 0 END) AS BIGINT) AS n_literals
             FROM {_t()} GROUP BY doc_iri, src_repo, src_path""",
     )
     def kg_doc_stats(spark, sf_dir):
@@ -671,8 +671,8 @@ def _register_relational():
     @_q(
         "rel_lineitem_agg",
         """SELECT l_returnflag, l_linestatus,
-                  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_x100,
-                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_x100,
+                  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_x100,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_x100,
                   count(*) AS n
            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     )
@@ -686,7 +686,7 @@ def _register_relational():
 
     @_q(
         "rel_nation_revenue",
-        """SELECT n.n_name, sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_x100,
+        """SELECT n.n_name, CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_x100,
                   count(*) AS n_orders
            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
            JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -716,8 +716,8 @@ def _register_relational():
            ),
            sess AS (
              SELECT user_id, t,
-                    sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_idx
+                    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
              FROM flags
            )
            SELECT user_id, session_idx, count(*) AS n_events,
@@ -756,9 +756,9 @@ def _register_relational():
         "rel_top_users_per_event_type",
         """SELECT event_type, user_id, value_x100, rnk FROM (
              SELECT event_type, user_id,
-                    sum(CAST(round(value * 100) AS BIGINT)) AS value_x100,
+                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_x100,
                     ROW_NUMBER() OVER (PARTITION BY event_type
-                                       ORDER BY sum(CAST(round(value * 100) AS BIGINT)) DESC,
+                                       ORDER BY CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) DESC,
                                                 user_id ASC) AS rnk
              FROM events GROUP BY event_type, user_id
            ) WHERE rnk <= 3""",
@@ -774,7 +774,7 @@ def _register_relational():
             F.col("value_x100").desc(), F.col("user_id").asc()
         )
         return (
-            agg.withColumn("rnk", F.row_number().over(w))
+            agg.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rnk") <= 3)
             .select("event_type", "user_id", "value_x100", "rnk")
         )
@@ -796,7 +796,7 @@ def _register_relational():
         """SELECT COALESCE(o_orderstatus, '(all)') AS status,
                   COALESCE(o_orderpriority, '(all)') AS priority,
                   count(*) AS n,
-                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_x100
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_x100
            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
     )
     def rel_orders_rollup(spark, sf_dir):
