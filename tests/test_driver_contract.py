@@ -156,7 +156,6 @@ def test_every_query_has_oracle_or_reason(contract):
     # non-SQL-expressible ops are allowed to be rows-only; keep the list
     # explicit so additions are deliberate
     allowed_rows_only = {
-        "kg_swrl_forward_chain",
         "mm_image_features",
         "mm_frame_sample_counts",
     }

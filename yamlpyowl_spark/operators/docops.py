@@ -19,6 +19,11 @@ from pyspark.sql import DataFrame, functions as F
 MINHASH_K = 8  # 4 bands x 2 rows
 LSH_BANDS = 4
 SIMHASH_BITS = 16
+# n-gram Jaccard drops shingles shared by more than this many docs: a
+# single boilerplate 3-gram in 10^6 docs would otherwise contribute
+# 10^12 self-join rows. 10k keeps small-corpus results bit-identical
+# (fixture df maxes out far below) while bounding the join at scale.
+MAX_SHINGLE_DF = 10_000
 
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "in", "is"],
@@ -112,12 +117,26 @@ def lsh_candidate_pairs(docs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(docs: DataFrame, min_jaccard_x1000: int = 100) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, min_jaccard_x1000: int = 100, max_shingle_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
     """Exact word-3-gram Jaccard for every pair sharing >=1 shingle.
-    Returns (doc_a, doc_b, jaccard_x1000). For web scale, feed this a
-    candidate-bounded subset (LSH output) — the shingle self-join is
-    |pairs sharing a shingle|, not |docs|^2."""
-    sh = with_shingles(docs).persist()
+    Returns (doc_a, doc_b, jaccard_x1000).
+
+    The self-join is quadratic in per-shingle document frequency, so
+    shingles with df > ``max_shingle_df`` are dropped from BOTH the
+    intersection and the per-doc sizes (Jaccard over the retained
+    shingle universe — standard MinHashLSH practice; a shingle common
+    to >10k docs carries no near-dup signal anyway). For web scale,
+    additionally feed this a candidate-bounded subset (LSH output)."""
+    sh_all = with_shingles(docs)
+    rare = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh = sh_all.join(rare, "shingle").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")

@@ -6,20 +6,38 @@ become chains of equi-joins over the triples table and the fixpoint is
 a driver loop with ``localCheckpoint`` per round — the classic
 (semi-)naive Datalog evaluation mapped onto Spark.
 
-Supported (everything the reference fixtures use):
+Scale shape: rules are grouped by **template** (the rule's structural
+signature — atom kinds, variable pattern, constant positions — with
+concrete predicate/class names abstracted into slot columns). The
+driver builds ONE join pipeline per distinct template per round; the
+rules themselves stay in a distributed DataFrame and reach the plan as
+join columns keyed on ``(doc_iri, pred)``. Work on the driver is
+O(#distinct rule shapes), not O(#documents × #rules): 10^9 documents
+that all carry the same five rule structures cost five plans per
+round, same as one document.
+
+Supported (everything the reference fixtures use, plus class-atom
+heads which the reference's Pellet path also accepts):
 
 * class atoms        ``C(?x)``        — with rdfs:subClassOf-closure
                                         semantics (a District is a
-                                        GeographicEntity);
+                                        GeographicEntity), in body AND
+                                        head position;
 * property atoms     ``p(?x, ?y)``    — object or data properties,
                                         constants allowed in any slot;
 * builtin atoms      ``greaterThan/lessThan(?v, const)``;
 * owl:TransitiveProperty — expanded to ``p(?x,?y), p(?y,?z) → p(?x,?z)``;
 * owl:inverseOf      — ``p(?x,?y) → q(?y,?x)`` in both directions.
 
+Anything outside the fragment (unknown builtins, builtins over unbound
+variables, >2-ary atoms, head variables not bound in the body) raises
+``UnsupportedSWRLError`` up front with the offending rule source —
+never an opaque mid-fixpoint crash; pass ``on_unsupported="skip"`` to
+drop such rules with a warning instead.
+
 NOT a DL reasoner: OneOf/Functional/AllDifferent model enumeration
-(the zebra puzzle's solution step) is out of scope by design — the
-triple-parity contract is on asserted triples (SURVEY.md §2.5).
+(the zebra puzzle's solution step) lives in ``operators/domprop.py``;
+the triple-parity contract is on asserted triples (SURVEY.md §2.5).
 
 Rule names are resolved against the document IRI (rules are emitted by
 the parser as ``(rule_iri, ypo:ruleSrc, src)`` literals), and chaining
@@ -28,200 +46,494 @@ is doc-scoped: all joins carry ``doc_iri``.
 
 from __future__ import annotations
 
+import re
+import warnings
+from functools import reduce
 from typing import List, Tuple
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .. import vocab as V
 from ..parser.document import _parse_swrl
+from ..parser.model import ParseError
 from .closure import transitive_closure
 
-_BUILTINS = ("greaterThan", "lessThan")
+_BUILTINS = {"greaterThan": "gt", "lessThan": "lt"}
+_INVALID = "!unsupported"
+
+# fixed templates for rules synthesized from property axioms; unit
+# tests assert these equal encode_rule() output for the same shapes
+TRANSITIVE_KEY = "P(v0,v1);P(v1,v2)=>P(v0,v2)"
+INVERSE_KEY = "P(v0,v1)=>P(v1,v0)"
 
 
-def _subclass_closed_types(triples: DataFrame) -> DataFrame:
-    """(doc_iri, inst, cls) with rdfs:subClassOf closure applied."""
-    types = triples.filter(
-        (F.col("pred") == V.RDF_TYPE)
-        & ~F.col("subj").startswith("_:")
-        & ~F.col("obj").startswith("_:")
-    ).select("doc_iri", F.col("subj").alias("inst"), F.col("obj").alias("cls"))
+class UnsupportedSWRLError(ParseError):
+    """A rule uses a construct outside the supported SWRL fragment."""
+
+
+# --------------------------------------------------------------------------
+# rule encoding: (body, head) atom lists -> (template_key, slots)
+# --------------------------------------------------------------------------
+
+
+def encode_rule(doc_iri: str, body: list, head: list) -> Tuple[str, List[str]]:
+    """Encode one parsed rule as a structural template key plus the
+    flat list of concrete slot values (full IRIs / literal lexical
+    forms). Two rules from different documents with the same structure
+    share a key and are evaluated by one join pipeline.
+
+    Raises :class:`UnsupportedSWRLError` on rules outside the fragment
+    (validated up front so a bad rule can never abort a running
+    fixpoint — ADVICE r01 item on builtin-first / unary-head crashes).
+    """
+    varmap: dict = {}
+
+    def v(a: str) -> str:
+        if a not in varmap:
+            varmap[a] = len(varmap)
+        return f"v{varmap[a]}"
+
+    sig, slots = [], []
+    for name, args in body:
+        if name in _BUILTINS:
+            if len(args) != 2:
+                raise UnsupportedSWRLError(f"builtin {name} needs 2 args, got {args}")
+            var, const = args
+            if not var.startswith("?") or var not in varmap:
+                raise UnsupportedSWRLError(
+                    f"builtin {name}({', '.join(args)}) must follow an atom binding {var}"
+                )
+            try:
+                float(const)
+            except ValueError:
+                raise UnsupportedSWRLError(f"non-numeric builtin constant {const!r}")
+            sig.append(f"{_BUILTINS[name]}({v(var)},C)")
+            slots.append(const)
+        elif len(args) == 1:
+            a = args[0]
+            slots.append(doc_iri + name)
+            if a.startswith("?"):
+                sig.append(f"T({v(a)})")
+            else:
+                sig.append("T(C)")
+                slots.append(doc_iri + a)
+        elif len(args) == 2:
+            s, o = args
+            slots.append(doc_iri + name)
+            if s.startswith("?"):
+                ssig = v(s)
+            else:
+                ssig = "C"
+                slots.append(doc_iri + s)
+            if o.startswith("?"):
+                osig = v(o)
+            else:
+                # constant object matches a literal lexical form OR a
+                # local entity name — keep both resolutions as slots
+                osig = "C"
+                slots.extend([o, doc_iri + o])
+            sig.append(f"P({ssig},{osig})")
+        else:
+            raise UnsupportedSWRLError(f"atom {name}({', '.join(args)}) has arity {len(args)}")
+
+    if not sig:
+        raise UnsupportedSWRLError("rule has an empty body")
+
+    hsig = []
+    for name, args in head:
+        if name in _BUILTINS:
+            raise UnsupportedSWRLError(f"builtin {name} not allowed in rule head")
+        if len(args) == 1:
+            a = args[0]
+            slots.append(doc_iri + name)
+            if a.startswith("?"):
+                if a not in varmap:
+                    raise UnsupportedSWRLError(f"head variable {a} not bound in body")
+                hsig.append(f"T({v(a)})")
+            else:
+                hsig.append("T(CE)")
+                slots.append(doc_iri + a)
+        elif len(args) == 2:
+            s, o = args
+            slots.append(doc_iri + name)
+            if s.startswith("?"):
+                if s not in varmap:
+                    raise UnsupportedSWRLError(f"head variable {s} not bound in body")
+                ssig = v(s)
+            else:
+                ssig = "CE"
+                slots.append(doc_iri + s)
+            if o.startswith("?"):
+                if o not in varmap:
+                    raise UnsupportedSWRLError(f"head variable {o} not bound in body")
+                osig = v(o)
+            else:
+                lit = None
+                try:
+                    lit = (str(int(o)), V.XSD_INTEGER)
+                except ValueError:
+                    try:
+                        lit = (str(float(o)), V.XSD_DOUBLE)
+                    except ValueError:
+                        pass
+                if lit is not None:
+                    osig = "CL"
+                    slots.extend(lit)
+                else:
+                    osig = "CE"
+                    slots.append(doc_iri + o)
+            hsig.append(f"P({ssig},{osig})")
+        else:
+            raise UnsupportedSWRLError(f"head atom {name}({', '.join(args)}) has arity {len(args)}")
+    if not hsig:
+        raise UnsupportedSWRLError("rule has an empty head")
+
+    return ";".join(sig) + "=>" + ";".join(hsig), slots
+
+
+_ATOM_RE = re.compile(r"(P|T|gt|lt)\(([^)]*)\)")
+
+
+def _parse_template(key: str):
+    """Driver-side inverse of :func:`encode_rule`'s key: atom
+    descriptors with slot indices assigned by the identical walk."""
+    body_s, head_s = key.split("=>")
+    slot = 0
+    body = []
+    for m in _ATOM_RE.finditer(body_s):
+        kind, args = m.group(1), m.group(2).split(",")
+        if kind in ("gt", "lt"):
+            body.append(("bi", kind, int(args[0][1:]), slot))
+            slot += 1
+        elif kind == "T":
+            cls_slot = slot
+            slot += 1
+            if args[0] == "C":
+                inst = ("c", slot)
+                slot += 1
+            else:
+                inst = ("v", int(args[0][1:]))
+            body.append(("cls", cls_slot, inst))
+        else:
+            pred_slot = slot
+            slot += 1
+            s, o = args
+            if s == "C":
+                ssub = ("c", slot)
+                slot += 1
+            else:
+                ssub = ("v", int(s[1:]))
+            if o == "C":
+                osub = ("c2", slot, slot + 1)
+                slot += 2
+            else:
+                osub = ("v", int(o[1:]))
+            body.append(("prop", pred_slot, ssub, osub))
+    head = []
+    for m in _ATOM_RE.finditer(head_s):
+        kind, args = m.group(1), m.group(2).split(",")
+        if kind == "T":
+            cls_slot = slot
+            slot += 1
+            if args[0] == "CE":
+                inst = ("c", slot)
+                slot += 1
+            else:
+                inst = ("v", int(args[0][1:]))
+            head.append(("cls", cls_slot, inst))
+        else:
+            pred_slot = slot
+            slot += 1
+            s, o = args
+            if s == "CE":
+                ssub = ("c", slot)
+                slot += 1
+            else:
+                ssub = ("v", int(s[1:]))
+            if o == "CL":
+                osub = ("lit", slot, slot + 1)
+                slot += 2
+            elif o == "CE":
+                osub = ("c", slot)
+                slot += 1
+            else:
+                osub = ("v", int(o[1:]))
+            head.append(("prop", pred_slot, ssub, osub))
+    return body, head, slot
+
+
+# --------------------------------------------------------------------------
+# distributed rule table
+# --------------------------------------------------------------------------
+
+_RULES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_iri", T.StringType()),
+        T.StructField("template_key", T.StringType()),
+        T.StructField("slots", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def rule_table(triples: DataFrame) -> DataFrame:
+    """``(doc_iri, template_key, slots)`` — one row per rule instance,
+    fully distributed (Arrow-batched parse; nothing is collected).
+    Invalid rules get ``template_key = '!unsupported'`` with
+    ``slots = [reason, src]`` so the caller can raise or skip.
+
+    Includes rules synthesized from owl:TransitiveProperty and
+    owl:inverseOf axioms, built with pure column expressions."""
+    srcs = (
+        triples.filter(F.col("pred") == V.YPO_RULE_SRC).select("doc_iri", "obj").distinct()
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_iri": [], "template_key": [], "slots": []}
+            for d, s in zip(pdf["doc_iri"], pdf["obj"]):
+                try:
+                    body, head = _parse_swrl(s)
+                    key, slots = encode_rule(d, body, head)
+                except Exception as e:  # noqa: BLE001 — recorded as a row
+                    key, slots = _INVALID, [f"{type(e).__name__}: {e}", s]
+                out["doc_iri"].append(d)
+                out["template_key"].append(key)
+                out["slots"].append(slots)
+            yield pd.DataFrame(out)
+
+    parsed = srcs.mapInPandas(batches, _RULES_SCHEMA)
+
+    trans = (
+        triples.filter((F.col("pred") == V.RDF_TYPE) & (F.col("obj") == V.OWL_TRANSITIVE))
+        .select("doc_iri", "subj")
+        .distinct()
+        .select(
+            "doc_iri",
+            F.lit(TRANSITIVE_KEY).alias("template_key"),
+            F.array("subj", "subj", "subj").alias("slots"),
+        )
+    )
+    # inverseOf rows are (subj=q, obj=p); fire both directions
+    inv = (
+        triples.filter(F.col("pred") == V.OWL_INVERSE_OF)
+        .select("doc_iri", "subj", "obj")
+        .distinct()
+    )
+    inv_both = inv.select(
+        "doc_iri",
+        F.lit(INVERSE_KEY).alias("template_key"),
+        F.array("obj", "subj").alias("slots"),
+    ).unionByName(
+        inv.select(
+            "doc_iri",
+            F.lit(INVERSE_KEY).alias("template_key"),
+            F.array("subj", "obj").alias("slots"),
+        )
+    )
+    return parsed.unionByName(trans).unionByName(inv_both)
+
+
+# --------------------------------------------------------------------------
+# evaluation
+# --------------------------------------------------------------------------
+
+
+def _closure_pairs(triples: DataFrame) -> DataFrame:
     sub = triples.filter(
         (F.col("pred") == V.RDFS_SUBCLASSOF)
         & ~F.col("subj").startswith("_:")
         & ~F.col("obj").startswith("_:")
     ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
-    closure = transitive_closure(sub)
-    inherited = (
-        types.join(closure, types.cls == closure.src)
-        .select("doc_iri", "inst", F.col("dst").alias("cls"))
+    return transitive_closure(sub)
+
+
+def _closed_types(facts: DataFrame, closure: DataFrame) -> DataFrame:
+    """(doc_iri, inst, cls) with rdfs:subClassOf closure applied."""
+    types = facts.filter(
+        (F.col("pred") == V.RDF_TYPE)
+        & ~F.col("subj").startswith("_:")
+        & ~F.col("obj").startswith("_:")
+    ).select("doc_iri", F.col("subj").alias("inst"), F.col("obj").alias("cls"))
+    inherited = types.join(closure, types.cls == closure.src).select(
+        "doc_iri", "inst", F.col("dst").alias("cls")
     )
     return types.unionByName(inherited).distinct()
 
 
-def _collect_rules(triples: DataFrame) -> List[Tuple[str, list, list]]:
-    rows = (
-        triples.filter(F.col("pred") == V.YPO_RULE_SRC)
-        .select("doc_iri", "obj")
-        .distinct()
-        .collect()
+def _subclass_closed_types(triples: DataFrame) -> DataFrame:
+    return _closed_types(triples, _closure_pairs(triples))
+
+
+def _eval_template(key: str, rules: DataFrame, facts: DataFrame, types: DataFrame) -> DataFrame:
+    """One join pipeline evaluating EVERY rule of this template across
+    all documents at once; rule slots ride along as columns."""
+    body, head, n_slots = _parse_template(key)
+    b = rules.filter(F.col("template_key") == key).select(
+        "doc_iri", *[F.col("slots")[i].alias(f"_s{i}") for i in range(n_slots)]
     )
-    out = []
-    for r in rows:
-        body, head = _parse_swrl(r["obj"])
-        out.append((r["doc_iri"], body, head))
-    return out
-
-
-def _property_rules(triples: DataFrame) -> List[Tuple[str, list, list]]:
-    """Synthesize rules for TransitiveProperty and inverseOf axioms."""
-    out = []
-    trans = (
-        triples.filter((F.col("pred") == V.RDF_TYPE) & (F.col("obj") == V.OWL_TRANSITIVE))
-        .select("doc_iri", "subj")
-        .distinct()
-        .collect()
-    )
-    for r in trans:
-        name = r["subj"].replace(r["doc_iri"], "")
-        out.append(
-            (r["doc_iri"], [(name, ["?x", "?y"]), (name, ["?y", "?z"])], [(name, ["?x", "?z"])])
-        )
-    inv = (
-        triples.filter(F.col("pred") == V.OWL_INVERSE_OF)
-        .select("doc_iri", "subj", "obj")
-        .distinct()
-        .collect()
-    )
-    for r in inv:
-        q = r["subj"].replace(r["doc_iri"], "")
-        p = r["obj"].replace(r["doc_iri"], "")
-        out.append((r["doc_iri"], [(p, ["?x", "?y"])], [(q, ["?y", "?x"])]))
-        out.append((r["doc_iri"], [(q, ["?x", "?y"])], [(p, ["?y", "?x"])]))
-    return out
-
-
-def _eval_rule(
-    doc_iri: str,
-    body: list,
-    head: list,
-    facts: DataFrame,
-    types: DataFrame,
-) -> DataFrame:
-    """Join the body atoms left-to-right; emit head facts."""
-    binding = None
-
-    def merge(b, df):
-        if b is None:
-            return df
-        shared = [c for c in df.columns if c in b.columns]
-        return b.join(df, shared) if shared else b.crossJoin(df)
-
-    for pname, args in body:
-        if pname in _BUILTINS:
-            var, const = args
-            col = F.col(var.lstrip("?")).cast("double")
-            cmp = col > float(const) if pname == "greaterThan" else col < float(const)
-            binding = binding.filter(cmp)
+    bound: set = set()
+    for atom in body:
+        if atom[0] == "bi":
+            _, op, vi, cs = atom
+            val = F.col(f"v{vi}").cast("double")
+            c = F.col(f"_s{cs}").cast("double")
+            b = b.filter(val > c if op == "gt" else val < c)
             continue
-        if len(args) == 1:
-            t = types.filter((F.col("doc_iri") == doc_iri) & (F.col("cls") == doc_iri + pname))
-            a = args[0]
-            if a.startswith("?"):
-                t = t.select(F.col("inst").alias(a[1:]))
+        if atom[0] == "cls":
+            _, cls_slot, inst = atom
+            t = types.select(
+                F.col("doc_iri").alias("__d"),
+                F.col("inst").alias("__i"),
+                F.col("cls").alias("__c"),
+            )
+            cond = (b["doc_iri"] == t["__d"]) & (t["__c"] == b[f"_s{cls_slot}"])
+            newv = None
+            if inst[0] == "c":
+                cond = cond & (t["__i"] == b[f"_s{inst[1]}"])
+            elif inst[1] in bound:
+                cond = cond & (t["__i"] == b[f"v{inst[1]}"])
             else:
-                t = t.filter(F.col("inst") == doc_iri + a).select(F.lit(1).alias("_one"))
-            binding = merge(binding, t.distinct())
+                newv = inst[1]
+            j = b.join(t, cond)
+            cols = [j[c2] for c2 in b.columns]
+            if newv is not None:
+                cols.append(j["__i"].alias(f"v{newv}"))
+                bound.add(newv)
+            b = j.select(*cols).distinct()
+            continue
+        _, pred_slot, ssub, osub = atom
+        fa = facts.select(
+            F.col("doc_iri").alias("__d"),
+            F.col("pred").alias("__p"),
+            F.col("subj").alias("__s"),
+            F.col("obj").alias("__o"),
+            F.col("obj_is_literal").alias("__ol"),
+        )
+        cond = (b["doc_iri"] == fa["__d"]) & (fa["__p"] == b[f"_s{pred_slot}"])
+        newvars = []
+        if ssub[0] == "c":
+            cond = cond & (fa["__s"] == b[f"_s{ssub[1]}"])
+        elif ssub[1] in bound:
+            cond = cond & (fa["__s"] == b[f"v{ssub[1]}"])
         else:
-            t = facts.filter((F.col("doc_iri") == doc_iri) & (F.col("pred") == doc_iri + pname))
-            s, o = args
-            cols = []
-            if s.startswith("?"):
-                cols.append(F.col("subj").alias(s[1:]))
-            else:
-                t = t.filter(F.col("subj") == doc_iri + s)
-            if o.startswith("?"):
-                cols.append(F.col("obj").alias(o[1:]))
-            else:
-                # constant object: literal lexical form or a local name
-                t = t.filter(
-                    F.when(F.col("obj_is_literal"), F.col("obj") == o).otherwise(
-                        F.col("obj") == doc_iri + o
-                    )
+            newvars.append((ssub[1], "__s"))
+        if osub[0] == "c2":
+            cond = cond & (
+                F.when(fa["__ol"], fa["__o"] == b[f"_s{osub[1]}"]).otherwise(
+                    fa["__o"] == b[f"_s{osub[2]}"]
                 )
-            t = t.select(*cols) if cols else t.select(F.lit(1).alias("_one"))
-            binding = merge(binding, t.distinct())
-
-    if binding is None:
-        return None
-
-    out = None
-    for pname, args in head:
-        s, o = args
-        subj = F.col(s[1:]) if s.startswith("?") else F.lit(doc_iri + s)
-        if o.startswith("?"):
-            obj = F.col(o[1:])
-            is_lit = F.lit(False)
-            dtype = F.lit(None).cast("string")
+            )
+        elif osub[1] in bound:
+            cond = cond & (fa["__o"] == b[f"v{osub[1]}"])
+        elif any(vi == osub[1] for vi, _ in newvars):
+            # p(?x, ?x): same unbound var in both slots of one atom
+            cond = cond & (fa["__o"] == fa["__s"])
         else:
-            try:
-                val = int(o)
-                obj, is_lit, dtype = F.lit(str(val)), F.lit(True), F.lit(V.XSD_INTEGER)
-            except ValueError:
-                try:
-                    val = float(o)
-                    obj, is_lit, dtype = F.lit(str(val)), F.lit(True), F.lit(V.XSD_DOUBLE)
-                except ValueError:
-                    obj, is_lit, dtype = F.lit(doc_iri + o), F.lit(False), F.lit(None).cast("string")
-        h = binding.select(
-            subj.alias("subj"),
-            F.lit(doc_iri + pname).alias("pred"),
-            obj.alias("obj"),
-            is_lit.alias("obj_is_literal"),
-            dtype.alias("obj_datatype"),
-            F.lit(doc_iri).alias("doc_iri"),
-        ).distinct()
-        out = h if out is None else out.unionByName(h)
-    return out
+            newvars.append((osub[1], "__o"))
+        j = b.join(fa, cond)
+        cols = [j[c2] for c2 in b.columns] + [j[src].alias(f"v{vi}") for vi, src in newvars]
+        bound.update(vi for vi, _ in newvars)
+        b = j.select(*cols).distinct()
+
+    outs = []
+    for atom in head:
+        if atom[0] == "cls":
+            _, cls_slot, inst = atom
+            subj = b[f"v{inst[1]}"] if inst[0] == "v" else b[f"_s{inst[1]}"]
+            outs.append(
+                b.select(
+                    subj.alias("subj"),
+                    F.lit(V.RDF_TYPE).alias("pred"),
+                    b[f"_s{cls_slot}"].alias("obj"),
+                    F.lit(False).alias("obj_is_literal"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                    b["doc_iri"].alias("doc_iri"),
+                ).distinct()
+            )
+        else:
+            _, pred_slot, ssub, osub = atom
+            subj = b[f"v{ssub[1]}"] if ssub[0] == "v" else b[f"_s{ssub[1]}"]
+            if osub[0] == "v":
+                obj, il, dt = b[f"v{osub[1]}"], F.lit(False), F.lit(None).cast("string")
+            elif osub[0] == "lit":
+                obj, il, dt = b[f"_s{osub[1]}"], F.lit(True), b[f"_s{osub[2]}"]
+            else:
+                obj, il, dt = b[f"_s{osub[1]}"], F.lit(False), F.lit(None).cast("string")
+            outs.append(
+                b.select(
+                    subj.alias("subj"),
+                    b[f"_s{pred_slot}"].alias("pred"),
+                    obj.alias("obj"),
+                    il.alias("obj_is_literal"),
+                    dt.alias("obj_datatype"),
+                    b["doc_iri"].alias("doc_iri"),
+                ).distinct()
+            )
+    return reduce(lambda a, c: a.unionByName(c), outs)
 
 
-def forward_chain(triples: DataFrame, max_iter: int = 15) -> DataFrame:
+def forward_chain(
+    triples: DataFrame, max_iter: int = 15, on_unsupported: str = "raise"
+) -> DataFrame:
     """Returns the INFERRED facts (subj, pred, obj, obj_is_literal,
     obj_datatype, doc_iri) — the delta the Pellet step would add for
-    the supported fragment. Fixpoint: rounds of rule application until
-    no new facts; lineage cut per round."""
+    the supported fragment. Fixpoint: rounds of template-grouped rule
+    application until no new facts; lineage cut per round. Driver work
+    per round is O(#distinct templates), independent of document count.
+
+    ``on_unsupported``: "raise" (default) fails fast listing the bad
+    rules; "skip" drops them with a warning."""
     spark = triples.sparkSession
 
     fact_cols = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype", "doc_iri"]
     base = (
-        triples.filter(
-            (F.col("pred") != V.RDF_TYPE) & ~F.col("subj").startswith("_:") & ~F.col("obj").startswith("_:")
-        )
+        triples.filter(~F.col("subj").startswith("_:") & ~F.col("obj").startswith("_:"))
         .select(*fact_cols)
         .distinct()
     )
-    types = _subclass_closed_types(triples).localCheckpoint()
 
-    rules = _collect_rules(triples) + _property_rules(triples)
-    if not rules:
+    rules = rule_table(triples).localCheckpoint()
+    bad = rules.filter(F.col("template_key") == _INVALID).select("doc_iri", "slots").collect()
+    if bad:
+        msgs = [f"{r['doc_iri']}: {r['slots'][0]} in rule {r['slots'][1]!r}" for r in bad[:5]]
+        more = f" (+{len(bad) - 5} more)" if len(bad) > 5 else ""
+        if on_unsupported == "raise":
+            raise UnsupportedSWRLError("unsupported SWRL fragment: " + "; ".join(msgs) + more)
+        warnings.warn("skipping unsupported SWRL rules: " + "; ".join(msgs) + more)
+        rules = rules.filter(F.col("template_key") != _INVALID)
+
+    templates = [
+        r[0]
+        for r in rules.select("template_key")
+        .filter(F.col("template_key") != _INVALID)
+        .distinct()
+        .collect()
+    ]
+    if not templates:
         return spark.createDataFrame([], base.schema)
+
+    closure = _closure_pairs(triples).localCheckpoint()
+    types = _closed_types(triples, closure).localCheckpoint()
 
     facts = base.localCheckpoint()
     n_facts = facts.count()
+    had_type_heads = any("=>T(" in k or ";T(" in k.split("=>")[1] for k in templates)
 
     for _ in range(max_iter):
-        new = None
-        for doc_iri, body, head in rules:
-            h = _eval_rule(doc_iri, body, head, facts, types)
-            if h is not None:
-                new = h if new is None else new.unionByName(h)
-        if new is None:
-            break
+        new = reduce(
+            lambda a, c: a.unionByName(c),
+            (_eval_template(k, rules, facts, types) for k in templates),
+        )
         facts = facts.unionByName(new).distinct().localCheckpoint()
         n2 = facts.count()
         if n2 == n_facts:
             break
         n_facts = n2
+        if had_type_heads:
+            # inferred class memberships must feed later class atoms
+            types = _closed_types(facts, closure).localCheckpoint()
 
     # null-safe anti-join: obj_datatype is NULL for non-literals and a
     # plain equi-join would never match NULLs, leaking base facts into

@@ -25,7 +25,13 @@ from .operators.cc import connected_components
 from .operators.closure import transitive_closure
 from .operators.linking import canonical_mapping
 from .plans.pipeline import KGPipeline
-from .sources.artifacts import corpus_path, ensure_artifacts, errors_path, triples_path
+from .sources.artifacts import (
+    corpus_path,
+    ensure_artifacts,
+    errors_path,
+    inferred_path,
+    triples_path,
+)
 from .sources.fixtures import build_default_import_map
 
 # ---------------------------------------------------------------------------
@@ -363,11 +369,16 @@ def _register_kg():
             "doc_iri", F.col("subj").alias("rule_iri"), F.col("obj").alias("src")
         )
 
-    # rows-only (no oracle): mutually-recursive datalog fixpoint — not
-    # expressible as one SQL statement; semantics are pinned by
-    # tests/test_swrl_chain.py against the reference's post-reasoner
-    # assertions
-    @_q("kg_swrl_forward_chain")
+    # oracle: a pure-Python sequential fixpoint with the same supported
+    # fragment (sources/artifacts.py:sequential_forward_chain),
+    # materialized as a parquet artifact next to the sequential parse;
+    # semantics additionally pinned by tests/test_swrl_chain.py against
+    # the reference's post-reasoner assertions
+    @_q(
+        "kg_swrl_forward_chain",
+        f"SELECT subj, pred, obj, obj_is_literal, obj_datatype, doc_iri "
+        f"FROM read_parquet('{inferred_path()}')",
+    )
     def kg_swrl_forward_chain(spark, sf_dir):
         from .operators.swrl import forward_chain
 
@@ -412,10 +423,13 @@ def _register_docops():
     @_q(
         "doc_ngram_jaccard",
         f"""WITH docs AS (SELECT * FROM documents WHERE doc_id < 300), {_SH_CTE.replace("FROM documents", "FROM docs").replace("sh AS", "shx AS").replace("AS t(s)", "AS t(s)")},
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+            rare AS (SELECT shingle FROM shx GROUP BY shingle
+                     HAVING count(*) <= {docops.MAX_SHINGLE_DF}),
+            shf AS (SELECT shx.doc_id, shx.shingle FROM shx JOIN rare USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-              FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id
             )
             SELECT doc_a, doc_b,
@@ -498,7 +512,7 @@ def _register_docops():
 
     @_q(
         "doc_dedup_survivors",
-        """WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
+        f"""WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
            keepers AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(text)),
            kd AS (SELECT d.doc_id, d.text FROM docs d JOIN keepers k ON d.doc_id = k.doc_id),
            shx AS (
@@ -507,10 +521,13 @@ def _register_docops():
                   UNNEST(list_transform(range(1, greatest(len(w) - 1, 1)),
                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
            ),
-           sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+           rare AS (SELECT shingle FROM shx GROUP BY shingle
+                    HAVING count(*) <= {docops.MAX_SHINGLE_DF}),
+           shf AS (SELECT shx.doc_id, shx.shingle FROM shx JOIN rare USING (shingle)),
+           sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
            inter AS (
              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-             FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
              GROUP BY a.doc_id, b.doc_id
            ),
            losers AS (

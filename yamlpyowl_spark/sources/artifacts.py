@@ -31,7 +31,7 @@ from ..functions.udfs import parse_rows_to_records
 from .corpus import corpus_rows, write_corpus_parquet
 from .fixtures import build_default_import_map
 
-_VERSION = 3
+_VERSION = 4
 ARTIFACT_DIR = os.environ.get(
     "YPO_ARTIFACT_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".artifacts", "kg"),
@@ -66,6 +66,217 @@ def errors_path() -> str:
     return os.path.join(ARTIFACT_DIR, "errors.parquet")
 
 
+def inferred_path() -> str:
+    return os.path.join(ARTIFACT_DIR, "inferred_regional.parquet")
+
+
+# --------------------------------------------------------------------------
+# sequential SWRL forward chain — the independent oracle implementation
+# for operators/swrl.forward_chain (naive in-memory fixpoint; same
+# supported fragment, written against sets/dicts instead of joins)
+# --------------------------------------------------------------------------
+
+_SEQ_BUILTINS = {"greaterThan", "lessThan"}
+
+
+def _seq_resolve_rules(doc_facts, doc_iri):
+    """Rules for one document: parsed swrl_rule sources plus rules
+    synthesized from TransitiveProperty / inverseOf axioms. Atoms are
+    returned fully resolved (IRIs, not local names)."""
+    from .. import vocab as V
+    from ..parser.document import _parse_swrl
+
+    def resolve(body, head):
+        def num(o):
+            try:
+                return str(int(o)), V.XSD_INTEGER
+            except ValueError:
+                try:
+                    return str(float(o)), V.XSD_DOUBLE
+                except ValueError:
+                    return None
+
+        rb, rh = [], []
+        for name, args in body:
+            if name in _SEQ_BUILTINS:
+                rb.append(("bi", "gt" if name == "greaterThan" else "lt", args[0], float(args[1])))
+            elif len(args) == 1:
+                a = args[0]
+                rb.append(("class", doc_iri + name, a if a.startswith("?") else doc_iri + a))
+            else:
+                s, o = args
+                sa = s if s.startswith("?") else doc_iri + s
+                oa = ("var", o) if o.startswith("?") else ("const", o, doc_iri + o)
+                rb.append(("prop", doc_iri + name, sa, oa))
+        for name, args in head:
+            if len(args) == 1:
+                a = args[0]
+                rh.append(("class", doc_iri + name, a if a.startswith("?") else doc_iri + a))
+            else:
+                s, o = args
+                sa = s if s.startswith("?") else doc_iri + s
+                if o.startswith("?"):
+                    oa = ("var", o)
+                else:
+                    lit = num(o)
+                    oa = ("lit",) + lit if lit else ("ent", doc_iri + o)
+                rh.append(("prop", doc_iri + name, sa, oa))
+        return rb, rh
+
+    rules = []
+    for s, p, o, il, dt in doc_facts:
+        if p == V.YPO_RULE_SRC:
+            rules.append(resolve(*_parse_swrl(o)))
+    trans = {s for s, p, o, il, dt in doc_facts if p == V.RDF_TYPE and o == V.OWL_TRANSITIVE}
+    for pr in sorted(trans):
+        rules.append(
+            (
+                [("prop", pr, "?x", ("var", "?y")), ("prop", pr, "?y", ("var", "?z"))],
+                [("prop", pr, "?x", ("var", "?z"))],
+            )
+        )
+    inv = {(s, o) for s, p, o, il, dt in doc_facts if p == V.OWL_INVERSE_OF}
+    for q, pr in sorted(inv):
+        rules.append(([("prop", pr, "?x", ("var", "?y"))], [("prop", q, "?y", ("var", "?x"))]))
+        rules.append(([("prop", q, "?x", ("var", "?y"))], [("prop", pr, "?y", ("var", "?x"))]))
+    return rules
+
+
+def _seq_closed_types(facts, closure):
+    from .. import vocab as V
+
+    types = {}
+    for s, p, o, il, dt in facts:
+        if p == V.RDF_TYPE and not s.startswith("_:") and not o.startswith("_:"):
+            types.setdefault(s, set()).add(o)
+            for sup in closure.get(o, ()):
+                types[s].add(sup)
+    return types
+
+
+def _seq_eval_rule(body, head, facts, types):
+    """Naive binding enumeration for one rule over one document."""
+    by_pred = {}
+    for s, p, o, il, dt in facts:
+        by_pred.setdefault(p, []).append((s, o, il))
+
+    bindings = [{}]
+    for atom in body:
+        nb = []
+        if atom[0] == "bi":
+            _, op, var, const = atom
+            for b in bindings:
+                try:
+                    v = float(b[var])
+                except (KeyError, ValueError, TypeError):
+                    continue
+                if (v > const) if op == "gt" else (v < const):
+                    nb.append(b)
+        elif atom[0] == "class":
+            _, cls, arg = atom
+            if arg.startswith("?"):
+                for b in bindings:
+                    if arg in b:
+                        if cls in types.get(b[arg], ()):
+                            nb.append(b)
+                    else:
+                        for inst, cs in types.items():
+                            if cls in cs:
+                                nb.append({**b, arg: inst})
+            else:
+                if cls in types.get(arg, ()):
+                    nb = bindings
+        else:
+            _, pred, sa, oa = atom
+            for b in bindings:
+                for s, o, il in by_pred.get(pred, ()):
+                    if sa.startswith("?"):
+                        if sa in b and b[sa] != s:
+                            continue
+                    elif s != sa:
+                        continue
+                    if oa[0] == "var":
+                        if oa[1] in b and b[oa[1]] != o:
+                            continue
+                        if oa[1] == sa and sa not in b and o != s:
+                            continue
+                    else:
+                        if il:
+                            if o != oa[1]:
+                                continue
+                        elif o != oa[2]:
+                            continue
+                    b2 = dict(b)
+                    if sa.startswith("?"):
+                        b2[sa] = s
+                    if oa[0] == "var":
+                        b2[oa[1]] = o
+                    nb.append(b2)
+        bindings = nb
+
+    from .. import vocab as V
+
+    out = set()
+    for b in bindings:
+        for atom in head:
+            if atom[0] == "class":
+                _, cls, arg = atom
+                inst = b[arg] if arg.startswith("?") else arg
+                out.add((inst, V.RDF_TYPE, cls, False, None))
+            else:
+                _, pred, sa, oa = atom
+                subj = b[sa] if sa.startswith("?") else sa
+                if oa[0] == "var":
+                    out.add((subj, pred, b[oa[1]], False, None))
+                elif oa[0] == "lit":
+                    out.add((subj, pred, oa[1], True, oa[2]))
+                else:
+                    out.add((subj, pred, oa[1], False, None))
+    return out
+
+
+def sequential_forward_chain(triple_rows, max_iter=15):
+    """Pure-Python fixpoint over (subj, pred, obj, obj_is_literal,
+    obj_datatype, doc_iri) tuples; returns the inferred delta with the
+    same semantics as operators/swrl.forward_chain."""
+    from .. import vocab as V
+
+    docs = {}
+    for s, p, o, il, dt, d in triple_rows:
+        if not s.startswith("_:") and not o.startswith("_:"):
+            docs.setdefault(d, set()).add((s, p, o, il, dt))
+
+    delta = set()
+    for doc_iri, base in sorted(docs.items()):
+        closure = {}
+        edges = {}
+        for s, p, o, il, dt in base:
+            if p == V.RDFS_SUBCLASSOF:
+                edges.setdefault(s, set()).add(o)
+        for start in edges:
+            seen, stack = set(), list(edges[start])
+            while stack:
+                n = stack.pop()
+                if n in seen:
+                    continue
+                seen.add(n)
+                stack.extend(edges.get(n, ()))
+            closure[start] = seen
+
+        rules = _seq_resolve_rules(base, doc_iri)
+        facts = set(base)
+        for _ in range(max_iter):
+            types = _seq_closed_types(facts, closure)
+            new = set()
+            for body, head in rules:
+                new |= _seq_eval_rule(body, head, facts, types)
+            if new <= facts:
+                break
+            facts |= new
+        delta |= {(s, p, o, il, dt, doc_iri) for s, p, o, il, dt in facts - base}
+    return sorted(delta, key=lambda r: tuple(str(x) for x in r))
+
+
 def _marker_path() -> str:
     return os.path.join(ARTIFACT_DIR, "MANIFEST.json")
 
@@ -86,7 +297,8 @@ def ensure_artifacts() -> dict:
     try:
         with open(_marker_path()) as fh:
             if json.load(fh) == manifest and all(
-                os.path.exists(p) for p in (corpus_path(), triples_path(), errors_path())
+                os.path.exists(p)
+                for p in (corpus_path(), triples_path(), errors_path(), inferred_path())
             ):
                 return {"corpus": corpus_path(), "triples": triples_path(), "errors": errors_path()}
     except Exception:
@@ -123,6 +335,27 @@ def ensure_artifacts() -> dict:
     pq.write_table(
         pa.table({name: pa.array(list(col), type=pa.string()) for name, col in zip(_ERROR_COLS, e_cols)}),
         errors_path(),
+    )
+
+    # sequential SWRL fixpoint over the regional-rules repo — the
+    # oracle for the kg_swrl_forward_chain query (obj_is_literal /
+    # obj_datatype are typed; everything else string)
+    rr = sorted(
+        {(t[0], t[1], t[2], bool(t[3]), t[4], t[5]) for t in triples if t[6] == "org/regional-rules"},
+        key=lambda t: tuple("" if x is None else str(x) for x in t),
+    )
+    inferred = sequential_forward_chain(rr)
+    i_cols = list(zip(*inferred)) if inferred else [[] for _ in range(6)]
+    pq.write_table(
+        pa.table(
+            {
+                name: pa.array(
+                    list(col), type=pa.bool_() if name == "obj_is_literal" else pa.string()
+                )
+                for name, col in zip(_TRIPLE_COLS[:6], i_cols)
+            }
+        ),
+        inferred_path(),
     )
 
     with open(_marker_path(), "w") as fh:
