@@ -57,8 +57,13 @@ def log(*args):
 
 def bench_corpus_path() -> str:
     from yamlpyowl_spark.sources.corpus import write_corpus_parquet
+    from yamlpyowl_spark.sources.fixtures import reference_available
 
-    path = os.path.join(REPO_DIR, ".artifacts", f"bench_corpus_{BENCH_FORKS}.parquet")
+    # reference availability is part of the cache key (mirrors
+    # sources/artifacts.py): a corpus built from the demo fallback must
+    # not be silently reused once /root/reference appears, or vice versa
+    ref = "ref" if reference_available() else "demo"
+    path = os.path.join(REPO_DIR, ".artifacts", f"bench_corpus_{BENCH_FORKS}_{ref}_s42.parquet")
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         n = write_corpus_parquet(path, n_forks=BENCH_FORKS, noise=True, giant_repo_fraction=0.5, seed=42)

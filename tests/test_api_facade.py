@@ -88,3 +88,26 @@ def test_sparql_parser_terms():
 def test_facade_rejects_broken_document(spark):
     with pytest.raises(ValueError, match="failed to parse"):
         OntologyManager("- iri: https://x#\n- owl_class:\n    A:\n      SubClassOf: [bad\n", spark)
+
+
+def test_name_container_attribute_access(om):
+    # reference core.py:55-69 Container; tests/test_core.py:25 om.n.<name>
+    e = om.n.munich
+    assert e.name == "munich"
+    assert e.iri == om.iri + "munich"
+    assert e.kind == "individual"
+    assert om.n.hasPart.kind == "object_property"
+    assert om.n.GeographicEntity.kind == "class"
+    assert "munich" in om.n
+    with pytest.raises(AttributeError, match="no entity named"):
+        om.n.nonexistent_thing
+
+
+def test_name_container_annotations(om):
+    # labels ride on triples; .label collects them like owlready2's
+    labels = om.n.top_down_rule.label if "top_down_rule" in om.n else None
+    # the rule itself may not be an entity; use a labeled class instead
+    ge = om.n.GeographicEntity
+    assert isinstance(ge.label, list)
+    assert om.n.munich == om.n.munich
+    assert len({om.n.munich, om.n.munich}) == 1

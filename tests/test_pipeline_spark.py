@@ -169,10 +169,37 @@ def test_materialize_and_resume(spark, pipe, source, tmp_path_factory):
     pipe.materialize(source, out2)
     fresh = spark.read.parquet(f"{out2}/triples")
     assert full.count() == fresh.count() > t1
-    assert full.exceptAll(fresh).isEmpty() and fresh.exceptAll(full).isEmpty()
+    # run_id is write lineage, not content — drop before comparing
+    full_c, fresh_c = full.drop("run_id"), fresh.drop("run_id")
+    assert full_c.exceptAll(fresh_c).isEmpty() and fresh_c.exceptAll(full_c).isEmpty()
     # third run: nothing new
     r3 = pipe.materialize(source, out)
     assert r3["n_new_docs"] == 0
+
+
+def test_materialize_gc_uncommitted_run(spark, pipe, source, tmp_path_factory):
+    """A run killed between the triples write and the _progress append
+    leaves an orphan run_id dir; the next materialize must GC it and
+    re-parse those docs WITHOUT duplicating rows (ADVICE r01)."""
+    import shutil, glob, os
+
+    out = str(tmp_path_factory.mktemp("kgcrash"))
+    half = source.filter(F.col("repo") != "org/pizza-kb")
+    pipe.materialize(half, out)
+
+    # simulate the crash window: data from a run exists, progress doesn't
+    committed = glob.glob(f"{out}/triples/run_id=*")[0]
+    shutil.copytree(committed, f"{out}/triples/run_id=deadbeefcafe")
+
+    pipe.materialize(source, out)
+    full = spark.read.parquet(f"{out}/triples").drop("run_id")
+    assert not glob.glob(f"{out}/triples/run_id=deadbeefcafe")  # GC'd
+
+    out2 = str(tmp_path_factory.mktemp("kgcrash2"))
+    pipe.materialize(source, out2)
+    fresh = spark.read.parquet(f"{out2}/triples").drop("run_id")
+    assert full.count() == fresh.count()
+    assert full.exceptAll(fresh).isEmpty() and fresh.exceptAll(full).isEmpty()
 
 
 def test_partition_metrics(spark, pipe, source, tmp_path_factory):

@@ -47,7 +47,7 @@ def test_incremental_equals_batch(spark, dirs):
 
     _write_rows(half1, os.path.join(src_dir, "batch1.parquet"))
     run_incremental(spark, src_dir, out_dir, import_map=imap)
-    t1 = spark.read.parquet(f"{out_dir}/triples")
+    t1 = spark.read.parquet(f"{out_dir}/triples").drop("run_id")
     n1 = t1.count()
     assert n1 > 0
     assert t1.filter(F.col("src_repo") == "org/pizza-kb").count() == 0
@@ -55,7 +55,7 @@ def test_incremental_equals_batch(spark, dirs):
     # new file lands → only the increment is processed
     _write_rows(half2, os.path.join(src_dir, "batch2.parquet"))
     run_incremental(spark, src_dir, out_dir, import_map=imap)
-    t2 = spark.read.parquet(f"{out_dir}/triples")
+    t2 = spark.read.parquet(f"{out_dir}/triples").drop("run_id")
     assert t2.filter(F.col("src_repo") == "org/pizza-kb").count() > 0
 
     # third drain with nothing new: no growth

@@ -33,6 +33,75 @@ from .schema import SOURCE_SCHEMA
 from .sources.fixtures import build_default_import_map
 
 
+class EntityHandle:
+    """Lightweight stand-in for an owlready2 entity: ``.name``/``.iri``
+    /``.kind`` plus lazily-collected ``label``/``comment`` lists
+    (reference Container semantics, core.py:55-69; used pervasively in
+    reference tests as ``om.n.mypizza1``)."""
+
+    __slots__ = ("name", "iri", "kind", "_om")
+
+    def __init__(self, name: str, iri: str, kind: str, om: "OntologyManager"):
+        self.name = name
+        self.iri = iri
+        self.kind = kind
+        self._om = om
+
+    def _annotation(self, pred: str):
+        from . import vocab as V  # noqa: F401 — keeps import local
+
+        return [
+            r["obj"]
+            for r in self._om.triples.filter(
+                (F.col("subj") == self.iri) & (F.col("pred") == pred)
+            ).collect()
+        ]
+
+    @property
+    def label(self):
+        from . import vocab as V
+
+        return self._annotation(V.RDFS_LABEL)
+
+    @property
+    def comment(self):
+        from . import vocab as V
+
+        return self._annotation(V.RDFS_COMMENT)
+
+    def __repr__(self):
+        return f"<{self.kind} {self.name}>"
+
+    def __hash__(self):
+        return hash(self.iri)
+
+    def __eq__(self, other):
+        return isinstance(other, EntityHandle) and self.iri == other.iri
+
+
+class NameContainer:
+    """``om.n.<name>`` attribute access over every named entity in the
+    document (classes, properties, individuals)."""
+
+    def __init__(self, entities: dict):
+        self._entities = entities
+
+    def __getattr__(self, name: str) -> EntityHandle:
+        try:
+            return self._entities[name]
+        except KeyError:
+            raise AttributeError(f"no entity named {name!r} in this ontology") from None
+
+    def __dir__(self):
+        return list(self._entities)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._entities
+
+    def __repr__(self):
+        return f"<NameContainer (len={len(self._entities)})>"
+
+
 class OntologyManager:
     def __init__(
         self,
@@ -68,6 +137,13 @@ class OntologyManager:
         self.roles = {name: r.kind for name, r in parser.roles.items()}
         self.individuals = [i.name for i in parser.individuals]
         self.rules = [r.name for r in result.rules]
+        self.n = NameContainer(
+            {
+                e.name: EntityHandle(e.name, e.iri, e.kind, self)
+                for group in (parser.concepts, parser.roles.values(), parser.individuals)
+                for e in group
+            }
+        )
 
         src = spark.createDataFrame(
             [(repo, path, "0" * 40, "yaml", content)], SOURCE_SCHEMA

@@ -97,7 +97,12 @@ def main(argv=None, spark=None) -> int:
     p = sub.add_parser("pipeline", help="distributed pipeline over a source table")
     p.add_argument("src")
     p.add_argument("out")
-    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument(
+        "--resume",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="skip documents already recorded in _progress (--no-resume reprocesses everything)",
+    )
     p.set_defaults(fn=cmd_pipeline)
 
     args = ap.parse_args(argv)

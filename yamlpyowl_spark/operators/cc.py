@@ -69,14 +69,17 @@ def connected_components_star(
     )
     all_nodes = e.select("a").union(e.select(F.col("b").alias("a"))).distinct()
 
-    prev_sig = None
+    # exact convergence: equal count AND empty multiset difference vs
+    # the previous edge set (a hash-sum signature could collide and
+    # terminate early on an unconverged graph)
+    n_prev = e.count()
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        # converged when the edge set is a stable star forest
-        sig = (e.count(), e.agg(F.sum(F.hash("a", "b"))).first()[0])
-        if sig == prev_sig:
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        n = new_e.count()
+        converged = n == n_prev and new_e.exceptAll(e).isEmpty()
+        e, n_prev = new_e, n
+        if converged:
             break
-        prev_sig = sig
 
     # converged edges point node → component root; roots map to themselves
     comp = e.select(F.col("a").alias("node"), F.col("b").alias("component"))

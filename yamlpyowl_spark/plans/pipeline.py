@@ -206,6 +206,40 @@ class KGPipeline:
     # checkpointed materialization (resume = anti-join against _progress)
     # ------------------------------------------------------------------
 
+    def _gc_orphan_runs(self, out_dir: str) -> None:
+        """Delete ``run_id=<x>`` output directories whose run never
+        committed a ``_progress`` row — leftovers of a run killed
+        between the data write and the progress append. Storage-agnostic
+        via the Hadoop FileSystem API (works on HDFS/S3A, not just
+        local). Assumes no concurrent materialize on the same out_dir
+        (same contract as before)."""
+        spark = self.spark
+        committed: set = set()
+        try:
+            committed = {
+                r[0]
+                for r in spark.read.parquet(f"{out_dir}/_progress")
+                .select("run_id")
+                .distinct()
+                .collect()
+            }
+        except Exception:
+            pass
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for sub in ("triples", "errors", "_metrics"):
+            p = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{sub}")
+            try:
+                fs = p.getFileSystem(conf)
+                if not fs.exists(p):
+                    continue
+                for st in fs.listStatus(p):
+                    name = st.getPath().getName()
+                    if name.startswith("run_id=") and name[len("run_id="):] not in committed:
+                        fs.delete(st.getPath(), True)
+            except Exception:
+                pass
+
     def materialize(
         self,
         source: DataFrame,
@@ -218,9 +252,17 @@ class KGPipeline:
         in ``{out_dir}/_progress`` (keyed by repo/path/commit/sha256) and
         appends only the missing ones — kill-and-rerun converges to the
         same output set because all ids are content-deterministic.
+
+        Effectively exactly-once: each run writes its data under a
+        ``run_id=<id>`` subdirectory and the ``_progress`` append is the
+        commit point; a run killed between the two leaves an orphan
+        directory that the next invocation garbage-collects before
+        resuming, so its documents re-parse without duplicating rows.
+        Readers see ``run_id`` as a partition column on triples/errors.
         """
         spark = self.spark
         run_id = uuid.uuid4().hex
+        self._gc_orphan_runs(out_dir)
 
         docs = ontology_document_filter(source).withColumn(
             "src_sha256_pre", F.sha2(F.col("content"), 256)
@@ -252,8 +294,8 @@ class KGPipeline:
         try:
             triples = self.triples(parsed)
             errors = self.errors(parsed)
-            triples.write.mode("append").parquet(f"{out_dir}/triples")
-            errors.write.mode("append").parquet(f"{out_dir}/errors")
+            triples.write.mode("overwrite").parquet(f"{out_dir}/triples/run_id={run_id}")
+            errors.write.mode("overwrite").parquet(f"{out_dir}/errors/run_id={run_id}")
 
             # per-partition lineage/metrics emitted by the parse tasks
             metrics_schema = (
@@ -263,9 +305,8 @@ class KGPipeline:
                 parsed.filter(F.col("rec") == "m")
                 .select(F.from_json("message", metrics_schema).alias("m"))
                 .select("m.*")
-                .withColumn("run_id", F.lit(run_id))
             )
-            metrics.write.mode("append").parquet(f"{out_dir}/_metrics")
+            metrics.write.mode("overwrite").parquet(f"{out_dir}/_metrics/run_id={run_id}")
 
             progress = (
                 parsed.filter(F.col("rec") != "m")  # metrics rows carry no doc key
@@ -281,7 +322,7 @@ class KGPipeline:
             progress.write.mode("append").parquet(f"{out_dir}/_progress")
             progress.unpersist()
 
-            all_triples = spark.read.parquet(f"{out_dir}/triples")
+            all_triples = spark.read.parquet(f"{out_dir}/triples").drop("run_id")
             self.nodes(all_triples).write.mode("overwrite").parquet(f"{out_dir}/nodes")
             self.edges(all_triples).write.mode("overwrite").parquet(f"{out_dir}/edges")
         finally:

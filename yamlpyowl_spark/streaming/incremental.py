@@ -3,9 +3,12 @@
 New source files landing in a directory are parsed incrementally:
 ``readStream`` (file source tracks processed files in the checkpoint) →
 the same filter + Arrow-batched parse stage as the batch pipeline →
-``foreachBatch`` appending to the triples/errors sinks. Exactly-once
-per input file comes from the file-source checkpoint; output ids are
-content-deterministic, so replays converge to the same triple set.
+``foreachBatch`` writing each micro-batch into its own
+``run_id=batch_<id>`` subdirectory with overwrite — the standard
+idempotent-foreachBatch pattern: a batch replayed after a crash
+rewrites the same directory instead of appending duplicates, so the
+file outputs are exactly-once per input file (file-source checkpoint
+guarantees each file lands in exactly one batch id).
 
 The batch pipeline's ``_progress`` anti-join gives coarse-grained
 resumability for scheduled batch runs; this gives continuous ingest —
@@ -46,8 +49,15 @@ def incremental_kg_query(
     def process_batch(batch_df, batch_id: int):
         parsed = pipe.parsed(batch_df, already_filtered=True).persist()
         try:
-            pipe.triples(parsed).write.mode("append").parquet(f"{out_dir}/triples")
-            pipe.errors(parsed).write.mode("append").parquet(f"{out_dir}/errors")
+            # batch-scoped overwrite = idempotent on replay (a crash
+            # between the two writes re-runs the batch with the SAME
+            # batch_id, overwriting rather than duplicating)
+            pipe.triples(parsed).write.mode("overwrite").parquet(
+                f"{out_dir}/triples/run_id=batch_{batch_id}"
+            )
+            pipe.errors(parsed).write.mode("overwrite").parquet(
+                f"{out_dir}/errors/run_id=batch_{batch_id}"
+            )
         finally:
             parsed.unpersist()
 
