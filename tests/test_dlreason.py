@@ -1,0 +1,166 @@
+"""DL model enumeration (OneOf/Functional/InverseFunctional/
+AllDifferent) reproduces the reference's POST-Pellet zebra-puzzle
+assertions (reference tests/test_core.py:171-263) with a per-document
+CSP solve distributed over applyInPandas."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yamlpyowl_spark.operators.dlreason import _solve_doc, dl_model_search
+from yamlpyowl_spark.parser import parse_document
+from yamlpyowl_spark.schema import SOURCE_SCHEMA
+from yamlpyowl_spark.plans.pipeline import KGPipeline
+from yamlpyowl_spark.sources.fixtures import load_fixture_texts, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference fixtures not mounted"
+)
+
+Z = "https://w3id.org/yet/undefined/einstein-zebra-puzzle-ontology#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# the puzzle's (publicly known) unique solution
+SOLUTION = {
+    ("Englishman", "drinks", "milk"),
+    ("Englishman", "lives_in", "house_3"),
+    ("Englishman", "owns", "snails"),
+    ("Englishman", "smokes", "Old_Gold"),
+    ("Japanese", "drinks", "coffee"),
+    ("Japanese", "lives_in", "house_5"),
+    ("Japanese", "owns", "zebra"),
+    ("Japanese", "smokes", "Parliaments"),
+    ("Norwegian", "drinks", "water"),
+    ("Norwegian", "lives_in", "house_1"),
+    ("Norwegian", "owns", "fox"),
+    ("Norwegian", "smokes", "Kools"),
+    ("Spaniard", "drinks", "orange_juice"),
+    ("Spaniard", "lives_in", "house_4"),
+    ("Spaniard", "owns", "dog"),
+    ("Spaniard", "smokes", "Lucky_Strike"),
+    ("Ukrainian", "drinks", "tea"),
+    ("Ukrainian", "lives_in", "house_2"),
+    ("Ukrainian", "owns", "horse"),
+    ("Ukrainian", "smokes", "Chesterfields"),
+    ("house_1", "has_color", "yellow"),
+    ("house_2", "has_color", "blue"),
+    ("house_3", "has_color", "red"),
+    ("house_4", "has_color", "ivory"),
+    ("house_5", "has_color", "green"),
+}
+
+BASE_PROPS = {"drinks", "lives_in", "owns", "smokes", "has_color"}
+
+
+@pytest.fixture(scope="module")
+def zebra_rows():
+    text = load_fixture_texts()["examples/einsteins_zebra_riddle.owl.yml"]
+    res = parse_document(text)
+    return [(t[0], t[1], t[2]) for t in res.triples if not t[3]]
+
+
+def test_zebra_unique_model_and_solution(zebra_rows):
+    stats = {}
+    inferred = _solve_doc(zebra_rows, stats=stats, max_models=50)
+    assert stats["n_models"] == 1  # the puzzle has exactly one model
+    got = {
+        (s.replace(Z, ""), p.replace(Z, ""), o.replace(Z, ""))
+        for s, p, o in inferred
+        if p.replace(Z, "") in BASE_PROPS
+    }
+    assert got == SOLUTION
+
+
+def test_zebra_oneof_memberships(zebra_rows):
+    # reference test_core.py:187-189 — dog/fox are Pets only AFTER the
+    # reasoner (asserted only as owl:Thing)
+    inferred = _solve_doc(zebra_rows)
+    assert (Z + "dog", RDF_TYPE, Z + "Pet") in inferred
+    assert (Z + "fox", RDF_TYPE, Z + "Pet") in inferred
+    assert (Z + "Japanese", RDF_TYPE, Z + "Man") in inferred
+
+
+def test_zebra_inverse_images(zebra_rows):
+    inferred = _solve_doc(zebra_rows)
+    assert (Z + "zebra", Z + "inv_owns", Z + "Japanese") in inferred
+
+
+def test_distributed_solve_via_spark(spark):
+    text = load_fixture_texts()["examples/einsteins_zebra_riddle.owl.yml"]
+    src = spark.createDataFrame(
+        [("org/zebra", "examples/einsteins_zebra_riddle.owl.yml", "0" * 40, "yaml", text)],
+        SOURCE_SCHEMA,
+    )
+    pipe = KGPipeline(spark, parse_partitions=2)
+    triples, _ = pipe.parse(src)
+    out = dl_model_search(triples)
+    rows = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert (Z + "Japanese", Z + "owns", Z + "zebra") in rows
+    # asserted facts are NOT in the delta
+    assert (Z + "Norwegian", Z + "lives_in", Z + "house_1") not in rows
+    assert (Z + "dog", RDF_TYPE, Z + "Pet") in rows
+
+
+def test_ambiguous_doc_emits_only_deterministic(spark):
+    # two individuals, one functional prop, NO constraints -> multiple
+    # models -> no property entailment, but OneOf memberships emitted
+    yml = """\
+- iri: http://ex.org/amb#
+- owl_multiple_individuals:
+      names: [a, b]
+      types: ["owl:Thing"]
+- owl_class:
+      Tgt:
+          EquivalentTo:
+              OneOf: [a, b]
+- owl_class:
+      Src:
+          EquivalentTo:
+              OneOf: [a]
+- owl_object_property:
+    p:
+        Characteristics: [Functional, InverseFunctional]
+        Domain: [Src]
+        Range: [Tgt]
+"""
+    res = parse_document(yml)
+    rows = [(t[0], t[1], t[2]) for t in res.triples if not t[3]]
+    inferred = _solve_doc(rows)
+    A = "http://ex.org/amb#"
+    preds = {p for _, p, _ in inferred}
+    assert A + "p" not in preds  # ambiguous: p(a) could be a or b (or absent)
+    assert (A + "a", RDF_TYPE, A + "Tgt") in inferred
+
+
+def test_no_csp_doc_is_noop():
+    res = parse_document(
+        "- iri: http://ex.org/plain#\n- owl_class:\n      C:\n          SubClassOf: \"owl:Thing\"\n"
+    )
+    rows = [(t[0], t[1], t[2]) for t in res.triples if not t[3]]
+    assert _solve_doc(rows) == set()
+
+
+def test_sync_reasoner_solves_zebra(spark):
+    # the reference's own flow: OntologyManager + sync_reasoner
+    # (tests/test_core.py:186, 263)
+    import os
+
+    from yamlpyowl_spark.api import OntologyManager
+    from yamlpyowl_spark.sources.fixtures import REFERENCE_DIR
+
+    om = OntologyManager(
+        os.path.join(REFERENCE_DIR, "examples/einsteins_zebra_riddle.owl.yml"), spark
+    )
+    n = om.sync_reasoner()
+    assert n > 0
+    rows = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in om.triples.filter(F.col("pred") == Z + "owns").collect()
+    }
+    assert (Z + "Japanese", Z + "owns", Z + "zebra") in rows
+    # forward chain contributes the inverse-axiom closure on the
+    # asserted right_to chain
+    lt = {
+        (r["subj"], r["obj"])
+        for r in om.triples.filter(F.col("pred") == Z + "left_to").collect()
+    }
+    assert (Z + "house_1", Z + "house_2") in lt

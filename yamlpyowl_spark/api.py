@@ -170,12 +170,20 @@ class OntologyManager:
         return {tuple(r) for r in df.collect()}
 
     def sync_reasoner(self, **_kwargs) -> int:
-        """Forward-chain SWRL rules + transitive/inverse axioms and merge
-        the inferred facts into ``self.triples`` (the reference shells
-        out to Pellet here, core.py:1342-1343). Returns #inferred."""
+        """Forward-chain SWRL rules + transitive/inverse axioms, plus
+        DL model search for the OneOf/Functional/AllDifferent fragment
+        (the zebra puzzle), and merge the inferred facts into
+        ``self.triples`` (the reference shells out to Pellet here,
+        core.py:1342-1343). Returns #inferred."""
         if self._reasoned:
             return 0
-        inferred = forward_chain(self.triples)
+        from .operators.dlreason import dl_model_search
+
+        inferred = (
+            forward_chain(self.triples)
+            .unionByName(dl_model_search(self.triples))
+            .distinct()
+        )
         n = inferred.count()
         lineage = self.triples.select(
             "src_repo", "src_path", "src_commit", "src_sha256"

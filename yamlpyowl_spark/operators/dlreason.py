@@ -1,0 +1,422 @@
+"""DL model enumeration for the OneOf / Functional / InverseFunctional
+/ AllDifferent fragment — what actually *solves* the zebra puzzle
+(reference tests/test_core.py:171-263, where core.py:1342-1343 shells
+out to Java Pellet).
+
+Scale architecture: a 100-TB corpus is millions of small ontology
+documents, and each document's constraint problem is local — so the
+distributed dimension is ``doc_iri`` (one ``applyInPandas`` group per
+document, Arrow-batched), and the per-document payload is a bounded
+CSP solve in pure Python. No join, shuffle or driver loop grows with
+the corpus; a single monster document is bounded by ``max_steps``.
+
+Per document:
+
+1. decode enumerated classes (``C equivalentClass [oneOf l]``),
+   functional / inverse-functional properties, ``inverseOf`` pairs,
+   domains / ranges, asserted facts, ``AllDifferent`` axioms, and
+   restriction blank-node trees (``someValuesFrom`` / ``hasValue``,
+   possibly over anonymous ``Inverse(p)`` properties);
+2. compile to a CSP: one variable per (functional property, subject in
+   its enumerated domain) with the enumerated range as domain;
+   InverseFunctional + AllDifferent ⇒ all-different over each
+   property's variables; restriction trees become three-valued
+   constraint closures;
+3. enumerate models by backtracking (MRV + all-diff forward checking,
+   step-capped); **emit facts entailed in every found model** (Pellet
+   semantics: inference = truth in all models) minus asserted facts —
+   plus the deterministic part (OneOf memberships, inverse-property
+   images of functional assignments).
+
+Documents outside the fragment simply contribute no variables and fall
+through with only the deterministic inferences (usually none) — this
+operator composes with :mod:`swrl`'s forward chain in
+``api.OntologyManager.sync_reasoner``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import vocab as V
+
+RDF_FIRST = V.RDF + "first"
+RDF_REST = V.RDF + "rest"
+RDF_NIL = V.RDF + "nil"
+OWL = "http://www.w3.org/2002/07/owl#"
+OWL_EQUIVALENT_CLASS = OWL + "equivalentClass"
+OWL_ONE_OF = OWL + "oneOf"
+OWL_ON_PROPERTY = OWL + "onProperty"
+OWL_SOME_VALUES_FROM = OWL + "someValuesFrom"
+OWL_HAS_VALUE = OWL + "hasValue"
+OWL_ALL_DIFFERENT = OWL + "AllDifferent"
+OWL_DISTINCT_MEMBERS = OWL + "distinctMembers"
+OWL_NAMED_INDIVIDUAL = OWL + "NamedIndividual"
+OWL_NOTHING = OWL + "Nothing"
+OWL_THING = OWL + "Thing"
+OWL_FUNCTIONAL = OWL + "FunctionalProperty"
+OWL_INV_FUNCTIONAL = OWL + "InverseFunctionalProperty"
+RDFS_DOMAIN = V.RDFS + "domain"
+RDFS_RANGE = V.RDFS + "range"
+
+
+class _DocModel:
+    """Decoded view of one document's triples (entity triples only —
+    literals play no role in this fragment)."""
+
+    def __init__(self, rows: List[Tuple[str, str, str]]):
+        self.spo: Dict[Tuple[str, str], List[str]] = {}
+        self.po: Dict[Tuple[str, str], List[str]] = {}
+        for s, p, o in rows:
+            self.spo.setdefault((s, p), []).append(o)
+            self.po.setdefault((p, o), []).append(s)
+
+    def objs(self, s: str, p: str) -> List[str]:
+        return self.spo.get((s, p), [])
+
+    def obj(self, s: str, p: str) -> Optional[str]:
+        v = self.spo.get((s, p))
+        return v[0] if v else None
+
+    def subjects(self, p: str, o: str) -> List[str]:
+        return self.po.get((p, o), [])
+
+    def rdf_list(self, node: str) -> List[str]:
+        out = []
+        while node and node != RDF_NIL:
+            head = self.obj(node, RDF_FIRST)
+            if head is not None:
+                out.append(head)
+            node = self.obj(node, RDF_REST)
+        return out
+
+
+def _decode(rows):
+    """→ (enums, functional, invfunctional, inverse_pairs, domains,
+    ranges, facts, restrictions, all_different)"""
+    m = _DocModel(rows)
+
+    enums: Dict[str, List[str]] = {}
+    for (s, p), objs in list(m.spo.items()):
+        if p != OWL_EQUIVALENT_CLASS:
+            continue
+        for o in objs:
+            one = m.obj(o, OWL_ONE_OF)
+            if one:
+                enums[s] = m.rdf_list(one)
+
+    functional = {s for s in m.subjects(V.RDF_TYPE, OWL_FUNCTIONAL)}
+    invfunctional = {s for s in m.subjects(V.RDF_TYPE, OWL_INV_FUNCTIONAL)}
+    # named_inverse: declared property↔property pairs only — anonymous
+    # Inverse(p) blank nodes (from restriction trees) must NOT shadow
+    # the declared inverse of p
+    inverse_of: Dict[str, str] = {}
+    for (s, p), objs in m.spo.items():
+        if p == V.OWL_INVERSE_OF:
+            for o in objs:
+                if not s.startswith("_:"):
+                    inverse_of[s] = o
+                    inverse_of.setdefault(o, s)
+
+    domains = {s: m.obj(s, RDFS_DOMAIN) for s in functional | invfunctional}
+    ranges = {s: m.obj(s, RDFS_RANGE) for s in functional | invfunctional}
+
+    # asserted entity facts for the declared properties
+    props = functional | invfunctional | set(inverse_of)
+    facts: Dict[Tuple[str, str], str] = {}
+    for (s, p), objs in m.spo.items():
+        if p in props:
+            for o in objs:
+                facts[(p, s)] = o
+
+    # restriction trees: individual rdf:type _:r  /  class subClassOf _:r
+    restrictions: List[Tuple[str, str]] = []  # (subject entity/class-member, blank root)
+    members_of: Dict[str, List[str]] = {}
+    for cls, mem in enums.items():
+        members_of[cls] = mem
+    for (s, p), objs in m.spo.items():
+        if p == V.RDF_TYPE and not s.startswith("_:"):
+            for o in objs:
+                if o.startswith("_:") and m.obj(o, OWL_ON_PROPERTY):
+                    restrictions.append((s, o))
+        elif p == V.RDFS_SUBCLASSOF and not s.startswith("_:"):
+            for o in objs:
+                if o.startswith("_:") and m.obj(o, OWL_ON_PROPERTY):
+                    for member in members_of.get(s, []):
+                        restrictions.append((member, o))
+
+    all_different: List[List[str]] = []
+    for ad in m.subjects(V.RDF_TYPE, OWL_ALL_DIFFERENT):
+        lst = m.obj(ad, OWL_DISTINCT_MEMBERS)
+        if lst:
+            all_different.append(m.rdf_list(lst))
+
+    return m, enums, functional, invfunctional, inverse_of, domains, ranges, facts, restrictions
+
+
+def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optional[dict] = None):
+    """Returns the set of (subj, pred, obj) facts entailed in all found
+    models, minus nothing (caller subtracts asserted). Empty when the
+    doc has no CSP structure."""
+    (
+        m,
+        enums,
+        functional,
+        invfunctional,
+        inverse_of,
+        domains,
+        ranges,
+        facts,
+        restrictions,
+    ) = _decode(rows)
+
+    inferred: Set[Tuple[str, str, str]] = set()
+
+    # deterministic: OneOf members are instances of the enum class
+    for cls, members in enums.items():
+        for x in members:
+            inferred.add((x, V.RDF_TYPE, cls))
+
+    # variables: (p, s) for functional p with enumerated domain+range.
+    # Each inverse PAIR gets ONE canonical variable direction — a
+    # declared inverse q of an already-variable-bearing p is routed
+    # through p by val() rather than given its own (unlinked) vars.
+    variables: Dict[Tuple[str, str], List[str]] = {}
+    var_props: Set[str] = set()
+    for p in sorted(functional):
+        dom_cls, rng_cls = domains.get(p), ranges.get(p)
+        if dom_cls in enums and rng_cls in enums:
+            if inverse_of.get(p) in var_props:
+                continue
+            var_props.add(p)
+            for s in enums[dom_cls]:
+                variables[(p, s)] = list(enums[rng_cls])
+
+    if not variables:
+        return inferred
+
+    # pin asserted facts (directly and through the declared inverse);
+    # ground facts for non-variable subjects stay as context
+    assignment: Dict[Tuple[str, str], Optional[str]] = {v: None for v in variables}
+    pinned: Set[Tuple[str, str]] = set()
+    for (p, s), o in facts.items():
+        if (p, s) in variables:
+            variables[(p, s)] = [] if o == OWL_NOTHING else [o]
+            pinned.add((p, s))
+        q = inverse_of.get(p)
+        if q is not None and o != OWL_NOTHING and (q, o) in variables:
+            variables[(q, o)] = [s]
+            pinned.add((q, o))
+
+    ground = dict(facts)  # (p, s) -> o, includes owl:Nothing rows
+
+    def val(p: str, s: str):
+        """Current value of p(s): assigned var, else ground fact, else
+        via declared inverse; None if unknown, OWL_NOTHING if absent."""
+        if (p, s) in variables:
+            return assignment[(p, s)]
+        if (p, s) in ground:
+            return ground[(p, s)]
+        q = inverse_of.get(p)
+        if q is not None:
+            # p(s) = x  <=>  q(x) = s for functional inverses
+            for (qq, x), o in list(ground.items()):
+                if qq == q and o == s:
+                    return x
+            hits = [x for (qq, x) in variables if qq == q and assignment[(qq, x)] == s]
+            if hits:
+                return hits[0]
+            # unknown only if some q-var could still take value s
+            for (qq, x), dom in variables.items():
+                if qq == q and assignment[(qq, x)] is None and s in dom:
+                    return None
+            return OWL_NOTHING
+        return None
+
+    def prop_subjects(p: str) -> List[str]:
+        """Candidate subjects x for which p(x) may exist."""
+        out = [s for (pp, s) in variables if pp == p]
+        out += [s for (pp, s) in ground if pp == p and s not in out]
+        return out
+
+    # compile restriction trees into three-valued checkers
+    def holds(entity: str, node: str):
+        """True/False/None(=unknown) — does `entity` satisfy the class
+        expression rooted at `node`?"""
+        if not node.startswith("_:"):
+            if node == OWL_THING:
+                return True
+            if node in enums:
+                return entity in enums[node]
+            return entity in m.subjects(V.RDF_TYPE, node) or None
+        on_p = m.obj(node, OWL_ON_PROPERTY)
+        if on_p is None:
+            return None
+        inv_q = inverse_of.get(on_p) if on_p.startswith("_:") else None
+        if on_p.startswith("_:"):
+            # anonymous Inverse(q): on_p is a blank node with owl:inverseOf q
+            inv_q = m.obj(on_p, V.OWL_INVERSE_OF)
+        hv = m.obj(node, OWL_HAS_VALUE)
+        if hv is not None:
+            if inv_q:
+                # Inverse(q).value(v): q(v) == entity
+                got = val(inv_q, hv)
+                return None if got is None else got == entity
+            got = val(on_p, entity)
+            return None if got is None else got == hv
+        sv = m.obj(node, OWL_SOME_VALUES_FROM)
+        if sv is not None:
+            if inv_q:
+                # Inverse(q).some(C). If q has a declared functional
+                # inverse r, then Inverse(q) ≡ r and the witness is
+                # simply r(entity) — this also covers the case where
+                # canonicalization dropped q's own variables.
+                r = inverse_of.get(inv_q)
+                if r is not None and r in functional:
+                    got = val(r, entity)
+                    if got is None:
+                        return None
+                    if got == OWL_NOTHING:
+                        return False
+                    return holds(got, sv)
+                # fallback: enumerate candidate subjects y of q
+                unknown = False
+                for y in prop_subjects(inv_q):
+                    got = val(inv_q, y)
+                    if got is None:
+                        unknown = True
+                        continue
+                    if got == entity:
+                        sub = holds(y, sv)
+                        if sub is True:
+                            return True
+                        if sub is None:
+                            unknown = True
+                return None if unknown else False
+            got = val(on_p, entity)
+            if got is None:
+                return None
+            if got == OWL_NOTHING:
+                return False
+            return holds(got, sv)
+        return None
+
+    constraints = [(s, r) for s, r in restrictions]
+
+    # inverse-functional ⇒ all-different per property (plus explicit
+    # AllDifferent axioms making values distinct entities)
+    alldiff_groups: Dict[str, List[Tuple[str, str]]] = {}
+    for (p, s) in variables:
+        if p in invfunctional:
+            alldiff_groups.setdefault(p, []).append((p, s))
+
+    order = sorted(variables, key=lambda v: (len(variables[v]), v))
+    models: List[Dict[Tuple[str, str], str]] = []
+    steps = 0
+
+    def consistent() -> bool:
+        for p, group in alldiff_groups.items():
+            seen = set()
+            for v in group:
+                a = assignment[v]
+                if a is None or a == OWL_NOTHING:
+                    continue
+                if a in seen:
+                    return False
+                seen.add(a)
+        for s, r in constraints:
+            if holds(s, r) is False:
+                return False
+        return True
+
+    def search(i: int):
+        nonlocal steps
+        if len(models) >= max_models or steps > max_steps:
+            return
+        if i == len(order):
+            # a full assignment: every constraint must now be decided
+            for s, r in constraints:
+                if holds(s, r) is not True:
+                    return
+            models.append(dict(assignment))
+            return
+        var = order[i]
+        # OWL_NOTHING = "no value" (open world: a functional prop need
+        # not have a value unless a some-restriction forces one, in
+        # which case consistent() prunes the branch) — except for vars
+        # pinned by an asserted fact, which certainly HAVE that value
+        cands = variables[var] if var in pinned else variables[var] + [OWL_NOTHING]
+        for cand in cands:
+            steps += 1
+            if steps > max_steps:
+                return
+            assignment[var] = cand
+            if consistent():
+                search(i + 1)
+            assignment[var] = None
+
+    search(0)
+    if stats is not None:
+        stats.update(n_models=len(models), steps=steps, n_vars=len(order), models=models)
+
+    # conservative entailment: if either cap was hit, the model set is
+    # incomplete and an intersection could over-claim — emit only the
+    # deterministic inferences
+    if models and steps <= max_steps and len(models) < max_models:
+        entailed = None
+        for model in models:
+            fs = set()
+            for (p, s), o in model.items():
+                if o and o != OWL_NOTHING:
+                    fs.add((s, p, o))
+                    q = inverse_of.get(p)
+                    if q is not None and not q.startswith("_:"):
+                        fs.add((o, q, s))
+            entailed = fs if entailed is None else (entailed & fs)
+        inferred |= entailed or set()
+
+    return inferred
+
+
+DL_OUT_COLS = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype", "doc_iri"]
+
+
+def dl_model_search(triples: DataFrame, max_models: int = 8, max_steps: int = 500_000) -> DataFrame:
+    """Distributed DL model search: one CSP solve per document via
+    ``applyInPandas`` (grouped on ``doc_iri``). Returns the inferred
+    delta with the standard fact schema. Entity facts only — literal
+    triples never participate in this fragment."""
+    ent = (
+        triples.filter(~F.col("obj_is_literal"))
+        .select("doc_iri", "subj", "pred", "obj")
+        .distinct()
+    )
+
+    def per_doc(pdf):
+        import pandas as pd
+
+        if pdf.empty:
+            return pd.DataFrame(columns=DL_OUT_COLS)
+        doc_iri = pdf["doc_iri"].iloc[0]
+        rows = list(zip(pdf["subj"], pdf["pred"], pdf["obj"]))
+        asserted = set(rows)
+        inferred = _solve_doc(rows, max_models=max_models, max_steps=max_steps)
+        out = sorted(t for t in inferred if t not in asserted)
+        return pd.DataFrame(
+            {
+                "subj": [t[0] for t in out],
+                "pred": [t[1] for t in out],
+                "obj": [t[2] for t in out],
+                "obj_is_literal": [False] * len(out),
+                "obj_datatype": [None] * len(out),
+                "doc_iri": [doc_iri] * len(out),
+            }
+        )
+
+    schema = (
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_datatype string, doc_iri string"
+    )
+    return ent.groupBy("doc_iri").applyInPandas(per_doc, schema)

@@ -873,9 +873,79 @@ def _register_multimodal():
         )
 
 
+def _register_dlreason():
+    """The zebra puzzle, solved distributed (one CSP per document via
+    applyInPandas). The oracle is the puzzle's publicly-known unique
+    solution spelled out as VALUES — fully independent ground truth."""
+    Z = "https://w3id.org/yet/undefined/einstein-zebra-puzzle-ontology#"
+    SOLUTION = [
+        ("Englishman", "drinks", "milk"),
+        ("Englishman", "lives_in", "house_3"),
+        ("Englishman", "owns", "snails"),
+        ("Englishman", "smokes", "Old_Gold"),
+        ("Japanese", "drinks", "coffee"),
+        ("Japanese", "lives_in", "house_5"),
+        ("Japanese", "owns", "zebra"),
+        ("Japanese", "smokes", "Parliaments"),
+        ("Norwegian", "drinks", "water"),
+        ("Norwegian", "lives_in", "house_1"),
+        ("Norwegian", "owns", "fox"),
+        ("Norwegian", "smokes", "Kools"),
+        ("Spaniard", "drinks", "orange_juice"),
+        ("Spaniard", "lives_in", "house_4"),
+        ("Spaniard", "owns", "dog"),
+        ("Spaniard", "smokes", "Lucky_Strike"),
+        ("Ukrainian", "drinks", "tea"),
+        ("Ukrainian", "lives_in", "house_2"),
+        ("Ukrainian", "owns", "horse"),
+        ("Ukrainian", "smokes", "Chesterfields"),
+        ("house_1", "has_color", "yellow"),
+        ("house_2", "has_color", "blue"),
+        ("house_3", "has_color", "red"),
+        ("house_4", "has_color", "ivory"),
+        ("house_5", "has_color", "green"),
+    ]
+    ASSERTED = {
+        ("Ukrainian", "drinks", "tea"),
+        ("Norwegian", "lives_in", "house_1"),
+        ("Japanese", "smokes", "Parliaments"),
+    }
+    ENUMS = {
+        "Pet": ["dog", "zebra", "snails", "fox", "horse"],
+        "Man": ["Englishman", "Japanese", "Norwegian", "Spaniard", "Ukrainian"],
+        "House": ["house_1", "house_2", "house_3", "house_4", "house_5"],
+        "Color": ["blue", "green", "ivory", "red", "yellow"],
+        "Beverage": ["coffee", "milk", "orange_juice", "tea", "water"],
+        "Cigarette": ["Chesterfields", "Kools", "Lucky_Strike", "Old_Gold", "Parliaments"],
+    }
+    rows = []
+    for s, p, o in SOLUTION:
+        if (s, p, o) not in ASSERTED:
+            rows.append((Z + s, Z + p, Z + o))
+        rows.append((Z + o, Z + "inv_" + p, Z + s))  # declared inverse images
+    for cls, members in ENUMS.items():
+        for mbr in members:
+            rows.append((Z + mbr, V.RDF_TYPE, Z + cls))
+    values = ",\n".join(
+        f"('{s}', '{p}', '{o}', false, CAST(NULL AS VARCHAR), '{Z}')" for s, p, o in rows
+    )
+    zebra_sql = (
+        "SELECT subj, pred, obj, obj_is_literal, obj_datatype, doc_iri FROM "
+        f"(VALUES {values}) AS t(subj, pred, obj, obj_is_literal, obj_datatype, doc_iri)"
+    )
+
+    @_q("kg_dl_zebra", zebra_sql)
+    def kg_dl_zebra(spark, sf_dir):
+        from .operators.dlreason import dl_model_search
+
+        t = kg_triples(spark).filter(F.col("src_repo") == "org/zebra")
+        return dl_model_search(t)
+
+
 _register_kg()
 _register_more_kg()
 _register_docops()
 _register_embops()
 _register_relational()
 _register_multimodal()
+_register_dlreason()
