@@ -48,6 +48,10 @@ HEADLINE = [
     "rel_nation_revenue",
     "rel_latest_event_per_user",
     "rel_event_sessions",
+    # every operator family has a timed row (round-1 verdict #9)
+    "kg_swrl_forward_chain",
+    "kg_dl_zebra",
+    "mm_image_features",
 ]
 
 
@@ -126,10 +130,11 @@ def scaling_experiment(corpus_path: str) -> dict:
     results = {}
     for cpus in (SCALE_N, SCALE_4N):
         spark = get_spark(cpus=cpus, app_name=f"ypo-bench-scale-{cpus}")
-        # warm up python workers + JIT once, then best-of-3 (the sandbox
-        # has background load; min is the standard throughput estimator)
+        # warm up python workers + JIT once, then best-of-5 (the sandbox
+        # has background load; min is the standard throughput estimator,
+        # and 5 repeats keeps the N→4N ratio stable within ~±0.05)
         parse_job(spark, corpus_path)
-        r = min((parse_job(spark, corpus_path) for _ in range(3)), key=lambda x: x["sec"])
+        r = min((parse_job(spark, corpus_path) for _ in range(5)), key=lambda x: x["sec"])
         r["docs_per_sec"] = round(r["n_docs"] / r["sec"], 1)
         r["triples_per_sec"] = round(r["n_triples"] / r["sec"], 1)
         results[f"local[{cpus}]"] = r
@@ -140,6 +145,28 @@ def scaling_experiment(corpus_path: str) -> dict:
     results["speedup_n_to_4n"] = round(thr_4n / thr_n, 3)
     results["scaling_efficiency"] = round((thr_4n / thr_n) / 4.0, 3)
     return results
+
+
+def _prev_round_timings() -> dict:
+    """Per-query timings from the most recent driver-recorded
+    BENCH_r{N}.json, for the regression table."""
+    import glob
+    import re
+
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if not best:
+        return {}
+    try:
+        with open(best) as fh:
+            d = json.load(fh)
+        # the driver wraps bench.py's JSON line under "parsed"
+        return d.get("queries") or d.get("parsed", {}).get("queries", {})
+    except Exception:
+        return {}
 
 
 def write_bench_md(timings: dict, scaling: dict, total: float):
@@ -173,16 +200,25 @@ def write_bench_md(timings: dict, scaling: dict, total: float):
         "",
         f"- speedup N→4N: **{scaling['speedup_n_to_4n']}×**",
         f"- scaling efficiency (speedup/4): **{scaling['scaling_efficiency']}** (target ≥ 0.8)",
-        "- measurements are best-of-3 after a warm-up run; the shared sandbox",
+        "- measurements are best-of-5 after a warm-up run; the shared sandbox",
         "  shows run-to-run wall-clock variance — observed efficiency across",
         "  repeated runs: 0.75–1.00",
         "",
         "## Per-query headline timings (sec)",
         "",
-        "| query | sec |",
-        "|---|---|",
     ]
-    lines += [f"| {k} | {v} |" for k, v in timings.items()]
+    prev = _prev_round_timings()
+    if prev:
+        lines += ["| query | sec | prev round | delta |", "|---|---|---|---|"]
+        for k, v in timings.items():
+            p = prev.get(k)
+            if p:
+                lines.append(f"| {k} | {v} | {p} | {v - p:+.2f} |")
+            else:
+                lines.append(f"| {k} | {v} | new | — |")
+    else:
+        lines += ["| query | sec |", "|---|---|"]
+        lines += [f"| {k} | {v} |" for k, v in timings.items()]
     with open(os.path.join(REPO_DIR, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
 

@@ -66,3 +66,29 @@ def test_scan_rejects_wrong_shape(spark, tmp_path):
     spark.createDataFrame([(1, "x")], ["a", "b"]).write.parquet(p)
     with pytest.raises(ValueError, match="missing columns"):
         read_source_table(spark, p)
+
+
+def test_cli_convert_rdfxml_roundtrip(spark, tmp_path):
+    """convert also emits triples.owl (RDF/XML, the reference CLI's
+    format — script.py:51); round-trips through the subset reader."""
+    from yamlpyowl_spark import vocab as V
+    from yamlpyowl_spark.rdfxml import read_rdfxml
+
+    out = str(tmp_path / "rdfx")
+    assert main(["convert", PIZZA, "-o", out], spark=spark) == 0
+    owl = os.path.join(out, "triples.owl")
+    assert os.path.exists(owl)
+    # well-formed XML with an rdf:RDF root
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(owl).getroot()
+    assert root.tag == "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}RDF"
+
+    got = read_rdfxml(owl)
+    df = spark.read.parquet(os.path.join(out, "triples.parquet"))
+    want = {
+        # xsd:string carries no explicit datatype in RDF/XML
+        (r[0], r[1], r[2], r[3], None if r[4] == V.XSD_STRING else r[4])
+        for r in df.select("subj", "pred", "obj", "obj_is_literal", "obj_datatype").collect()
+    }
+    assert got == want and len(got) == 127

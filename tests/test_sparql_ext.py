@@ -1,0 +1,97 @@
+"""SPARQL extensions beyond the reference's own BGP usage: FILTER
+comparisons, UNION, OPTIONAL (left join) — compiled to DataFrame ops,
+rejecting the genuinely unsupported constructs loudly."""
+
+import pytest
+from pyspark.sql import types as T
+
+from yamlpyowl_spark.operators.sparql import SparqlError, make_query, parse_sparql
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("obj_is_literal", T.BooleanType()),
+        T.StructField("obj_datatype", T.StringType()),
+        T.StructField("doc_iri", T.StringType()),
+    ]
+)
+
+E = "http://ex.org/"
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        (E + "a", E + "age", "30", True, None, E),
+        (E + "b", E + "age", "7", True, None, E),
+        (E + "c", E + "age", "45", True, None, E),
+        (E + "a", E + "knows", E + "b", False, None, E),
+        (E + "b", E + "likes", E + "c", False, None, E),
+        (E + "a", E + "name", "alice", True, None, E),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _q(triples, body):
+    return make_query(triples, f"PREFIX e: <{E}> SELECT {body}")
+
+
+def test_filter_numeric(triples):
+    got = {r[0] for r in _q(triples, "?x WHERE { ?x e:age ?a . FILTER(?a > 10) }").collect()}
+    assert got == {E + "a", E + "c"}
+
+
+def test_filter_conjunction(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, "?x WHERE { ?x e:age ?a . FILTER(?a > 10 && ?a < 40) }"
+        ).collect()
+    }
+    assert got == {E + "a"}
+
+
+def test_filter_string_equality(triples):
+    got = {r[0] for r in _q(triples, '?x WHERE { ?x e:name ?n . FILTER(?n = "alice") }').collect()}
+    assert got == {E + "a"}
+
+
+def test_union(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, "?y WHERE { { e:a e:knows ?y } UNION { e:b e:likes ?y } }"
+        ).collect()
+    }
+    assert got == {E + "b", E + "c"}
+
+
+def test_optional_left_join(triples):
+    rows = {
+        tuple(r)
+        for r in _q(
+            triples, "?x ?y WHERE { ?x e:age ?a . OPTIONAL { ?x e:knows ?y } }"
+        ).collect()
+    }
+    assert rows == {(E + "a", E + "b"), (E + "b", None), (E + "c", None)}
+
+
+def test_union_branch_mismatch_rejected(triples):
+    with pytest.raises(SparqlError, match="same variables"):
+        _q(triples, "?x WHERE { { ?x e:age ?a } UNION { e:a e:knows ?y } }")
+
+
+def test_still_unsupported_rejected(triples):
+    with pytest.raises(SparqlError, match="MINUS"):
+        _q(triples, "?x WHERE { ?x e:age ?a MINUS { ?x e:name ?n } }")
+    with pytest.raises(SparqlError, match="never bound"):
+        _q(triples, "?zzz WHERE { ?x e:age ?a }")
+
+
+def test_legacy_parse_sparql_still_bgp_only():
+    sel, pats = parse_sparql(f"PREFIX e: <{E}> SELECT ?x WHERE {{ ?x e:age ?a . }}")
+    assert sel == ["?x"] and pats == [("?x", E + "age", "?a")]
+    with pytest.raises(SparqlError, match="make_query"):
+        parse_sparql(f"PREFIX e: <{E}> SELECT ?x WHERE {{ ?x e:age ?a . FILTER(?a > 1) }}")

@@ -51,6 +51,11 @@ def cmd_convert(args, spark) -> int:
     with open(os.path.join(outdir, "triples.nt"), "w") as fh:
         for r in rows:
             fh.write(ntriples_line(*r) + "\n")
+    # RDF/XML next to it — the reference CLI's output format
+    # (script.py:51, onto.save(format="rdfxml"))
+    from .rdfxml import write_rdfxml
+
+    write_rdfxml([tuple(r) for r in rows], os.path.join(outdir, "triples.owl"), base_iri=om.iri)
     print(f"wrote {len(rows)} triples to {outdir}", file=sys.stderr)
     return 0
 

@@ -36,8 +36,9 @@ never an opaque mid-fixpoint crash; pass ``on_unsupported="skip"`` to
 drop such rules with a warning instead.
 
 NOT a DL reasoner: OneOf/Functional/AllDifferent model enumeration
-(the zebra puzzle's solution step) lives in ``operators/domprop.py``;
-the triple-parity contract is on asserted triples (SURVEY.md §2.5).
+(the zebra puzzle's solution step) lives in ``operators/dlreason.py``;
+``api.OntologyManager.sync_reasoner`` composes the two. The
+triple-parity contract is on asserted triples (SURVEY.md §2.5).
 
 Rule names are resolved against the document IRI (rules are emitted by
 the parser as ``(rule_iri, ypo:ruleSrc, src)`` literals), and chaining

@@ -243,6 +243,47 @@ def _register_kg():
         return bgp(kg_triples(spark), [("?x", RR + "hasPart", RR + "dresden")], ["?x"])
 
     @_q(
+        "kg_sparql_filter",
+        f"""SELECT DISTINCT subj AS x, obj AS v FROM {_t()}
+            WHERE pred = '{RR}hasIRRValue' AND TRY_CAST(obj AS DOUBLE) > 0.3""",
+    )
+    def kg_sparql_filter(spark, sf_dir):
+        from .operators.sparql import make_query
+
+        q = f"PREFIX P: <{RR}> SELECT ?x ?v WHERE {{ ?x P:hasIRRValue ?v . FILTER(?v > 0.3) }}"
+        return make_query(kg_triples(spark), q)
+
+    @_q(
+        "kg_sparql_union",
+        f"""SELECT DISTINCT subj AS x FROM {_t()}
+            WHERE pred = '{RR}hasPart' AND obj IN ('{RR}dresden', '{RR}leipzig')""",
+    )
+    def kg_sparql_union(spark, sf_dir):
+        from .operators.sparql import make_query
+
+        q = (
+            f"PREFIX P: <{RR}> SELECT ?x WHERE "
+            f"{{ {{ ?x P:hasPart P:dresden }} UNION {{ ?x P:hasPart P:leipzig }} }}"
+        )
+        return make_query(kg_triples(spark), q)
+
+    @_q(
+        "kg_sparql_optional",
+        f"""SELECT DISTINCT t1.subj AS x, t2.obj AS d
+            FROM (SELECT subj FROM {_t()} WHERE pred = '{RR}hasPart') t1
+            LEFT JOIN (SELECT subj, obj FROM {_t()} WHERE pred = '{RR}hasDirective') t2
+              ON t1.subj = t2.subj""",
+    )
+    def kg_sparql_optional(spark, sf_dir):
+        from .operators.sparql import make_query
+
+        q = (
+            f"PREFIX P: <{RR}> SELECT ?x ?d WHERE "
+            f"{{ ?x P:hasPart ?p . OPTIONAL {{ ?x P:hasDirective ?d }} }}"
+        )
+        return make_query(kg_triples(spark), q)
+
+    @_q(
         "kg_bgp_join",
         f"""SELECT DISTINCT t1.doc_iri, t1.subj AS region, t2.obj AS directive
             FROM {_t()} t1 JOIN {_t()} t2
