@@ -164,3 +164,29 @@ def test_sync_reasoner_solves_zebra(spark):
         for r in om.triples.filter(F.col("pred") == Z + "left_to").collect()
     }
     assert (Z + "house_1", Z + "house_2") in lt
+
+
+def test_facade_zebra_parity_assertions(spark):
+    """The reference's exact post-reasoner surface (tests/test_core.py:
+    171-263): n.Pet in n.dog.is_a, n.Ukrainian.drinks == n.tea,
+    n.Japanese.owns == n.zebra — through om.n attribute access."""
+    import os
+
+    from yamlpyowl_spark.api import OntologyManager
+    from yamlpyowl_spark.sources.fixtures import REFERENCE_DIR
+
+    om = OntologyManager(
+        os.path.join(REFERENCE_DIR, "examples/einsteins_zebra_riddle.owl.yml"), spark
+    )
+    n = om.n
+    # pre-reasoner: dog is created as a Thing, not a Pet (test_core.py:178)
+    assert n.Pet not in n.dog.is_a
+    assert n.house_2.right_to == n.house_1
+
+    om.sync_reasoner()
+    assert n.Pet in n.dog.is_a  # test_core.py:187
+    assert n.Pet in n.fox.is_a  # test_core.py:188
+    assert n.Ukrainian.drinks == n.tea  # clue 5, test_core.py:210
+    assert n.Norwegian.lives_in == n.house_1  # clue 10, test_core.py:227
+    assert n.Japanese.smokes == n.Parliaments  # clue 14, test_core.py:252
+    assert n.Japanese.owns == n.zebra  # "solved completely", test_core.py:263

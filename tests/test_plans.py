@@ -100,3 +100,17 @@ def test_exact_dedup_partial_aggregation(spark):
     # map-side combine: two HashAggregate levels around the exchange
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_dl_model_search_plan_shape(spark, corpus):
+    """One shuffle (groupBy doc_iri) into one Arrow-grouped stage; no
+    row-at-a-time Python anywhere."""
+    from yamlpyowl_spark.operators.dlreason import dl_model_search
+
+    pipe = KGPipeline(spark, parse_partitions=8)
+    triples = pipe.triples(pipe.parsed(corpus))
+    plan = _plan(dl_model_search(triples))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly one grouped-Python stage: the per-document CSP solve
+    assert plan.count("FlatMapGroupsInPandas") == 1

@@ -33,11 +33,22 @@ from .schema import SOURCE_SCHEMA
 from .sources.fixtures import build_default_import_map
 
 
+class AnnotationList(list):
+    """list with owlready's ``.first()`` convenience
+    (reference tests/test_core.py:292 ``om.n.Class4.label.first()``)."""
+
+    def first(self):
+        return self[0] if self else None
+
+
 class EntityHandle:
     """Lightweight stand-in for an owlready2 entity: ``.name``/``.iri``
-    /``.kind`` plus lazily-collected ``label``/``comment`` lists
-    (reference Container semantics, core.py:55-69; used pervasively in
-    reference tests as ``om.n.mypizza1``)."""
+    /``.kind``, lazily-collected ``label``/``comment``/``is_a``, and
+    attribute access to property values — ``om.n.Ukrainian.drinks``
+    returns the ``tea`` handle for a functional property, a list for a
+    non-functional one (reference Container semantics, core.py:55-69;
+    used pervasively in reference tests, e.g. tests/test_core.py:210,
+    263)."""
 
     __slots__ = ("name", "iri", "kind", "_om")
 
@@ -47,27 +58,77 @@ class EntityHandle:
         self.kind = kind
         self._om = om
 
-    def _annotation(self, pred: str):
-        from . import vocab as V  # noqa: F401 — keeps import local
-
+    def _objs(self, pred: str):
         return [
-            r["obj"]
+            (r["obj"], r["obj_is_literal"], r["obj_datatype"])
             for r in self._om.triples.filter(
                 (F.col("subj") == self.iri) & (F.col("pred") == pred)
             ).collect()
         ]
 
+    def _to_value(self, obj: str, is_lit: bool, dtype):
+        from . import vocab as V
+
+        if is_lit:
+            if dtype == V.XSD_INTEGER:
+                return int(obj)
+            if dtype == V.XSD_DOUBLE:
+                return float(obj)
+            if dtype == V.XSD_BOOLEAN:
+                return obj in ("true", "True")
+            return obj
+        local = obj.replace(self._om.iri, "")
+        if local in self._om.n:
+            return getattr(self._om.n, local)
+        return EntityHandle(local, obj, "entity", self._om)
+
     @property
     def label(self):
         from . import vocab as V
 
-        return self._annotation(V.RDFS_LABEL)
+        return AnnotationList(o for o, _, _ in self._objs(V.RDFS_LABEL))
 
     @property
     def comment(self):
         from . import vocab as V
 
-        return self._annotation(V.RDFS_COMMENT)
+        return AnnotationList(o for o, _, _ in self._objs(V.RDFS_COMMENT))
+
+    @property
+    def is_a(self):
+        from . import vocab as V
+
+        return [
+            self._to_value(o, False, None)
+            for o, _, _ in self._objs(V.RDF_TYPE)
+            if not o.startswith("_:")
+        ]
+
+    def __getattr__(self, name: str):
+        # property-value access: om.n.Ukrainian.drinks → tea handle.
+        # __getattr__ fires only for non-slot attributes; reject dunder
+        # probes so copy/pickle don't trigger Spark jobs
+        if name.startswith("_"):
+            raise AttributeError(name)
+        om = self._om
+        if name not in om.roles:
+            raise AttributeError(
+                f"{self.name} has no attribute {name!r} (not a declared property)"
+            )
+        vals = [self._to_value(*t) for t in self._objs(om.iri + name)]
+        from . import vocab as V
+
+        functional = (
+            om.triples.filter(
+                (F.col("subj") == om.iri + name)
+                & (F.col("pred") == V.RDF_TYPE)
+                & (F.col("obj") == V.OWL_FUNCTIONAL)
+            ).count()
+            > 0
+        )
+        if functional:
+            return vals[0] if vals else None
+        return vals
 
     def __repr__(self):
         return f"<{self.kind} {self.name}>"
