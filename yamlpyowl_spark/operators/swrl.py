@@ -367,15 +367,40 @@ def _subclass_closed_types(triples: DataFrame) -> DataFrame:
     return _closed_types(triples, _closure_pairs(triples))
 
 
-def _eval_template(key: str, rules: DataFrame, facts: DataFrame, types: DataFrame) -> DataFrame:
+def _eval_template(
+    key: str,
+    rules: DataFrame,
+    facts: DataFrame,
+    types: DataFrame,
+    delta: DataFrame = None,
+) -> DataFrame:
     """One join pipeline evaluating EVERY rule of this template across
-    all documents at once; rule slots ride along as columns."""
+    all documents at once; rule slots ride along as columns.
+
+    Semi-naive mode (``delta`` given): returns the union over property
+    -atom positions i of the plan where atom i reads the DELTA facts
+    and the others read the full set — a binding is re-derived this
+    round only if at least one body atom matches a new fact, so round
+    cost tracks |delta|, not |facts| (classic semi-naive Datalog)."""
     body, head, n_slots = _parse_template(key)
+    prop_positions = [j for j, a in enumerate(body) if a[0] == "prop"]
+    if delta is not None and prop_positions:
+        outs = [
+            _eval_template_once(key, body, head, n_slots, rules, facts, types, delta, j)
+            for j in prop_positions
+        ]
+        return reduce(lambda a, c: a.unionByName(c), outs)
+    return _eval_template_once(key, body, head, n_slots, rules, facts, types, None, -1)
+
+
+def _eval_template_once(
+    key, body, head, n_slots, rules, facts, types, delta, delta_pos
+) -> DataFrame:
     b = rules.filter(F.col("template_key") == key).select(
         "doc_iri", *[F.col("slots")[i].alias(f"_s{i}") for i in range(n_slots)]
     )
     bound: set = set()
-    for atom in body:
+    for atom_idx, atom in enumerate(body):
         if atom[0] == "bi":
             _, op, vi, cs = atom
             val = F.col(f"v{vi}").cast("double")
@@ -405,7 +430,8 @@ def _eval_template(key: str, rules: DataFrame, facts: DataFrame, types: DataFram
             b = j.select(*cols).distinct()
             continue
         _, pred_slot, ssub, osub = atom
-        fa = facts.select(
+        src = delta if (delta is not None and atom_idx == delta_pos) else facts
+        fa = src.select(
             F.col("doc_iri").alias("__d"),
             F.col("pred").alias("__p"),
             F.col("subj").alias("__s"),
@@ -519,30 +545,40 @@ def forward_chain(
     types = _closed_types(triples, closure).localCheckpoint()
 
     facts = base.localCheckpoint()
-    n_facts = facts.count()
-    had_type_heads = any("=>T(" in k or ";T(" in k.split("=>")[1] for k in templates)
+    had_type_heads = any("T(" in k.split("=>")[1] for k in templates)
 
-    for _ in range(max_iter):
-        new = reduce(
-            lambda a, c: a.unionByName(c),
-            (_eval_template(k, rules, facts, types) for k in templates),
-        )
-        facts = facts.unionByName(new).distinct().localCheckpoint()
-        n2 = facts.count()
-        if n2 == n_facts:
+    def _minus(a: DataFrame, b: DataFrame) -> DataFrame:
+        # null-safe anti-join: obj_datatype is NULL for non-literals
+        # and a plain equi-join would never match NULLs
+        cond = None
+        aa, bb = a.alias("a"), b.alias("b")
+        for c in fact_cols:
+            eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+            cond = eq if cond is None else cond & eq
+        return aa.join(bb, cond, "left_anti").select(*fact_cols)
+
+    # semi-naive: round 1 seeds delta with everything; later rounds
+    # re-join only bindings touching at least one new fact. Templates
+    # whose firing can be triggered by a new TYPE fact (class atoms,
+    # when some template infers types) fall back to full evaluation.
+    delta = facts
+    inferred_acc = None
+    for rnd in range(max_iter):
+        outs = []
+        for k in templates:
+            class_triggered = had_type_heads and ("T(" in k.split("=>")[0])
+            d = None if (rnd == 0 or class_triggered) else delta
+            outs.append(_eval_template(k, rules, facts, types, delta=d))
+        new = reduce(lambda a, c: a.unionByName(c), outs).distinct()
+        delta = _minus(new, facts).localCheckpoint()
+        if delta.isEmpty():
             break
-        n_facts = n2
+        facts = facts.unionByName(delta).localCheckpoint()
+        inferred_acc = delta if inferred_acc is None else inferred_acc.unionByName(delta)
         if had_type_heads:
             # inferred class memberships must feed later class atoms
             types = _closed_types(facts, closure).localCheckpoint()
 
-    # null-safe anti-join: obj_datatype is NULL for non-literals and a
-    # plain equi-join would never match NULLs, leaking base facts into
-    # the "inferred" delta
-    cond = None
-    b = base.alias("b")
-    f = facts.alias("f")
-    for c in fact_cols:
-        eq = F.col(f"f.{c}").eqNullSafe(F.col(f"b.{c}"))
-        cond = eq if cond is None else cond & eq
-    return f.join(b, cond, "left_anti").select(*fact_cols)
+    if inferred_acc is None:
+        return spark.createDataFrame([], base.schema)
+    return inferred_acc.distinct()
