@@ -153,12 +153,11 @@ def test_all_queries_match_oracles(spark, contract, ddb):
 def test_every_query_has_oracle_or_reason(contract):
     queries, oracles = contract
     missing = sorted(set(queries) - set(oracles))
-    # non-SQL-expressible ops are allowed to be rows-only; keep the list
-    # explicit so additions are deliberate
-    allowed_rows_only = {
-        "mm_image_features",
-        "mm_frame_sample_counts",
-    }
+    # every query is oracle-gated as of round 2 (SWRL fixpoint and
+    # multimodal features compare against sequential-implementation
+    # artifacts; the zebra and frame-count oracles are independent
+    # ground truth); keep the escape hatch explicit for the future
+    allowed_rows_only: set = set()
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
 
 

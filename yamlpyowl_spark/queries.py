@@ -895,15 +895,31 @@ def _register_relational():
 
 def _register_multimodal():
     # rows-only (no oracle): the decode step is a pandas-UDF codec stub —
-    # not SQL-expressible; semantics pinned by tests/test_multimodal.py
-    # against a numpy reference implementation
-    @_q("mm_image_features")
+    # oracle: sequential single-process numpy computation over the same
+    # deterministic synthetic media, materialized as a parquet artifact
+    # (distributed == sequential, the triples.parquet gate philosophy);
+    # semantics additionally pinned by tests/test_multimodal.py
+    from .sources.artifacts import mm_features_path
+
+    @_q(
+        "mm_image_features",
+        f"SELECT media_id, mean_x100, std_x100, n_pixels FROM read_parquet('{mm_features_path()}')",
+    )
     def mm_image_features(spark, sf_dir):
         from .operators.multimodal import image_features, synthesize_media
 
+        ensure_artifacts()
         return image_features(synthesize_media(spark, n=64))
 
-    @_q("mm_frame_sample_counts")
+    # frame sampling over videos i≡2 (mod 3) with n_frames = 4+(i%5),
+    # every 2nd frame → ceil(n/2): directly expressible from the
+    # synthesizer's documented parameters — fully independent oracle
+    @_q(
+        "mm_frame_sample_counts",
+        """SELECT i AS media_id,
+                  CAST(ceil((4 + (i % 5)) / 2.0) AS BIGINT) AS n_frames_sampled
+           FROM range(64) t(i) WHERE i % 3 = 2""",
+    )
     def mm_frame_sample_counts(spark, sf_dir):
         from .operators.multimodal import sample_frames, synthesize_media
 

@@ -31,7 +31,7 @@ from ..functions.udfs import parse_rows_to_records
 from .corpus import corpus_rows, write_corpus_parquet
 from .fixtures import build_default_import_map
 
-_VERSION = 4
+_VERSION = 5
 ARTIFACT_DIR = os.environ.get(
     "YPO_ARTIFACT_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".artifacts", "kg"),
@@ -68,6 +68,42 @@ def errors_path() -> str:
 
 def inferred_path() -> str:
     return os.path.join(ARTIFACT_DIR, "inferred_regional.parquet")
+
+
+def mm_features_path() -> str:
+    return os.path.join(ARTIFACT_DIR, "mm_image_features.parquet")
+
+
+def _build_mm_features() -> None:
+    """Sequential single-process computation of the image features the
+    mapInPandas operator produces over the deterministic synthetic
+    media table — the distributed==sequential oracle for
+    mm_image_features (same gate philosophy as triples.parquet)."""
+    import numpy as np
+
+    from ..operators.multimodal import _keystream
+
+    rows = []
+    for i in range(64):
+        if i % 3 != 0:  # images only
+            continue
+        w, h, c = 8 + (i % 8), 8 + (i % 4), 3
+        px = np.frombuffer(_keystream(f"42:img:{i}", w * h * c), dtype=np.uint8).astype(
+            np.float64
+        )
+        rows.append(
+            (i, int(np.floor(px.mean() * 100)), int(np.floor(px.std() * 100)), w * h)
+        )
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                name: pa.array(list(col), type=pa.int64())
+                for name, col in zip(("media_id", "mean_x100", "std_x100", "n_pixels"), cols)
+            }
+        ),
+        mm_features_path(),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -298,7 +334,13 @@ def ensure_artifacts() -> dict:
         with open(_marker_path()) as fh:
             if json.load(fh) == manifest and all(
                 os.path.exists(p)
-                for p in (corpus_path(), triples_path(), errors_path(), inferred_path())
+                for p in (
+                    corpus_path(),
+                    triples_path(),
+                    errors_path(),
+                    inferred_path(),
+                    mm_features_path(),
+                )
             ):
                 return {"corpus": corpus_path(), "triples": triples_path(), "errors": errors_path()}
     except Exception:
@@ -357,6 +399,8 @@ def ensure_artifacts() -> dict:
         ),
         inferred_path(),
     )
+
+    _build_mm_features()
 
     with open(_marker_path(), "w") as fh:
         json.dump(manifest, fh)
