@@ -1,0 +1,135 @@
+"""Watermarked window aggregation + applyInPandasWithState
+sessionization: late data lands in its window, watermark-expired data
+is dropped, sessions close on gap and flush on timeout."""
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from yamlpyowl_spark.streaming import sessionize_stream, windowed_event_counts
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _write_events(path, rows):
+    import datetime as dt
+
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [dt.datetime(2026, 1, 1) + dt.timedelta(seconds=r[2]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        path,
+    )
+
+
+def _drain(stream_df, out_dir, checkpoint):
+    # file sink (not memory): supports checkpoint recovery across
+    # drain-restart cycles, which is exactly what we exercise here
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+HOUR = 3600
+
+
+def test_windowed_counts_with_late_data(spark, tmp_path):
+    src = str(tmp_path / "ev_in")
+    os.makedirs(src)
+    # batch 1: events in hour-0 and hour-1, max event time = 1h40
+    _write_events(
+        f"{src}/b1.parquet",
+        [(1, "click", 10), (2, "click", 20), (1, "view", HOUR + 10), (2, "view", HOUR + 2400)],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    counts = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    ckpt, out = str(tmp_path / "ckpt1"), str(tmp_path / "win_out")
+    _drain(counts, out, ckpt)
+
+    # batch 2: a LATE click into hour-0 (within the 2h watermark) and a
+    # new event far ahead that advances the watermark past hour-0
+    _write_events(
+        f"{src}/b2.parquet",
+        [(3, "click", 30), (9, "view", 9 * HOUR)],
+    )
+    _drain(windowed_event_counts(stream, window="1 hour", watermark="2 hours"), out, ckpt)
+
+    # batch 3: an event for hour-0 that is now BEYOND the watermark
+    # (max event time 9h, watermark 7h > hour-0 end) → dropped
+    _write_events(f"{src}/b3.parquet", [(4, "click", 40)])
+    _drain(windowed_event_counts(stream, window="1 hour", watermark="2 hours"), out, ckpt)
+
+    # append mode emits a window only once it is finalized; after the
+    # watermark passed hour-0, its counts include the late batch-2 row
+    # but not the too-late batch-3 row
+    rows = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows.get((0, "click")) == 3  # 2 original + 1 late, late-beyond-watermark dropped
+    assert rows.get((1, "view")) == 2
+
+
+def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
+    src = str(tmp_path / "sess_in")
+    os.makedirs(src)
+    # user 1: two sessions separated by a >30min gap; user 2: one session
+    _write_events(
+        f"{src}/b1.parquet",
+        [
+            (1, "click", 0),
+            (1, "click", 600),
+            (1, "click", 600 + 1801 + 600),  # >1800s after previous → new session
+            (2, "view", 100),
+        ],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    ckpt, out = str(tmp_path / "ckpt2"), str(tmp_path / "sess_out")
+    _drain(sessionize_stream(stream), out, ckpt)
+
+    base = 1767225600  # 2026-01-01 UTC
+    rows = {
+        (r["user_id"], int(r["session_start"].timestamp()) - base, r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # user 1's first session closed in-batch (explicit gap); user 2's
+    # boundary (100+1800) is already behind the batch watermark (2991)
+    # so the event-time timeout flushes it in the same drain; user 1's
+    # OPEN second session (boundary 4802 > watermark) stays in state
+    assert (1, 0, 2) in rows
+    assert (2, 100, 1) in rows
+    assert (1, 3001, 1) not in rows
+
+    # a far-future event advances the watermark → the remaining idle
+    # session flushes via event-time timeout (no wall-clock waits)
+    _write_events(f"{src}/b2.parquet", [(9, "view", 9 * HOUR)])
+    _drain(sessionize_stream(stream), out, ckpt)
+    rows = {
+        (r["user_id"], int(r["session_start"].timestamp()) - base, r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, 3001, 1) in rows  # user 1's second session flushed
+    assert not any(u == 9 for u, _, _ in rows)  # user 9 still open in state

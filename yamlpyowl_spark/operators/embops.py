@@ -116,6 +116,65 @@ def near_dup_pairs(emb: DataFrame, min_cos_x1e6: int = 250_000) -> DataFrame:
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: each query searches only the
+    ``n_probe`` nearest centroid lists instead of the full table — the
+    scale path for ANN (cost ≈ n_probe/n_centroids of a full scan per
+    query, with the candidate fetch an equi-join on centroid_id, never
+    a cross join against the big side). Approximate by design: a true
+    neighbor assigned to an unprobed list is missed — that's the
+    recall/cost dial every IVF index exposes.
+
+    Output (query_id, neighbor_id, rank, cos_x1e6)."""
+    assign = centroid_assign(emb, n_centroids).select("vec_id", "centroid_id")
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent")
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qd2 = F.expr(
+        "aggregate(zip_with(q_emb, cent, (x, y) -> "
+        "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qd2_x1e6").asc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("qd2_x1e6", F.round(qd2 * 1e6).cast("bigint"))
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+    cand = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(emb.select("vec_id", F.col("embedding").alias("c_emb")), "vec_id")
+    )
+    cos = F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")) * 1e6).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_x1e6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("cos_x1e6", cos)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_x1e6")
+    )
+
+
 def centroid_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     """IVF-style one-pass assignment to fixed seed centroids (the
     first n vectors by vec_id) — broadcast the centroids, one scan,

@@ -680,6 +680,56 @@ def _register_embops():
     def emb_centroid_assign(spark, sf_dir):
         return embops.centroid_assign(_emb(spark, sf_dir))
 
+    _qd2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (q.q_emb[i]::DOUBLE - c.cent[i]::DOUBLE) * (q.q_emb[i]::DOUBLE - c.cent[i]::DOUBLE)))"
+    )
+    _tdot = f"list_sum(list_transform(range(1, {dim + 1}), i -> t.q_emb[i]::DOUBLE * t.c_emb[i]::DOUBLE))"
+    _tnq = f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> t.q_emb[i]::DOUBLE * t.q_emb[i]::DOUBLE)))"
+    _tnc = f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> t.c_emb[i]::DOUBLE * t.c_emb[i]::DOUBLE)))"
+
+    @_q(
+        "emb_ivf_topk",
+        f"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+            assign AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY CAST(round({_d2} * 1e6) AS BIGINT) ASC, c.centroid_id ASC) AS rn
+                FROM embeddings e, c
+              ) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+            probes AS (
+              SELECT query_id, q_emb, centroid_id FROM (
+                SELECT q.query_id, q.q_emb, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY CAST(round({_qd2} * 1e6) AS BIGINT) ASC, c.centroid_id ASC) AS prn
+                FROM q, c
+              ) WHERE prn <= 2
+            ),
+            cand AS (
+              SELECT p.query_id, p.q_emb, a.vec_id AS neighbor_id, e.embedding AS c_emb
+              FROM probes p JOIN assign a ON p.centroid_id = a.centroid_id
+              JOIN embeddings e ON e.vec_id = a.vec_id
+              WHERE a.vec_id <> p.query_id
+            ),
+            sims AS (
+              SELECT t.query_id, t.neighbor_id,
+                     CAST(round({_tdot} / ({_tnq} * {_tnc}) * 1e6) AS BIGINT) AS cos_x1e6
+              FROM cand t
+            )
+            SELECT query_id, neighbor_id, rank, cos_x1e6 FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+              FROM sims
+            ) WHERE rank <= 3""",
+    )
+    def emb_ivf_topk(spark, sf_dir):
+        # probe-bounded ANN search: the scale path that replaces
+        # emb_cosine_topk's broadcast-cross-join baseline at 100 TB
+        return embops.ivf_topk(_emb(spark, sf_dir))
+
 
 # -- classic relational (coverage of scan/filter/agg/join/window) -------------
 

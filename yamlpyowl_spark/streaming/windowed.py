@@ -1,0 +1,134 @@
+"""Watermarked window aggregation + custom stateful sessionization
+over an event stream — the two Structured Streaming patterns a
+training-data pipeline needs beyond plain incremental ingest.
+
+* :func:`windowed_event_counts` — tumbling-window counts per event
+  type with a watermark, so late events within the bound still update
+  their window and state for closed windows is dropped (bounded state
+  at any input rate: state size tracks #open-windows × #types, never
+  the stream length).
+
+* :func:`sessionize_stream` — gap-based sessions via
+  ``applyInPandasWithState`` (the custom-stateful-operator escape
+  hatch): per-user state holds the open session; an event beyond the
+  gap closes it and emits a row. EVENT-TIME timeouts (watermark-driven,
+  not wall-clock) flush idle users, so state is bounded by #active
+  users and drains deterministically under ``availableNow``.
+
+Both take any streaming DataFrame with (user_id, event_type, ts) —
+the shape of the ``events`` test table — and are exercised with file
+sources + ``availableNow`` in tests (same operators run unchanged
+against Kafka/rate sources on a cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+SESSION_GAP_SEC = 1800
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window event counts with late-data handling.
+
+    The watermark bounds BOTH lateness tolerance and state: windows
+    older than (max event time − watermark) are finalized and their
+    state evicted — without it, a 100-TB stream accumulates unbounded
+    window state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, n_events BIGINT"
+)
+_SESSION_STATE_SCHEMA = "start_s DOUBLE, end_s DOUBLE, n BIGINT"
+
+
+def _session_fn(key, pdf_iter, state):
+    """Per-user session accumulator (runs Arrow-batched per group).
+
+    State = the open session (start, last-event-time, count). Events
+    arriving within SESSION_GAP_SEC extend it; a bigger gap closes the
+    session and emits it. An event-time timeout (fires when the
+    WATERMARK passes last-event + gap) flushes users idle across
+    triggers — data-driven, so an ``availableNow`` drain terminates
+    without wall-clock waits."""
+    import pandas as pd
+
+    def emit(sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "session_start": [pd.Timestamp(s, unit="s") for s, _, _ in sessions],
+                "session_end": [pd.Timestamp(e, unit="s") for _, e, _ in sessions],
+                "n_events": [int(n) for _, _, n in sessions],
+            }
+        )
+
+    if state.hasTimedOut:
+        if state.exists:
+            start_s, end_s, n = state.get
+            state.remove()
+            yield emit([(start_s, end_s, n)])
+        return
+
+    ts = []
+    for pdf in pdf_iter:
+        ts.extend(pdf["ts"].astype("int64").floordiv(1_000_000_000).tolist())
+    ts.sort()
+
+    out = []
+    if state.exists:
+        start_s, end_s, n = state.get
+    else:
+        start_s = end_s = None
+        n = 0
+    for t in ts:
+        t = float(t)
+        if start_s is None:
+            start_s, end_s, n = t, t, 1
+        elif t - end_s <= SESSION_GAP_SEC:
+            end_s, n = t, n + 1
+        else:
+            out.append((start_s, end_s, n))
+            start_s, end_s, n = t, t, 1
+    state.update((start_s, end_s, n))
+    # flush when the watermark passes the session-close boundary (must
+    # stay strictly ahead of the current watermark or Spark rejects it)
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(int((end_s + SESSION_GAP_SEC + 1) * 1000), wm_ms + 1000))
+
+    if out:
+        yield emit(out)
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """Gap-based sessionization as a custom stateful operator
+    (``applyInPandasWithState``). Emits CLOSED sessions; the open
+    session per user lives in the state store (bounded by #active
+    users, flushed by a watermark-driven event-time timeout)."""
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
