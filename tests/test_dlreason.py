@@ -190,3 +190,56 @@ def test_facade_zebra_parity_assertions(spark):
     assert n.Norwegian.lives_in == n.house_1  # clue 10, test_core.py:227
     assert n.Japanese.smokes == n.Parliaments  # clue 14, test_core.py:252
     assert n.Japanese.owns == n.zebra  # "solved completely", test_core.py:263
+
+
+def test_corrupt_inputs_do_not_hang_or_crash():
+    """Cyclic RDF lists and dangling restriction nodes must degrade to
+    no-ops, never hang an executor task."""
+    from yamlpyowl_spark.operators.dlreason import OWL_EQUIVALENT_CLASS, OWL_ONE_OF
+
+    E = "http://ex.org/bad#"
+    FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+    REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+    rows = [
+        # cyclic oneOf list: _:l1 -> _:l2 -> _:l1
+        (E + "C", OWL_EQUIVALENT_CLASS, "_:e0"),
+        ("_:e0", OWL_ONE_OF, "_:l1"),
+        ("_:l1", FIRST, E + "a"),
+        ("_:l1", REST, "_:l2"),
+        ("_:l2", FIRST, E + "b"),
+        ("_:l2", REST, "_:l1"),
+        # restriction node with onProperty but neither some nor value
+        (E + "a", RDF_TYPE, "_:r1"),
+        ("_:r1", "http://www.w3.org/2002/07/owl#onProperty", E + "p"),
+    ]
+    inferred = _solve_doc(rows)
+    # the cycle-guarded list still yields both members once
+    assert (E + "a", RDF_TYPE, E + "C") in inferred
+    assert (E + "b", RDF_TYPE, E + "C") in inferred
+
+
+def test_step_cap_degrades_to_deterministic_only():
+    # a large unconstrained CSP trips max_steps -> only OneOf
+    # memberships come back (conservative: no over-claimed entailments)
+    E = "http://ex.org/big#"
+    from yamlpyowl_spark.operators import dlreason as dl
+
+    members = [f"{E}m{i}" for i in range(10)]
+    rows = []
+    # enum class over 10 members
+    rows.append((E + "C", dl.OWL_EQUIVALENT_CLASS, "_:e0"))
+    rows.append(("_:e0", dl.OWL_ONE_OF, "_:l0"))
+    for i, m in enumerate(members):
+        rows.append((f"_:l{i}", dl.RDF_FIRST, m))
+        rows.append((f"_:l{i}", dl.RDF_REST, f"_:l{i+1}" if i < 9 else dl.RDF_NIL))
+        rows.append((m, dl.V.RDF_TYPE, dl.OWL_THING))
+    # functional+invfunctional prop over the enum in both slots
+    rows.append((E + "p", dl.V.RDF_TYPE, dl.OWL_FUNCTIONAL))
+    rows.append((E + "p", dl.V.RDF_TYPE, dl.OWL_INV_FUNCTIONAL))
+    rows.append((E + "p", dl.RDFS_DOMAIN, E + "C"))
+    rows.append((E + "p", dl.RDFS_RANGE, E + "C"))
+    stats = {}
+    inferred = _solve_doc(rows, max_steps=50, stats=stats)
+    assert stats["steps"] > 50 or stats["n_models"] >= 8
+    preds = {p for _, p, _ in inferred}
+    assert preds == {RDF_TYPE}  # memberships only, no property claims

@@ -118,3 +118,93 @@ def test_rule_parse_is_distributed(spark):
     plan = rule_table(triples)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan or "MapInArrow" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# property-based: encode_rule <-> _parse_template slot-walk symmetry
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from yamlpyowl_spark.operators.swrl import _parse_template
+
+_names = st.sampled_from(["p", "q", "hasPart", "owns", "rel_x"])
+_vars = st.sampled_from(["?x", "?y", "?z", "?v"])
+_consts = st.sampled_from(["bob", "dresden", "42"])
+
+
+@st.composite
+def _rules(draw):
+    """Random rules within the supported fragment: property/class body
+    atoms, optional trailing builtin over a bound variable, property or
+    class head over bound variables/constants."""
+    n_body = draw(st.integers(1, 4))
+    body, bound = [], []
+    for _ in range(n_body):
+        kind = draw(st.sampled_from(["prop", "prop", "cls"]))
+        if kind == "cls":
+            a = draw(st.one_of(_vars, _consts))
+            body.append((draw(_names).capitalize(), [a]))
+        else:
+            s = draw(st.one_of(_vars, _consts))
+            o = draw(st.one_of(_vars, _consts))
+            body.append((draw(_names), [s, o]))
+        bound.extend(x for x in body[-1][1] if x.startswith("?"))
+    if bound and draw(st.booleans()):
+        body.append(("greaterThan", [draw(st.sampled_from(bound)), "0.5"]))
+    if not bound:
+        head_args = [draw(_consts), draw(_consts)]
+    else:
+        head_args = [draw(st.sampled_from(bound)), draw(st.one_of(st.sampled_from(bound), _consts))]
+    head = [(draw(_names), head_args)]
+    return body, head
+
+
+@settings(max_examples=200, deadline=None)
+@given(_rules())
+def test_encode_parse_template_slot_walk_symmetry(rule):
+    """The driver-side template parser must consume slots in exactly
+    the order the encoder emits them — for ANY rule in the fragment."""
+    body, head = rule
+    key, slots = encode_rule("http://d#", body, head)
+    tb, th, n_slots = _parse_template(key)
+    assert n_slots == len(slots)
+    assert len(tb) == len(body) and len(th) == len(head)
+    # every slot index referenced is in range and each slot is
+    # referenced exactly once
+    seen = []
+
+    def track(atom, is_head):
+        kind = atom[0]
+        if kind == "bi":
+            seen.append(atom[3])
+        elif kind == "cls":
+            seen.append(atom[1])
+            if atom[2][0] == "c":
+                seen.append(atom[2][1])
+        else:
+            seen.append(atom[1])
+            for sub in (atom[2], atom[3]):
+                if sub[0] == "c":
+                    seen.append(sub[1])
+                elif sub[0] == "c2":
+                    seen.extend([sub[1], sub[2]])
+                elif sub[0] == "lit":
+                    seen.extend([sub[1], sub[2]])
+
+    for a in tb:
+        track(a, False)
+    for a in th:
+        track(a, True)
+    assert sorted(seen) == list(range(len(slots)))
+
+
+@settings(max_examples=100, deadline=None)
+@given(_rules(), _rules())
+def test_same_key_means_same_shape(r1, r2):
+    """Two rules sharing a template key MUST have identical structure
+    (the whole basis for evaluating them in one plan)."""
+    k1, s1 = encode_rule("http://a#", *r1)
+    k2, s2 = encode_rule("http://b#", *r2)
+    if k1 == k2:
+        assert len(s1) == len(s2)

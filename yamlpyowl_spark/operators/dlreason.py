@@ -84,8 +84,11 @@ class _DocModel:
         return self.po.get((p, o), [])
 
     def rdf_list(self, node: str) -> List[str]:
-        out = []
+        out, seen = [], set()
         while node and node != RDF_NIL:
+            if node in seen:  # corrupt/cyclic list must not hang a task
+                break
+            seen.add(node)
             head = self.obj(node, RDF_FIRST)
             if head is not None:
                 out.append(head)
