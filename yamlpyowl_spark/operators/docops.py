@@ -102,6 +102,11 @@ def lsh_candidate_pairs(docs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # materialize once: a self-join otherwise recomputes the whole
+    # minhash pipeline on BOTH sides (no exchange reuse through the
+    # broadcast side). The banded table is 3 narrow columns — tiny
+    # relative to the documents it came from at any scale.
+    banded = banded.localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

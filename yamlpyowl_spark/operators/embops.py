@@ -95,7 +95,14 @@ def near_dup_pairs(emb: DataFrame, min_cos_x1e6: int = 250_000) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: the scale path —
     LSH-bucket equi-join (never an all-pairs product) then exact cosine
     on candidates only. Returns (vec_a, vec_b, cos_x1e6)."""
-    b = lsh_buckets(emb).join(emb, "vec_id").select("vec_id", "bucket", "embedding")
+    # materialize once — the self-join would otherwise evaluate the
+    # bucket signatures twice (no exchange reuse via broadcast)
+    b = (
+        lsh_buckets(emb)
+        .join(emb, "vec_id")
+        .select("vec_id", "bucket", "embedding")
+        .localCheckpoint()
+    )
     pairs = (
         b.alias("x")
         .join(b.alias("y"), "bucket")
