@@ -95,3 +95,41 @@ def test_legacy_parse_sparql_still_bgp_only():
     assert sel == ["?x"] and pats == [("?x", E + "age", "?a")]
     with pytest.raises(SparqlError, match="make_query"):
         parse_sparql(f"PREFIX e: <{E}> SELECT ?x WHERE {{ ?x e:age ?a . FILTER(?a > 1) }}")
+
+
+# ---------------------------------------------------------------------------
+# fuzz: arbitrary input must parse or raise SparqlError — never hang,
+# never escape with a different exception type
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from yamlpyowl_spark.operators.sparql import _parse
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_sparql_fuzz_arbitrary_text(src):
+    try:
+        _parse(src)
+    except SparqlError:
+        pass
+
+
+_SOUP = st.lists(
+    st.sampled_from(
+        ["SELECT", "WHERE", "{", "}", "(", ")", "FILTER", "UNION", "OPTIONAL",
+         "?x", "?y", "<http://e#p>", '"lit"', "42", "e:name", ".", "&&", ">", "=",
+         "PREFIX e: <http://e#>"]
+    ),
+    max_size=25,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_SOUP)
+def test_sparql_fuzz_token_soup(parts):
+    try:
+        _parse(" ".join(parts))
+    except SparqlError:
+        pass

@@ -1,0 +1,54 @@
+"""check_type parity — mirrors the reference's own type-checking test
+(tests/test_core.py:118-168) minus the pydantic Strict sentinels the
+container lacks (plain int/float have the same strict semantics
+here)."""
+
+import typing
+
+import pytest
+
+from yamlpyowl_spark import check_type
+
+
+def test_basic_shapes():
+    assert check_type([1, 2], typing.List[int])
+    assert check_type({"a": 1}, typing.Dict[str, int])
+    assert check_type((1, "x"), typing.Tuple[int, str])
+    assert check_type({1, 2}, typing.Set[int])
+    assert check_type(None, typing.Optional[int])
+    assert check_type(3, typing.Optional[int])
+    assert check_type("anything", typing.Any)
+
+
+def test_mismatches_raise_typeerror():
+    # reference test_core.py:128-168 exercises exactly these failures
+    with pytest.raises(TypeError):
+        check_type([1, "x"], typing.List[int])
+    with pytest.raises(TypeError):
+        check_type({"k": "3.0"}, typing.Dict[str, float])  # no coercion
+    with pytest.raises(TypeError):
+        check_type({3: "v"}, typing.Dict[str, str])
+    with pytest.raises(TypeError):
+        check_type("notalist", typing.List[str])
+
+
+def test_strict_semantics():
+    # bool must not pass as int (pydantic StrictInt behavior)
+    with pytest.raises(TypeError):
+        check_type([True], typing.List[int])
+    # int must not pass as float (StrictFloat behavior)
+    with pytest.raises(TypeError):
+        check_type(5, float)
+    assert check_type(5.0, float)
+
+
+def test_union_of_scalars():
+    # reference test_core.py:166-168: mixed dict under a Union passes
+    obj = {"key 1": 1, "key 2": "3.0", "key 3": 3.0}
+    assert check_type(obj, typing.Dict[str, typing.Union[int, float, str]])
+    with pytest.raises(TypeError):
+        check_type({"key": []}, typing.Dict[str, typing.Union[int, float, str]])
+
+
+def test_returns_true_for_assert_usage():
+    assert check_type({}, dict) is True

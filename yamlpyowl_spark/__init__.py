@@ -19,3 +19,7 @@ Layers:
 """
 
 __version__ = "0.1.0"
+
+from .typecheck import check_type  # noqa: E402  (reference: ypo.check_type)
+
+__all__ = ["check_type", "__version__"]
