@@ -52,3 +52,22 @@ def test_union_of_scalars():
 
 def test_returns_true_for_assert_usage():
     assert check_type({}, dict) is True
+
+
+def test_module_level_helpers():
+    # reference exports these at module level (core.py:32, 1346, 1397, 1406)
+    import yamlpyowl_spark as ypo
+
+    assert ypo.test_type([1], typing.List[int]) is True
+    assert ypo.test_type([1, "x"], typing.List[int]) is False
+    assert ypo.ensure_list("a") == ["a"]
+    assert ypo.ensure_list(["a"]) == ["a"]
+    assert ypo.unpack_len1_mapping({"k": 1}) == ("k", 1)
+
+    class E:
+        name = "thing1"
+        label = ["The Thing"]
+
+    assert "The Thing" in ypo.render_using_label(E())
+    E.label = []
+    assert "thing1" in ypo.render_using_label(E())

@@ -20,6 +20,30 @@ Layers:
 
 __version__ = "0.1.0"
 
-from .typecheck import check_type  # noqa: E402  (reference: ypo.check_type)
+# module-level helpers users of the reference import directly
+# (reference core.py: check_type :1365, test_type :1397, ensure_list
+# :1346, unpack_len1_mapping :1406, render_using_label :32)
+from .parser.model import ensure_list, unpack_len1_mapping  # noqa: E402
+from .typecheck import check_type, test_type  # noqa: E402
 
-__all__ = ["check_type", "__version__"]
+
+def render_using_label(entity) -> str:
+    """repr an entity by its first label, falling back to its name
+    (reference core.py:32-38)."""
+    try:
+        label = entity.label
+        first = label.first() if hasattr(label, "first") else (label[0] if label else None)
+        repr_str = first or entity.name
+    except Exception:
+        repr_str = getattr(entity, "name", None) or "<no label>"
+    return f"<{type(entity)} '{repr_str}'>"
+
+
+__all__ = [
+    "check_type",
+    "test_type",
+    "ensure_list",
+    "unpack_len1_mapping",
+    "render_using_label",
+    "__version__",
+]

@@ -83,3 +83,11 @@ def check_type(obj, expected_type) -> bool:
             f"Unexpected type: {type(obj).__name__!s} does not match {expected_type!r}"
         )
     return True
+
+
+def test_type(obj, expected_type) -> bool:
+    """Non-raising variant: True/False (reference core.py:1397-1403)."""
+    try:
+        return check_type(obj, expected_type)
+    except TypeError:
+        return False
