@@ -257,3 +257,34 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """Deterministic document fingerprint over normalized text."""
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[ ]+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., MOSS): hash every
+    character k-gram, keep the minimum of each w-window — guarantees
+    any match of length ≥ k+w-1 shares a fingerprint, with ~2/(w+1)
+    density. The classic rolling-hash document fingerprint.
+
+    All JVM-side higher-order expressions; the "rolling" hash is an
+    md5 prefix per k-gram so the DuckDB oracle is bit-identical (a
+    true Rabin-Karp update saves k-1 multiplies per position but pins
+    the operator to one engine's hash).
+
+    Output: (doc_id, n_fingerprints, min_fp, max_fp) — the per-doc
+    sketch summary; join two docs' exploded fingerprint sets for
+    similarity."""
+    kgrams = (
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
+        f"i -> substr(md5(substr(text, i, {k})), 1, 8))"
+    )
+    wins = (
+        f"array_distinct(transform(sequence(1, greatest(size({kgrams}) - {w - 1}, 1)), "
+        f"j -> array_min(slice({kgrams}, j, {w}))))"
+    )
+    fp = F.expr(wins)
+    return docs.select(
+        "doc_id",
+        F.size(fp).cast("bigint").alias("n_fingerprints"),
+        F.array_min(fp).alias("min_fp"),
+        F.array_max(fp).alias("max_fp"),
+    )

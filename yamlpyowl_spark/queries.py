@@ -601,6 +601,25 @@ def _register_docops():
     def doc_fingerprints(spark, sf_dir):
         return docops.fingerprints(_docs(spark, sf_dir))
 
+    _kg8 = (
+        "list_transform(range(1, greatest(length(text) - 7, 1) + 1), "
+        "i -> substr(md5(substr(text, i::INT, 8)), 1, 8))"
+    )
+
+    @_q(
+        "doc_winnow_fingerprints",
+        f"""WITH kg AS (SELECT doc_id, {_kg8} AS kgrams FROM documents),
+            wn AS (SELECT doc_id,
+                          list_distinct(list_transform(range(1, greatest(len(kgrams) - 3, 1) + 1),
+                                                       j -> list_min(list_slice(kgrams, j::INT, j::INT + 3)))) AS fps
+                   FROM kg)
+            SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+                   list_min(fps) AS min_fp, list_max(fps) AS max_fp
+            FROM wn""",
+    )
+    def doc_winnow_fingerprints(spark, sf_dir):
+        return docops.winnowing_fingerprints(_docs(spark, sf_dir))
+
 
 # -- embeddings ---------------------------------------------------------------
 
