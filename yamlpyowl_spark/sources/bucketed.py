@@ -26,6 +26,19 @@ def save_nodes_bucketed(
 ) -> str:
     """Persist nodes (+ their ``link_key``) bucketed for co-located
     linking joins. Returns the table name."""
+    spark = nodes.sparkSession
+    # a table dropped from a fresh (in-memory) catalog can leave its
+    # warehouse location behind; saveAsTable refuses to reuse it
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table}")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+    except Exception:
+        pass
     (
         mention_keys(nodes)
         .write.mode("overwrite")
