@@ -52,6 +52,8 @@ HEADLINE = [
     "kg_swrl_forward_chain",
     "kg_dl_zebra",
     "mm_image_features",
+    "emb_ivf_topk",
+    "doc_winnow_fingerprints",
 ]
 
 
