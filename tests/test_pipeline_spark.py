@@ -249,3 +249,21 @@ def test_star_cc_equals_propagation_cc(spark):
     assert a == b
     # the 41-node chain collapses to one component rooted at its minimum
     assert b["c040"] == "c000"
+
+
+def test_materialize_with_reasoning(spark, pipe, source, tmp_path_factory):
+    """materialize(reason=True) writes a per-run inferred table: SWRL
+    chain facts (regional rules) and the DL solution (zebra), with the
+    same run-scoped commit; a resume run adds nothing."""
+    out = str(tmp_path_factory.mktemp("kgreason"))
+    pipe.materialize(source, out, reason=True)
+    inf = spark.read.parquet(f"{out}/inferred")
+    Z = "https://w3id.org/yet/undefined/einstein-zebra-puzzle-ontology#"
+    RR = "https://w3id.org/yet/undefined/regional-rules-ontology#"
+    rows = {(r["subj"], r["pred"], r["obj"]) for r in inf.collect()}
+    assert (Z + "Japanese", Z + "owns", Z + "zebra") in rows
+    assert (RR + "saxony", RR + "hasDirective", RR + "dir_rule0") in rows
+    n1 = inf.count()
+    r2 = pipe.materialize(source, out, reason=True)
+    assert r2["n_new_docs"] == 0
+    assert spark.read.parquet(f"{out}/inferred").count() == n1

@@ -78,7 +78,7 @@ def cmd_pipeline(args, spark) -> int:
 
     src = read_source_table(spark, args.src)
     pipe = KGPipeline(spark, import_map=build_default_import_map())
-    res = pipe.materialize(src, args.out, resume=args.resume)
+    res = pipe.materialize(src, args.out, resume=args.resume, reason=args.reason)
     print(f"run {res['run_id']}: {res['n_new_docs']} new documents", file=sys.stderr)
     return 0
 
@@ -107,6 +107,11 @@ def main(argv=None, spark=None) -> int:
         action=argparse.BooleanOptionalAction,
         default=True,
         help="skip documents already recorded in _progress (--no-resume reprocesses everything)",
+    )
+    p.add_argument(
+        "--reason",
+        action="store_true",
+        help="also write inferred facts (SWRL chain + DL model search) per run",
     )
     p.set_defaults(fn=cmd_pipeline)
 

@@ -203,6 +203,30 @@ class KGPipeline:
         )
 
     # ------------------------------------------------------------------
+    # reasoning (doc-scoped, so it composes with per-run materialization)
+    # ------------------------------------------------------------------
+
+    def reasoned(self, triples: DataFrame) -> DataFrame:
+        """Inferred-facts delta for the given triples: SWRL forward
+        chain (template-grouped, semi-naive) + DL model search (OneOf/
+        Functional/AllDifferent CSP per document). Both are doc-scoped,
+        so running them per materialize-run over only the NEW documents
+        is complete — inference never crosses ``doc_iri``. Unsupported
+        SWRL rules are skipped with a warning (a single bad rule must
+        not abort a batch)."""
+        from ..operators.dlreason import dl_model_search
+        from ..operators.swrl import forward_chain
+
+        base = triples.select(
+            "subj", "pred", "obj", "obj_is_literal", "obj_datatype", "doc_iri"
+        )
+        return (
+            forward_chain(base, on_unsupported="skip")
+            .unionByName(dl_model_search(base))
+            .distinct()
+        )
+
+    # ------------------------------------------------------------------
     # checkpointed materialization (resume = anti-join against _progress)
     # ------------------------------------------------------------------
 
@@ -227,7 +251,7 @@ class KGPipeline:
             pass
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
-        for sub in ("triples", "errors", "_metrics"):
+        for sub in ("triples", "errors", "inferred", "_metrics"):
             p = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{sub}")
             try:
                 fs = p.getFileSystem(conf)
@@ -245,6 +269,7 @@ class KGPipeline:
         source: DataFrame,
         out_dir: str,
         resume: bool = True,
+        reason: bool = False,
     ) -> dict:
         """Write triples/errors/nodes/edges + per-document progress rows.
 
@@ -296,6 +321,14 @@ class KGPipeline:
             errors = self.errors(parsed)
             triples.write.mode("overwrite").parquet(f"{out_dir}/triples/run_id={run_id}")
             errors.write.mode("overwrite").parquet(f"{out_dir}/errors/run_id={run_id}")
+
+            if reason:
+                # doc-scoped reasoning over only THIS run's documents is
+                # complete (inference never crosses doc_iri) and rides
+                # the same run_id commit/GC protocol
+                self.reasoned(triples).write.mode("overwrite").parquet(
+                    f"{out_dir}/inferred/run_id={run_id}"
+                )
 
             # per-partition lineage/metrics emitted by the parse tasks
             metrics_schema = (
