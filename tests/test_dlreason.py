@@ -243,3 +243,29 @@ def test_step_cap_degrades_to_deterministic_only():
     assert stats["steps"] > 50 or stats["n_models"] >= 8
     preds = {p for _, p, _ in inferred}
     assert preds == {RDF_TYPE}  # memberships only, no property claims
+
+
+def test_many_documents_solve_in_parallel(spark):
+    """The applyInPandas fan-out: N independent copies of the puzzle
+    under distinct doc_iris all solve, one CSP per group."""
+    text = load_fixture_texts()["examples/einsteins_zebra_riddle.owl.yml"]
+    rows = [
+        (f"org/z{i}", f"z{i}/puzzle.owl.yml", "0" * 40, "yaml",
+         text.replace(
+             "https://w3id.org/yet/undefined/einstein-zebra-puzzle-ontology#",
+             f"https://w3id.org/yet/undefined/zebra-{i}#",
+         ))
+        for i in range(6)
+    ]
+    src = spark.createDataFrame(rows, SOURCE_SCHEMA)
+    pipe = KGPipeline(spark, parse_partitions=4)
+    triples, _ = pipe.parse(src)
+    out = dl_model_search(triples)
+    got = {(r["doc_iri"], r["subj"], r["obj"]) for r in out.filter(
+        F.col("pred").endswith("#owns") & F.col("obj").endswith("#zebra")).collect()}
+    assert got == {
+        (f"https://w3id.org/yet/undefined/zebra-{i}#",
+         f"https://w3id.org/yet/undefined/zebra-{i}#Japanese",
+         f"https://w3id.org/yet/undefined/zebra-{i}#zebra")
+        for i in range(6)
+    }
