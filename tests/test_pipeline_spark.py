@@ -267,3 +267,34 @@ def test_materialize_with_reasoning(spark, pipe, source, tmp_path_factory):
     r2 = pipe.materialize(source, out, reason=True)
     assert r2["n_new_docs"] == 0
     assert spark.read.parquet(f"{out}/inferred").count() == n1
+
+
+def test_edited_document_versions_and_current_view(spark, pipe, source, tmp_path_factory):
+    """An edited document (same path, new commit+content) re-parses on
+    resume; the store keeps BOTH versions (append-only, versioned by
+    commit/sha) and current_view() returns only the live one."""
+    out = str(tmp_path_factory.mktemp("kgedit"))
+    pipe.materialize(source, out)
+
+    # edit one regional-rules doc: bump commit, tweak content
+    edited = source.withColumn(
+        "commit",
+        F.when(F.col("repo") == "org/regional-rules", F.lit("f" * 40)).otherwise(F.col("commit")),
+    ).withColumn(
+        "content",
+        F.when(
+            F.col("repo") == "org/regional-rules",
+            F.concat(F.col("content"), F.lit("\n- annotation: edited v2\n")),
+        ).otherwise(F.col("content")),
+    )
+    r = pipe.materialize(edited, out)
+    assert r["n_new_docs"] == 1  # only the edited doc reprocessed
+
+    t = spark.read.parquet(f"{out}/triples")
+    both = t.filter(F.col("src_repo") == "org/regional-rules").select("src_commit").distinct()
+    assert both.count() == 2  # both versions retained
+
+    cur = pipe.current_view(t, edited).filter(F.col("src_repo") == "org/regional-rules")
+    assert cur.select("src_commit").distinct().collect()[0][0] == "f" * 40
+    # the edit is visible only in the current view
+    assert cur.filter(F.col("obj") == "edited v2").count() == 1

@@ -203,6 +203,29 @@ class KGPipeline:
         )
 
     # ------------------------------------------------------------------
+    # versioned reads
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def current_view(triples: DataFrame, source: DataFrame) -> DataFrame:
+        """The materialized output is append-only and versioned: an
+        edited document (same path, new commit/sha) re-parses and its
+        OLD rows remain, keyed by their ``src_commit``/``src_sha256``.
+        This semi-join against the present source snapshot returns only
+        rows parsed from content that is still current — the read-side
+        complement of resume's write-side anti-join."""
+        keys = (
+            ontology_document_filter(source)
+            .select(
+                F.col("repo").alias("src_repo"),
+                F.col("path").alias("src_path"),
+                F.col("commit").alias("src_commit"),
+            )
+            .distinct()
+        )
+        return triples.join(keys, ["src_repo", "src_path", "src_commit"], "left_semi")
+
+    # ------------------------------------------------------------------
     # reasoning (doc-scoped, so it composes with per-run materialization)
     # ------------------------------------------------------------------
 
