@@ -907,6 +907,22 @@ def _register_relational():
         )
 
     @_q(
+        "rel_hourly_event_counts",
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                  event_type, count(*) AS n
+           FROM events GROUP BY 1, 2""",
+    )
+    def rel_hourly_event_counts(spark, sf_dir):
+        # batch twin of streaming/windowed.windowed_event_counts —
+        # tumbling time buckets as a grouping key
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n")).select(
+            F.col("w.start").alias("window_start"), "event_type", "n"
+        )
+
+    @_q(
         "rel_clickers_without_purchase",
         """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
            EXCEPT
