@@ -163,6 +163,41 @@ def ngram_jaccard_pairs(
     return out
 
 
+def jaccard_on_pairs(
+    docs: DataFrame, pairs: DataFrame, min_jaccard_x1000: int = 0
+) -> DataFrame:
+    """Exact word-3-gram Jaccard for GIVEN candidate pairs only —
+    the verification half of LSH-then-verify dedup. ``pairs`` is
+    (doc_a, doc_b); output (doc_a, doc_b, jaccard_x1000).
+
+    Join input is Σ over candidate pairs of |shingles(doc_a)| — it
+    scales with #candidates, never with per-shingle document frequency
+    (unlike :func:`ngram_jaccard_pairs`' Σ df² self-join). This is the
+    composition a 100-TB dedup pipeline runs: LSH buckets propose,
+    this verifies."""
+    sh = with_shingles(docs).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard_x1000",
+            F.floor(F.col("n_inter") * 1000 / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).cast("bigint"),
+        )
+        .filter(F.col("jaccard_x1000") >= min_jaccard_x1000)
+        .select("doc_a", "doc_b", "jaccard_x1000")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
