@@ -114,3 +114,18 @@ def test_dl_model_search_plan_shape(spark, corpus):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # exactly one grouped-Python stage: the per-document CSP solve
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_centroid_assign_partial_aggregation(spark):
+    """Argmin via min(struct(...)): partial HashAggregate before the
+    exchange, no per-vec_id window sort (r2 verdict #8)."""
+    from yamlpyowl_spark.operators.embops import centroid_assign
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    plan = _plan(centroid_assign(emb))
+    # map-side combine: a partial_min aggregate runs BEFORE the exchange
+    # (struct-min lowers to SortAggregate — still partial+final)
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

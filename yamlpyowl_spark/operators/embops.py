@@ -195,11 +195,18 @@ def centroid_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
         "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), "
         "cast(0 as double), (acc, v) -> acc + v)"
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist2_x1e6").asc(), F.col("centroid_id").asc())
+    # argmin via min(struct(dist, id)): lexicographic struct-min gives
+    # the deterministic (dist asc, centroid_id asc) winner with map-side
+    # partial aggregation — no per-vec_id window sort (r2 verdict #8)
+    best = F.min(F.struct(F.col("dist2_x1e6"), F.col("centroid_id"))).alias("best")
     return (
         emb.crossJoin(F.broadcast(cents))
         .withColumn("dist2_x1e6", F.round(d2 * 1e6).cast("bigint"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "dist2_x1e6")
+        .groupBy("vec_id")
+        .agg(best)
+        .select(
+            "vec_id",
+            F.col("best.centroid_id").alias("centroid_id"),
+            F.col("best.dist2_x1e6").alias("dist2_x1e6"),
+        )
     )
