@@ -83,9 +83,104 @@ def test_union_branch_mismatch_rejected(triples):
         _q(triples, "?x WHERE { { ?x e:age ?a } UNION { e:a e:knows ?y } }")
 
 
+def test_minus(triples):
+    # subjects with an age but NO name binding
+    got = {
+        r[0]
+        for r in _q(triples, "?x WHERE { ?x e:age ?a MINUS { ?x e:name ?n } }").collect()
+    }
+    assert got == {E + "b", E + "c"}
+
+
+def test_minus_no_shared_vars_removes_nothing(triples):
+    got = {
+        r[0]
+        for r in _q(triples, "?x WHERE { ?x e:age ?a MINUS { ?z e:name ?n } }").collect()
+    }
+    assert got == {E + "a", E + "b", E + "c"}
+
+
+def test_values_single_var(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, "?x WHERE { ?x e:age ?a . VALUES ?x { e:a e:c } }"
+        ).collect()
+    }
+    assert got == {E + "a", E + "c"}
+
+
+def test_values_tuple(triples):
+    got = {
+        tuple(r)
+        for r in _q(
+            triples,
+            '?x ?n WHERE { ?x e:name ?n . VALUES (?x ?n) { (e:a "alice") (e:b "bob") } }',
+        ).collect()
+    }
+    assert got == {(E + "a", "alice")}
+
+
+def test_values_standalone(triples):
+    got = {r[0] for r in _q(triples, "?x WHERE { VALUES ?x { e:a e:zz } }").collect()}
+    assert got == {E + "a", E + "zz"}
+
+
+def test_filter_var_var(triples):
+    got = {
+        tuple(r)
+        for r in _q(
+            triples,
+            "?x ?y WHERE { ?x e:age ?a . ?y e:age ?b . FILTER(?a < ?b) }",
+        ).collect()
+    }
+    assert got == {
+        (E + "b", E + "a"),
+        (E + "b", E + "c"),
+        (E + "a", E + "c"),
+    }
+
+
+def test_filter_var_var_equality_is_lexical(triples):
+    got = {
+        tuple(r)
+        for r in _q(
+            triples,
+            "?x ?y WHERE { ?x e:age ?a . ?y e:age ?b . FILTER(?a = ?b) }",
+        ).collect()
+    }
+    assert got == {(E + "a", E + "a"), (E + "b", E + "b"), (E + "c", E + "c")}
+
+
+def test_filter_regex(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, '?x WHERE { ?x e:name ?n . FILTER(regex(?n, "^ali")) }'
+        ).collect()
+    }
+    assert got == {E + "a"}
+
+
+def test_bind_arith(triples):
+    got = {
+        (r[0], r[1])
+        for r in _q(
+            triples,
+            "?x ?d WHERE { ?x e:age ?a . BIND(?a * 2 AS ?d) . FILTER(?a > 40) }",
+        ).collect()
+    }
+    assert got == {(E + "c", 90.0)}
+
+
+def test_bind_rebind_rejected(triples):
+    with pytest.raises(SparqlError, match="already bound"):
+        _q(triples, "?x WHERE { ?x e:age ?a . BIND(1 AS ?a) }")
+
+
 def test_still_unsupported_rejected(triples):
-    with pytest.raises(SparqlError, match="MINUS"):
-        _q(triples, "?x WHERE { ?x e:age ?a MINUS { ?x e:name ?n } }")
+    with pytest.raises(SparqlError, match="GRAPH"):
+        _q(triples, "?x WHERE { GRAPH ?g { ?x e:age ?a } }")
     with pytest.raises(SparqlError, match="never bound"):
         _q(triples, "?zzz WHERE { ?x e:age ?a }")
 
@@ -119,6 +214,7 @@ def test_sparql_fuzz_arbitrary_text(src):
 _SOUP = st.lists(
     st.sampled_from(
         ["SELECT", "WHERE", "{", "}", "(", ")", "FILTER", "UNION", "OPTIONAL",
+         "MINUS", "VALUES", "BIND", "AS", "regex", ",", "+", "*", "/", "-",
          "?x", "?y", "<http://e#p>", '"lit"', "42", "e:name", ".", "&&", ">", "=",
          "PREFIX e: <http://e#>"]
     ),

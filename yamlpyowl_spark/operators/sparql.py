@@ -3,14 +3,23 @@
 The reference's query surface is ``make_query(sparql)`` evaluated by
 rdflib over its quadstore (core.py:1321-1340); its own tests use
 PREFIX + one/two-pattern SELECT BGPs (tests/test_core.py:124-144).
-This module parses that subset plus the three next-most-common SPARQL
-constructs — ``FILTER`` (comparisons, ``&&``-conjoined), ``UNION`` and
-``OPTIONAL`` — and compiles them onto DataFrame filters / equi-joins /
-unions / left joins. Catalyst plans the execution; we write no
-evaluator of our own.
+This module parses that subset plus the next-most-common SPARQL
+constructs — ``FILTER`` (var-const and var-var comparisons plus
+``regex()``, ``&&``-conjoined), ``UNION``, ``OPTIONAL``, ``MINUS``,
+``VALUES`` (single-var and tuple forms) and simple ``BIND`` — and
+compiles them onto DataFrame filters / equi-joins / unions / left and
+anti joins / local relations. Catalyst plans the execution; we write
+no evaluator of our own.
 
-Still-unsupported SPARQL (GRAPH, MINUS, BIND, VALUES, property paths,
-subqueries) raises — loudly, not wrongly.
+Dialect notes (documented, not silent): var-var ordering comparisons
+(``FILTER(?a < ?b)``) compare NUMERICALLY (both sides cast to double;
+non-numeric values drop out), ``=``/``!=`` compare lexical forms;
+``regex()`` uses Java regex via ``rlike``. ``BIND`` supports a
+constant, a variable copy, or one binary arithmetic step
+(``BIND(?a * 2 AS ?b)``, double-typed).
+
+Still-unsupported SPARQL (GRAPH, EXISTS, ASK, CONSTRUCT, property
+paths, subqueries) raises — loudly, not wrongly.
 """
 
 from __future__ import annotations
@@ -24,18 +33,20 @@ _PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>]+)>", re.IGNORECASE)
 _SELECT_RE = re.compile(
     r"SELECT\s+(DISTINCT\s+)?(.+?)\s+WHERE\s*\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL
 )
-_UNSUPPORTED = re.compile(r"\b(GRAPH|MINUS|BIND|VALUES|EXISTS|ASK|CONSTRUCT)\b", re.IGNORECASE)
+_UNSUPPORTED = re.compile(r"\b(GRAPH|EXISTS|ASK|CONSTRUCT)\b", re.IGNORECASE)
 
 # IRIs contain no whitespace/angle brackets, so `< 3` in a FILTER can
 # never be mistaken for an IRI opener
 _TOKEN_RE = re.compile(
     r"""(?P<lbrace>\{) | (?P<rbrace>\}) | (?P<lparen>\() | (?P<rparen>\)) |
-        (?P<kw>OPTIONAL|UNION|FILTER)\b |
+        (?P<kw>OPTIONAL|UNION|FILTER|MINUS|VALUES|BIND|AS)\b |
         \?(?P<var>\w+) | <(?P<iri>[^<>\s]+)> |
         "(?P<lit>(?:[^"\\]|\\.)*)" |
         (?P<num>-?\d+(?:\.\d+)?) |
         (?P<op>!=|<=|>=|=|<|>|&&) |
+        (?P<arith>[+*/-]) | (?P<comma>,) |
         (?P<pname>\w*:\w+) |
+        (?P<ident>[A-Za-z_]\w*) |
         (?P<dot>\.)
     """,
     re.VERBOSE | re.IGNORECASE,
@@ -56,6 +67,8 @@ def _term_of(tok: re.Match, prefixes: dict) -> str:
     if tok.group("num") is not None:
         return tok.group("num")
     pname = tok.group("pname")
+    if pname is None:
+        raise SparqlError(f"expected a term, got {tok.group(0)!r}")
     pfx, local = pname.split(":", 1)
     if pfx not in prefixes:
         raise SparqlError(f"undeclared prefix: {pfx}")
@@ -81,8 +94,10 @@ def _kind(tok: re.Match) -> str:
 class _Parser:
     """Recursive-descent over the WHERE block token stream.
 
-    Group items: ("t", (s,p,o)) | ("filter", [(var, op, const), ...])
-    | ("union", groupA, groupB) | ("optional", group)."""
+    Group items: ("t", (s,p,o)) | ("filter", [comp, ...]) with comp =
+    ("cmp", var, op, rhs, rhs_kind) or ("regex", var, pattern) |
+    ("union", groupA, groupB) | ("optional", group) | ("minus", group)
+    | ("values", [vars], [rows]) | ("bind", var, expr_ast)."""
 
     def __init__(self, toks: List[re.Match], prefixes: dict):
         self.toks = toks
@@ -126,6 +141,17 @@ class _Parser:
                     g = self.group()
                     self.expect("rbrace")
                     items.append(("optional", g))
+                elif kw == "MINUS":
+                    self.expect("lbrace")
+                    g = self.group()
+                    self.expect("rbrace")
+                    items.append(("minus", g))
+                elif kw == "VALUES":
+                    items.append(self._values())
+                elif kw == "BIND":
+                    items.append(self._bind())
+                elif kw == "AS":
+                    raise SparqlError("AS outside a BIND expression")
                 else:
                     raise SparqlError("UNION must follow a braced group")
                 continue
@@ -148,26 +174,127 @@ class _Parser:
             items.append(("t", tuple(terms)))
 
     def _filter(self) -> list:
-        """FILTER ( ?v op const [&& ?w op const ...] )"""
+        """FILTER ( comp [&& comp ...] ) with comp = ?v op (const|?w)
+        or regex(?v, "pattern")."""
         self.expect("lparen")
         comps = []
         while True:
-            var_tok = self.next()
-            if _kind(var_tok) != "var":
-                raise SparqlError("FILTER supports ?var <op> constant comparisons")
-            op = self.expect("op").group("op")
-            if op == "&&":
-                raise SparqlError("expected comparison operator after FILTER variable")
-            const_tok = self.next()
-            if _kind(const_tok) not in ("lit", "num", "iri", "pname"):
-                raise SparqlError("FILTER right-hand side must be a constant")
-            comps.append(("?" + var_tok.group("var"), op, _term_of(const_tok, self.prefixes),
-                          _kind(const_tok) == "num"))
+            tok = self.next()
+            if _kind(tok) == "ident" and tok.group("ident").lower() == "regex":
+                self.expect("lparen")
+                var_tok = self.next()
+                if _kind(var_tok) != "var":
+                    raise SparqlError("regex() first argument must be a variable")
+                # SPARQL uses a comma; the tokenizer has no comma token,
+                # so accept the pattern literal directly after the var
+                pat_tok = self.next()
+                if _kind(pat_tok) == "comma":
+                    pat_tok = self.next()
+                if _kind(pat_tok) != "lit":
+                    raise SparqlError("regex() pattern must be a string literal")
+                self.expect("rparen")
+                comps.append(("regex", "?" + var_tok.group("var"),
+                              pat_tok.group("lit").replace('\\"', '"')))
+            elif _kind(tok) == "var":
+                op = self.expect("op").group("op")
+                if op == "&&":
+                    raise SparqlError("expected comparison operator after FILTER variable")
+                rhs_tok = self.next()
+                rhs_kind = _kind(rhs_tok)
+                if rhs_kind == "var":
+                    comps.append(("cmp", "?" + tok.group("var"), op,
+                                  "?" + rhs_tok.group("var"), "var"))
+                elif rhs_kind in ("lit", "num", "iri", "pname"):
+                    comps.append(("cmp", "?" + tok.group("var"), op,
+                                  _term_of(rhs_tok, self.prefixes),
+                                  "num" if rhs_kind == "num" else "str"))
+                else:
+                    raise SparqlError("FILTER right-hand side must be a constant or ?var")
+            else:
+                raise SparqlError(
+                    "FILTER supports ?var <op> (constant|?var) and regex(?var, \"pat\")"
+                )
             nxt = self.next()
             if _kind(nxt) == "rparen":
                 return comps
             if _kind(nxt) != "op" or nxt.group("op") != "&&":
                 raise SparqlError(f"expected && or ) in FILTER, got {nxt.group(0)!r}")
+
+    def _values(self) -> tuple:
+        """VALUES ?x { t1 t2 ... }  |  VALUES (?x ?y) { (a b) (c d) }"""
+        tok = self.next()
+        if _kind(tok) == "var":
+            names = ["?" + tok.group("var")]
+            self.expect("lbrace")
+            rows = []
+            while True:
+                t = self.next()
+                if _kind(t) == "rbrace":
+                    break
+                rows.append((_term_of(t, self.prefixes),))
+        elif _kind(tok) == "lparen":
+            names = []
+            while True:
+                t = self.next()
+                if _kind(t) == "rparen":
+                    break
+                if _kind(t) != "var":
+                    raise SparqlError("VALUES header must list ?variables")
+                names.append("?" + t.group("var"))
+            if not names:
+                raise SparqlError("VALUES needs at least one variable")
+            self.expect("lbrace")
+            rows = []
+            while True:
+                t = self.next()
+                if _kind(t) == "rbrace":
+                    break
+                if _kind(t) != "lparen":
+                    raise SparqlError("VALUES rows must be parenthesized tuples")
+                row = []
+                while True:
+                    rt = self.next()
+                    if _kind(rt) == "rparen":
+                        break
+                    row.append(_term_of(rt, self.prefixes))
+                if len(row) != len(names):
+                    raise SparqlError(
+                        f"VALUES row has {len(row)} terms for {len(names)} variables"
+                    )
+                rows.append(tuple(row))
+        else:
+            raise SparqlError("VALUES expects ?var or (?v1 ?v2 ...)")
+        if not rows:
+            raise SparqlError("VALUES block has no rows")
+        return ("values", names, rows)
+
+    def _bind(self) -> tuple:
+        """BIND ( term [arith term] AS ?v )"""
+        self.expect("lparen")
+
+        def term():
+            t = self.next()
+            k = _kind(t)
+            if k == "var":
+                return ("var", "?" + t.group("var"))
+            if k in ("lit", "num", "iri", "pname"):
+                return ("num" if k == "num" else "str", _term_of(t, self.prefixes))
+            raise SparqlError(f"BIND expression term expected, got {t.group(0)!r}")
+
+        lhs = term()
+        nxt = self.next()
+        if _kind(nxt) == "arith":
+            op = nxt.group("arith")
+            rhs = term()
+            expr = ("arith", lhs, op, rhs)
+            nxt = self.next()
+        else:
+            expr = lhs
+        if _kind(nxt) != "kw" or nxt.group("kw").upper() != "AS":
+            raise SparqlError("BIND expects `AS ?var` after the expression")
+        var_tok = self.expect("var")
+        self.expect("rparen")
+        return ("bind", "?" + var_tok.group("var"), expr)
 
 
 def _parse(src: str):
@@ -186,10 +313,10 @@ def _parse(src: str):
     items = parser.group()
     if parser.peek() is not None:
         raise SparqlError(f"trailing tokens: {parser.peek().group(0)!r}")
-    if not any(k[0] in ("t", "union") for k in items):
+    if not any(k[0] in ("t", "union", "values") for k in items):
         raise SparqlError(
             "WHERE block has no required triple patterns "
-            "(OPTIONAL/FILTER alone is not a query)"
+            "(OPTIONAL/FILTER/BIND alone is not a query)"
         )
     return ["?" + v for v in select_vars], items
 
@@ -228,6 +355,34 @@ def _merge(a: DataFrame, b: DataFrame, how: str = "inner") -> DataFrame:
     return a.crossJoin(b) if how == "inner" else a.join(b, F.lit(True), "left")
 
 
+_CMP = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    ">": lambda a, b: a > b,
+    "<=": lambda a, b: a <= b,
+    ">=": lambda a, b: a >= b,
+}
+
+_ORDERING = {"<", ">", "<=", ">="}
+
+
+def _bind_col(df: DataFrame, expr):
+    """Compile a BIND expression AST to a Column."""
+    kind = expr[0]
+    if kind == "var":
+        name = expr[1][1:]
+        if name not in df.columns:
+            raise SparqlError(f"BIND references unbound variable {expr[1]}")
+        return F.col(name)
+    if kind in ("num", "str"):
+        return F.lit(expr[1])
+    _, lhs, op, rhs = expr  # ("arith", lhs, op, rhs)
+    a = _bind_col(df, lhs).cast("double")
+    b = _bind_col(df, rhs).cast("double")
+    return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[op]
+
+
 def _compile(triples: DataFrame, items: list) -> DataFrame:
     df = None
     filters = []
@@ -251,24 +406,54 @@ def _compile(triples: DataFrame, items: list) -> DataFrame:
             if df is None:
                 raise SparqlError("OPTIONAL cannot be the first group member")
             df = _merge(df, o, "left")
+        elif kind == "minus":
+            m = _compile(triples, item[1])
+            if df is None:
+                raise SparqlError("MINUS cannot be the first group member")
+            shared = [c for c in m.columns if c in df.columns]
+            # SPARQL MINUS: with no shared variables nothing is removed
+            if shared:
+                df = df.join(m.select(*shared).distinct(), shared, "left_anti")
+        elif kind == "values":
+            names, rows = item[1], item[2]
+            inline = triples.sparkSession.createDataFrame(
+                rows, [v[1:] for v in names]
+            )
+            df = inline if df is None else _merge(df, inline)
+        elif kind == "bind":
+            var = item[1]
+            if df is None:
+                raise SparqlError("BIND cannot be the first group member")
+            if var[1:] in df.columns:
+                raise SparqlError(f"BIND target {var} is already bound")
+            df = df.withColumn(var[1:], _bind_col(df, item[2]))
         elif kind == "filter":
             filters.extend(item[1])
     if df is None:
         raise SparqlError("empty graph pattern")
-    for var, op, const, is_num in filters:
+    for comp in filters:
+        if comp[0] == "regex":
+            _, var, pat = comp
+            if var[1:] not in df.columns:
+                raise SparqlError(f"FILTER on unbound variable {var}")
+            df = df.filter(F.col(var[1:]).rlike(pat))
+            continue
+        _, var, op, rhs, rhs_kind = comp
         name = var[1:]
         if name not in df.columns:
             raise SparqlError(f"FILTER on unbound variable {var}")
-        col = F.col(name).cast("double") if is_num else F.col(name)
-        rhs = F.lit(float(const)) if is_num else F.lit(const)
-        cond = {
-            "=": col == rhs,
-            "!=": col != rhs,
-            "<": col < rhs,
-            ">": col > rhs,
-            "<=": col <= rhs,
-            ">=": col >= rhs,
-        }[op]
+        if rhs_kind == "var":
+            if rhs[1:] not in df.columns:
+                raise SparqlError(f"FILTER on unbound variable {rhs}")
+            if op in _ORDERING:
+                # var-var ordering is numeric (dialect note in module doc)
+                cond = _CMP[op](F.col(name).cast("double"), F.col(rhs[1:]).cast("double"))
+            else:
+                cond = _CMP[op](F.col(name), F.col(rhs[1:]))
+        elif rhs_kind == "num":
+            cond = _CMP[op](F.col(name).cast("double"), F.lit(float(rhs)))
+        else:
+            cond = _CMP[op](F.col(name), F.lit(rhs))
         df = df.filter(cond)
     return df
 

@@ -284,6 +284,65 @@ def _register_kg():
         return make_query(kg_triples(spark), q)
 
     @_q(
+        "kg_sparql_minus",
+        f"""SELECT DISTINCT subj AS x FROM {_t()}
+            WHERE pred = '{RR}hasPart'
+              AND subj NOT IN (SELECT subj FROM {_t()} WHERE pred = '{RR}hasDirective')""",
+    )
+    def kg_sparql_minus(spark, sf_dir):
+        from .operators.sparql import make_query
+
+        q = (
+            f"PREFIX P: <{RR}> SELECT ?x WHERE "
+            f"{{ ?x P:hasPart ?p MINUS {{ ?x P:hasDirective ?d }} }}"
+        )
+        return make_query(kg_triples(spark), q)
+
+    @_q(
+        "kg_sparql_values",
+        f"""SELECT DISTINCT subj AS x, obj AS p FROM {_t()}
+            WHERE pred = '{RR}hasPart' AND obj IN ('{RR}dresden', '{RR}leipzig')""",
+    )
+    def kg_sparql_values(spark, sf_dir):
+        from .operators.sparql import make_query
+
+        q = (
+            f"PREFIX P: <{RR}> SELECT ?x ?p WHERE "
+            f"{{ ?x P:hasPart ?p . VALUES ?p {{ P:dresden P:leipzig }} }}"
+        )
+        return make_query(kg_triples(spark), q)
+
+    @_q(
+        "kg_sparql_filter_varvar",
+        f"""SELECT DISTINCT a.subj AS x, b.subj AS y
+            FROM {_t()} a JOIN {_t()} b
+              ON TRY_CAST(a.obj AS DOUBLE) < TRY_CAST(b.obj AS DOUBLE)
+            WHERE a.pred = '{RR}hasIRRValue' AND b.pred = '{RR}hasIRRValue'""",
+    )
+    def kg_sparql_filter_varvar(spark, sf_dir):
+        from .operators.sparql import make_query
+
+        q = (
+            f"PREFIX P: <{RR}> SELECT ?x ?y WHERE "
+            f"{{ ?x P:hasIRRValue ?v . ?y P:hasIRRValue ?w . FILTER(?v < ?w) }}"
+        )
+        return make_query(kg_triples(spark), q)
+
+    @_q(
+        "kg_sparql_regex",
+        f"""SELECT DISTINCT subj AS x FROM {_t()}
+            WHERE pred = '{RR}hasPart' AND regexp_matches(obj, 'dre')""",
+    )
+    def kg_sparql_regex(spark, sf_dir):
+        from .operators.sparql import make_query
+
+        q = (
+            f"PREFIX P: <{RR}> SELECT ?x WHERE "
+            f'{{ ?x P:hasPart ?p . FILTER(regex(?p, "dre")) }}'
+        )
+        return make_query(kg_triples(spark), q)
+
+    @_q(
         "kg_bgp_join",
         f"""SELECT DISTINCT t1.doc_iri, t1.subj AS region, t2.obj AS directive
             FROM {_t()} t1 JOIN {_t()} t2
