@@ -269,3 +269,88 @@ def test_many_documents_solve_in_parallel(spark):
          f"https://w3id.org/yet/undefined/zebra-{i}#zebra")
         for i in range(6)
     }
+
+
+_TWO_MEN_YML = """\
+- iri: http://ex.org/una#
+- owl_multiple_individuals:
+      names: [a, b]
+      types: ["owl:Thing"]
+- owl_multiple_individuals:
+      names: [h1, h2]
+      types: ["owl:Thing"]
+- owl_class:
+      Man:
+          EquivalentTo:
+              OneOf: [a, b]
+- owl_class:
+      House:
+          EquivalentTo:
+              OneOf: [h1, h2]
+- owl_object_property:
+    lives_in:
+        Characteristics: [Functional, InverseFunctional]
+        Domain: [Man]
+        Range: [House]
+- property_facts:
+    lives_in:
+        Facts:
+            - a: h1
+- restriction:
+    Subject: Man
+    Body:
+      lives_in:
+        some: House
+{AD}"""
+
+
+def _solve_yml(yml):
+    res = parse_document(yml)
+    rows = [(t[0], t[1], t[2]) for t in res.triples if not t[3]]
+    return _solve_doc(rows)
+
+
+def test_no_una_without_alldifferent():
+    # ADVICE r02: OWL is non-UNA — without an AllDifferent axiom the
+    # model where b = a (so b also lives in h1) is consistent, so
+    # lives_in(b) = h2 must NOT be entailed
+    inferred = _solve_yml(_TWO_MEN_YML.format(AD=""))
+    U = "http://ex.org/una#"
+    assert (U + "b", U + "lives_in", U + "h2") not in inferred
+
+
+def test_alldifferent_restores_injectivity():
+    # with the axiom, inverse-functional injectivity applies and the
+    # puzzle-style deduction goes through: b must live in h2
+    ad = "- different_individuals:\n    - __all__\n"
+    inferred = _solve_yml(_TWO_MEN_YML.format(AD=ad))
+    U = "http://ex.org/una#"
+    assert (U + "b", U + "lives_in", U + "h2") in inferred
+
+
+def test_unsupported_construct_is_loud(spark):
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL,
+        UnsupportedDLError,
+        YPO_DL_UNSUPPORTED,
+    )
+
+    E = "http://ex.org/card#"
+    rows = [
+        (E + "C", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "_:r", False, None, E),
+        ("_:r", OWL + "onProperty", E + "p", False, None, E),
+        ("_:r", OWL + "minCardinality", "2", False, None, E),
+    ]
+    schema = ("subj string, pred string, obj string, obj_is_literal boolean, "
+              "obj_datatype string, doc_iri string")
+    triples = spark.createDataFrame(rows, schema)
+    # warn (default): a diagnostic row names the construct
+    got = dl_model_search(triples).collect()
+    diags = {(r["subj"], r["pred"], r["obj"]) for r in got}
+    assert (E, YPO_DL_UNSUPPORTED, OWL + "minCardinality") in diags
+    # raise: fails loudly naming the document
+    with pytest.raises(Exception) as ei:
+        dl_model_search(triples, on_unsupported="raise").collect()
+    assert "minCardinality" in str(ei.value)
+    # ignore: the silent legacy behavior
+    assert dl_model_search(triples, on_unsupported="ignore").count() == 0

@@ -19,19 +19,23 @@ Per document:
    possibly over anonymous ``Inverse(p)`` properties);
 2. compile to a CSP: one variable per (functional property, subject in
    its enumerated domain) with the enumerated range as domain;
-   InverseFunctional + AllDifferent ⇒ all-different over each
-   property's variables; restriction trees become three-valued
-   constraint closures;
+   InverseFunctional injectivity applies between subjects covered by
+   an explicit ``AllDifferent`` axiom (OWL is non-UNA: without the
+   axiom, two names may denote one individual, so equal values are
+   consistent); restriction trees become three-valued constraint
+   closures;
 3. enumerate models by backtracking (MRV + all-diff forward checking,
    step-capped); **emit facts entailed in every found model** (Pellet
    semantics: inference = truth in all models) minus asserted facts —
    plus the deterministic part (OneOf memberships, inverse-property
    images of functional assignments).
 
-Documents outside the fragment simply contribute no variables and fall
-through with only the deterministic inferences (usually none) — this
-operator composes with :mod:`swrl`'s forward chain in
-``api.OntologyManager.sync_reasoner``.
+Documents outside the fragment contribute no variables, and the
+boundary is LOUD: constructs the fragment ignores (cardinality,
+property chains, allValuesFrom, ...) yield per-document diagnostic
+rows or an :class:`UnsupportedDLError` (``on_unsupported=``), never a
+silent no-op. This operator composes with :mod:`swrl`'s forward chain
+in ``api.OntologyManager.sync_reasoner``.
 """
 
 from __future__ import annotations
@@ -60,6 +64,34 @@ OWL_FUNCTIONAL = OWL + "FunctionalProperty"
 OWL_INV_FUNCTIONAL = OWL + "InverseFunctionalProperty"
 RDFS_DOMAIN = V.RDFS + "domain"
 RDFS_RANGE = V.RDFS + "range"
+
+# DL constructs the CSP fragment does NOT reason over: documents using
+# these would previously fall through silently with only deterministic
+# inferences (r2 verdict #4) — now they produce an explicit diagnostic
+# triple (doc_iri ypo:dlUnsupportedConstruct <construct>) or a raise.
+UNSUPPORTED_DL_PREDS = frozenset(
+    OWL + p
+    for p in (
+        "allValuesFrom",
+        "cardinality",
+        "minCardinality",
+        "maxCardinality",
+        "qualifiedCardinality",
+        "minQualifiedCardinality",
+        "maxQualifiedCardinality",
+        "onClass",
+        "propertyChainAxiom",
+        "hasSelf",
+        "disjointWith",
+        "propertyDisjointWith",
+    )
+)
+YPO_DL_UNSUPPORTED = V.YPO + "dlUnsupportedConstruct"
+
+
+class UnsupportedDLError(ValueError):
+    """A document uses a DL construct outside the supported fragment
+    (mirror of swrl.UnsupportedSWRLError for the model-search side)."""
 
 
 class _DocModel:
@@ -156,7 +188,10 @@ def _decode(rows):
         if lst:
             all_different.append(m.rdf_list(lst))
 
-    return m, enums, functional, invfunctional, inverse_of, domains, ranges, facts, restrictions
+    return (
+        m, enums, functional, invfunctional, inverse_of, domains, ranges,
+        facts, restrictions, all_different,
+    )
 
 
 def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optional[dict] = None):
@@ -173,6 +208,7 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
         ranges,
         facts,
         restrictions,
+        all_different,
     ) = _decode(rows)
 
     inferred: Set[Tuple[str, str, str]] = set()
@@ -308,8 +344,16 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
 
     constraints = [(s, r) for s, r in restrictions]
 
-    # inverse-functional ⇒ all-different per property (plus explicit
-    # AllDifferent axioms making values distinct entities)
+    # InverseFunctional p entails s1 = s2 whenever p(s1) = p(s2); under
+    # OWL's open-world non-UNA semantics that is a CONTRADICTION only
+    # when s1 and s2 are explicitly declared different — so the
+    # injectivity (all-diff) constraint applies exactly between subject
+    # pairs covered by an owl:AllDifferent axiom, never by name alone
+    diff_sets = [set(g) for g in all_different]
+
+    def declared_different(a: str, b: str) -> bool:
+        return a != b and any(a in g and b in g for g in diff_sets)
+
     alldiff_groups: Dict[str, List[Tuple[str, str]]] = {}
     for (p, s) in variables:
         if p in invfunctional:
@@ -321,14 +365,15 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
 
     def consistent() -> bool:
         for p, group in alldiff_groups.items():
-            seen = set()
+            by_val: Dict[str, List[str]] = {}
             for v in group:
                 a = assignment[v]
                 if a is None or a == OWL_NOTHING:
                     continue
-                if a in seen:
-                    return False
-                seen.add(a)
+                for other_subj in by_val.get(a, ()):
+                    if declared_different(v[1], other_subj):
+                        return False
+                by_val.setdefault(a, []).append(v[1])
         for s, r in constraints:
             if holds(s, r) is False:
                 return False
@@ -386,11 +431,27 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
 DL_OUT_COLS = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype", "doc_iri"]
 
 
-def dl_model_search(triples: DataFrame, max_models: int = 8, max_steps: int = 500_000) -> DataFrame:
+def dl_model_search(
+    triples: DataFrame,
+    max_models: int = 8,
+    max_steps: int = 500_000,
+    on_unsupported: str = "warn",
+) -> DataFrame:
     """Distributed DL model search: one CSP solve per document via
     ``applyInPandas`` (grouped on ``doc_iri``). Returns the inferred
     delta with the standard fact schema. Entity facts only — literal
-    triples never participate in this fragment."""
+    triples never participate in this fragment.
+
+    The supported-fragment boundary is OBSERVABLE, never silent
+    (r2 verdict #4): a document using a construct the fragment ignores
+    (cardinality, property chains, allValuesFrom, ... —
+    ``UNSUPPORTED_DL_PREDS``) yields, per distinct construct, one
+    diagnostic row ``(doc_iri, ypo:dlUnsupportedConstruct,
+    <construct>)`` in the output (``on_unsupported="warn"``, default);
+    ``"raise"`` fails the job with :class:`UnsupportedDLError` naming
+    the document; ``"ignore"`` restores the silent fall-through."""
+    if on_unsupported not in ("warn", "raise", "ignore"):
+        raise ValueError(f"on_unsupported must be warn|raise|ignore: {on_unsupported!r}")
     ent = (
         triples.filter(~F.col("obj_is_literal"))
         .select("doc_iri", "subj", "pred", "obj")
@@ -404,9 +465,17 @@ def dl_model_search(triples: DataFrame, max_models: int = 8, max_steps: int = 50
             return pd.DataFrame(columns=DL_OUT_COLS)
         doc_iri = pdf["doc_iri"].iloc[0]
         rows = list(zip(pdf["subj"], pdf["pred"], pdf["obj"]))
+        unsupported = sorted({p for _, p, _ in rows if p in UNSUPPORTED_DL_PREDS})
+        if unsupported and on_unsupported == "raise":
+            raise UnsupportedDLError(
+                f"{doc_iri} uses DL constructs outside the supported "
+                f"fragment: {', '.join(unsupported)}"
+            )
         asserted = set(rows)
         inferred = _solve_doc(rows, max_models=max_models, max_steps=max_steps)
         out = sorted(t for t in inferred if t not in asserted)
+        if unsupported and on_unsupported == "warn":
+            out.extend((doc_iri, YPO_DL_UNSUPPORTED, c) for c in unsupported)
         return pd.DataFrame(
             {
                 "subj": [t[0] for t in out],
