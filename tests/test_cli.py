@@ -87,8 +87,9 @@ def test_cli_convert_rdfxml_roundtrip(spark, tmp_path):
     got = read_rdfxml(owl)
     df = spark.read.parquet(os.path.join(out, "triples.parquet"))
     want = {
-        # xsd:string carries no explicit datatype in RDF/XML
-        (r[0], r[1], r[2], r[3], None if r[4] == V.XSD_STRING else r[4])
+        # RDF 1.1: an untyped literal IS xsd:string — the reader restores
+        # the datatype, so declared-xsd:string rows round-trip EQUAL
+        (r[0], r[1], r[2], r[3], r[4])
         for r in df.select("subj", "pred", "obj", "obj_is_literal", "obj_datatype").collect()
     }
     assert got == want and len(got) == 127

@@ -116,17 +116,9 @@ class EntityHandle:
                 f"{self.name} has no attribute {name!r} (not a declared property)"
             )
         vals = [self._to_value(*t) for t in self._objs(om.iri + name)]
-        from . import vocab as V
-
-        functional = (
-            om.triples.filter(
-                (F.col("subj") == om.iri + name)
-                & (F.col("pred") == V.RDF_TYPE)
-                & (F.col("obj") == V.OWL_FUNCTIONAL)
-            ).count()
-            > 0
-        )
-        if functional:
+        # the functional flag is known driver-side at parse time — one
+        # Spark job per access (the value collect), not two (ADVICE r02)
+        if name in om.functional_roles:
             return vals[0] if vals else None
         return vals
 
@@ -196,6 +188,11 @@ class OntologyManager:
         self.iri = result.iri
         self.concepts = [c.name for c in parser.concepts]
         self.roles = {name: r.kind for name, r in parser.roles.items()}
+        # functional-property flags, known at parse time: consulted by
+        # EntityHandle.__getattr__ without launching a Spark job
+        self.functional_roles = {
+            name for name, r in parser.roles.items() if r.is_functional
+        }
         self.individuals = [i.name for i in parser.individuals]
         self.rules = [r.name for r in result.rules]
         self.n = NameContainer(
@@ -206,6 +203,9 @@ class OntologyManager:
             }
         )
 
+        import hashlib
+
+        self._lineage = (repo, path, "0" * 40, hashlib.sha256(content.encode()).hexdigest())
         src = spark.createDataFrame(
             [(repo, path, "0" * 40, "yaml", content)], SOURCE_SCHEMA
         )
@@ -230,6 +230,112 @@ class OntologyManager:
             }
         return {tuple(r) for r in df.collect()}
 
+    # ------------------------------------------------------------------
+    # write side: imperative mutation after load (owlready2 lets users
+    # add facts/entities to the loaded ontology, re-reason and save —
+    # reference core.py's owlready objects are live; this is the Spark
+    # analogue over the triples DataFrame)
+    # ------------------------------------------------------------------
+
+    def _handle_of(self, entity) -> EntityHandle:
+        if isinstance(entity, EntityHandle):
+            return entity
+        if isinstance(entity, str) and entity in self.n:
+            return getattr(self.n, entity)
+        raise ValueError(f"unknown entity: {entity!r}")
+
+    def _append_rows(self, rows) -> None:
+        """rows: (subj, pred, obj, obj_is_literal, obj_datatype)."""
+        full = [
+            (s, p, o, il, dt, self.iri) + self._lineage for s, p, o, il, dt in rows
+        ]
+        new = self.spark.createDataFrame(full, self.triples.schema)
+        self.triples = self.triples.unionByName(new).persist()
+        self._reasoned = False  # new facts may enable new inferences
+
+    def add_fact(self, subject, prop: str, value) -> None:
+        """Assert ``prop(subject) = value`` on the loaded ontology.
+        ``subject`` is a name or EntityHandle; ``value`` is a name,
+        an EntityHandle, or a Python literal (typed like the parser
+        types YAML literals). Clears the reasoned flag so a subsequent
+        ``sync_reasoner()`` chains over the new fact."""
+        from . import vocab as V
+
+        if prop not in self.roles:
+            raise ValueError(f"not a declared property: {prop!r}")
+        subj = self._handle_of(subject)
+        if isinstance(value, EntityHandle):
+            row = (subj.iri, self.iri + prop, value.iri, False, None)
+        elif isinstance(value, str) and value in self.n:
+            row = (subj.iri, self.iri + prop, getattr(self.n, value).iri, False, None)
+        else:
+            row = (
+                subj.iri,
+                self.iri + prop,
+                V.literal_lexical(value),
+                True,
+                V.literal_datatype(value),
+            )
+        self._append_rows([row])
+
+    def new_individual(self, name: str, types=()) -> EntityHandle:
+        """Create a named individual after load (owlready2's
+        ``Class(name)`` instantiation surface)."""
+        from . import vocab as V
+
+        if name in self.n:
+            raise ValueError(f"entity {name!r} already exists")
+        iri = self.iri + name
+        rows = [(iri, V.RDF_TYPE, V.OWL_NAMED_INDIVIDUAL, False, None)]
+        for t in types:
+            rows.append((iri, V.RDF_TYPE, self._handle_of(t).iri, False, None))
+        self._append_rows(rows)
+        handle = EntityHandle(name, iri, "individual", self)
+        self.n._entities[name] = handle
+        self.individuals.append(name)
+        return handle
+
+    def new_class(self, name: str, parents=()) -> EntityHandle:
+        """Declare a new class after load (owlready2's ``types.new_class``
+        surface, reference core.py's dynamic class creation)."""
+        from . import vocab as V
+
+        if name in self.n:
+            raise ValueError(f"entity {name!r} already exists")
+        iri = self.iri + name
+        rows = [(iri, V.RDF_TYPE, V.OWL_CLASS, False, None)]
+        for p in parents:
+            rows.append((iri, V.RDFS_SUBCLASSOF, self._handle_of(p).iri, False, None))
+        self._append_rows(rows)
+        handle = EntityHandle(name, iri, "class", self)
+        self.n._entities[name] = handle
+        self.concepts.append(name)
+        return handle
+
+    def save(self, path: str, format: str = "rdfxml") -> int:
+        """Serialize the current triples (including mutations and merged
+        inferences) — the reference's ``onto.save(path, format)``
+        (script.py:51). Formats: ``rdfxml`` | ``ntriples``. Returns the
+        triple count written."""
+        rows = [
+            tuple(r)
+            for r in self.triples.select(
+                "subj", "pred", "obj", "obj_is_literal", "obj_datatype"
+            ).collect()
+        ]
+        if format == "rdfxml":
+            from .rdfxml import write_rdfxml
+
+            return write_rdfxml(rows, path, base_iri=self.iri)
+        if format == "ntriples":
+            from .cli import ntriples_line
+
+            with open(path, "w") as fh:
+                for r in sorted(set(rows)):
+                    fh.write(ntriples_line(*r) + "\n")
+            return len(set(rows))
+        raise ValueError(f"unsupported format: {format!r} (rdfxml|ntriples)")
+
     def sync_reasoner(self, **_kwargs) -> int:
         """Forward-chain SWRL rules + transitive/inverse axioms, plus
         DL model search for the OneOf/Functional/AllDifferent fragment
@@ -250,8 +356,12 @@ class OntologyManager:
             "src_repo", "src_path", "src_commit", "src_sha256"
         ).limit(1)
         enriched = inferred.crossJoin(F.broadcast(lineage))
-        self.triples = self.triples.unionByName(
-            enriched.select(*self.triples.columns)
-        ).persist()
+        # distinct: re-reasoning after a mutation must not duplicate
+        # facts inferred by an earlier sync_reasoner call
+        self.triples = (
+            self.triples.unionByName(enriched.select(*self.triples.columns))
+            .distinct()
+            .persist()
+        )
         self._reasoned = True
         return n

@@ -88,7 +88,14 @@ def write_rdfxml(rows: Iterable[Row], path: str, base_iri: str = None) -> int:
 def read_rdfxml(path: str) -> Set[Row]:
     """Read back the subset :func:`write_rdfxml` emits (round-trip
     check; not a general RDF/XML parser — no typed node elements, no
-    property attributes, no rdf:parseType)."""
+    property attributes, no rdf:parseType).
+
+    Literal datatype contract (RDF 1.1): a literal without an explicit
+    ``rdf:datatype`` IS ``xsd:string``, so untyped literals read back
+    with ``obj_datatype = xsd:string`` — a Row written with explicit
+    ``xsd:string`` round-trips equal (ADVICE r02); writers passing
+    ``None`` for a literal mean the same thing and normalize to
+    ``xsd:string`` on read."""
     out: Set[Row] = set()
     root = ET.parse(path).getroot()
     for desc in root:
@@ -105,6 +112,6 @@ def read_rdfxml(path: str) -> Set[Row]:
             elif onid is not None:
                 out.add((subj, pred, "_:" + onid[1:], False, None))
             else:
-                dtype = el.get(f"{{{RDF_NS}}}datatype")
+                dtype = el.get(f"{{{RDF_NS}}}datatype") or V.XSD_STRING
                 out.add((subj, pred, el.text or "", True, dtype))
     return out
