@@ -188,12 +188,23 @@ def test_materialize_gc_uncommitted_run(spark, pipe, source, tmp_path_factory):
     pipe.materialize(half, out)
 
     # simulate the crash window: data from a run exists, progress doesn't
+    # (a real materialize run id = uuid4().hex, 32 lowercase hex chars)
+    orphan = "deadbeefcafe0123deadbeefcafe0123"
     committed = glob.glob(f"{out}/triples/run_id=*")[0]
-    shutil.copytree(committed, f"{out}/triples/run_id=deadbeefcafe")
+    shutil.copytree(committed, f"{out}/triples/run_id={orphan}")
+    # a streaming sink writes run_id=batch_<n> dirs into the same layout
+    # and never commits _progress rows — GC must NOT touch them
+    # (ADVICE r02), nor any id not matching materialize's own format
+    shutil.copytree(committed, f"{out}/triples/run_id=batch_7")
+    shutil.copytree(committed, f"{out}/triples/run_id=shortid")
 
     pipe.materialize(source, out)
+    assert not glob.glob(f"{out}/triples/run_id={orphan}")  # GC'd
+    assert glob.glob(f"{out}/triples/run_id=batch_7")  # streamed: kept
+    assert glob.glob(f"{out}/triples/run_id=shortid")  # foreign: kept
+    shutil.rmtree(f"{out}/triples/run_id=batch_7")
+    shutil.rmtree(f"{out}/triples/run_id=shortid")
     full = spark.read.parquet(f"{out}/triples").drop("run_id")
-    assert not glob.glob(f"{out}/triples/run_id=deadbeefcafe")  # GC'd
 
     out2 = str(tmp_path_factory.mktemp("kgcrash2"))
     pipe.materialize(source, out2)

@@ -71,3 +71,18 @@ def test_module_level_helpers():
     assert "The Thing" in ypo.render_using_label(E())
     E.label = []
     assert "thing1" in ypo.render_using_label(E())
+
+
+def test_pep604_union():
+    # ADVICE r02: int | str has origin types.UnionType, not typing.Union
+    assert check_type(3, int | str)
+    assert check_type("x", int | str)
+    with pytest.raises(TypeError):
+        check_type(3.5, int | str)
+    assert check_type(None, int | None)
+
+
+def test_bare_none_annotation_is_nonetype():
+    assert check_type(None, None)
+    with pytest.raises(TypeError):
+        check_type(3, None)

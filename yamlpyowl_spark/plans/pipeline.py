@@ -261,6 +261,8 @@ class KGPipeline:
         local). Assumes no concurrent materialize on the same out_dir
         (same contract as before)."""
         spark = self.spark
+        import re as _re
+
         committed: set = set()
         try:
             committed = {
@@ -282,7 +284,14 @@ class KGPipeline:
                     continue
                 for st in fs.listStatus(p):
                     name = st.getPath().getName()
-                    if name.startswith("run_id=") and name[len("run_id="):] not in committed:
+                    if not name.startswith("run_id="):
+                        continue
+                    rid = name[len("run_id="):]
+                    # GC only ids materialize itself minted (uuid4().hex,
+                    # 32 lowercase hex): streaming writes run_id=batch_<n>
+                    # into the same layout and commits no _progress rows —
+                    # those must never be collected (ADVICE r02)
+                    if _re.fullmatch(r"[0-9a-f]{32}", rid) and rid not in committed:
                         fs.delete(st.getPath(), True)
             except Exception:
                 pass

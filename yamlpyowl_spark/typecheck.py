@@ -16,7 +16,10 @@ check_type(...)`` can be compiled out with ``python -O``; raises
 
 from __future__ import annotations
 
+import types as _types
 import typing
+
+_UNION_TYPE = getattr(_types, "UnionType", None)  # PEP 604 (py >= 3.10)
 
 try:  # pragma: no cover - exercised only where pydantic exists
     import pydantic
@@ -36,13 +39,17 @@ except Exception:  # pydantic absent (this container) or incompatible
 
 
 def _matches(obj, tp) -> bool:
-    if tp is typing.Any or tp is None:
+    if tp is typing.Any:
         return True
+    if tp is None:  # a bare None annotation means NoneType, not Any
+        return obj is None
     if tp in _STRICT:
         tp = _STRICT[tp]
     origin = typing.get_origin(tp)
     args = typing.get_args(tp)
-    if origin is typing.Union:
+    # typing.Union[int, str] has origin typing.Union; PEP 604 `int | str`
+    # has origin types.UnionType — accept both (ADVICE r02)
+    if origin is typing.Union or (_UNION_TYPE is not None and origin is _UNION_TYPE):
         return any(_matches(obj, a) for a in args)
     if origin in (list, typing.List):
         return isinstance(obj, list) and all(_matches(x, args[0]) for x in obj) if args else isinstance(obj, list)
