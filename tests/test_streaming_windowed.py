@@ -133,3 +133,28 @@ def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
     }
     assert (1, 3001, 1) in rows  # user 1's second session flushed
     assert not any(u == 9 for u, _, _ in rows)  # user 9 still open in state
+
+
+def test_drain_matches_batch_twin(spark):
+    """The availableNow drain of the windowed agg equals the batch
+    time-bucket computation on the same input — the driver-gate
+    surface (r2 verdict #9)."""
+    from pyspark.sql import functions as F
+
+    from yamlpyowl_spark.streaming.windowed import drain_windowed_event_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = drain_windowed_event_counts(spark, f"{sf}/events.parquet")
+    want = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    assert got.count() == want.count() > 0

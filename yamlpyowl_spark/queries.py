@@ -1001,6 +1001,22 @@ def _register_relational():
         )
 
     @_q(
+        "stream_hourly_event_counts",
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+                  event_type, count(*) AS n_events
+           FROM events GROUP BY 1, 2, 3""",
+    )
+    def stream_hourly_event_counts(spark, sf_dir):
+        # the STREAMING operator itself, drained via availableNow over a
+        # file source (r2 verdict #9) — not the batch twin: watermark,
+        # state store and trigger machinery are engaged, and the result
+        # is gated against the same independent time_bucket oracle
+        from .streaming.windowed import drain_windowed_event_counts
+
+        return drain_windowed_event_counts(spark, f"{sf_dir}/events.parquet")
+
+    @_q(
         "rel_clickers_without_purchase",
         """SELECT DISTINCT user_id FROM events
            WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-02 00:00:00'

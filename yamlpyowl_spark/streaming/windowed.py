@@ -51,6 +51,63 @@ def windowed_event_counts(
     )
 
 
+def drain_windowed_event_counts(
+    spark,
+    input_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Run :func:`windowed_event_counts` as a REAL streaming query over
+    a file source and drain it with ``availableNow`` — the driver-gate
+    surface (r2 verdict #9): the batch-readable result comes back from
+    the sink, so a DuckDB ``time_bucket`` oracle can verify the
+    streaming operator end-to-end (state store, watermark tracking and
+    trigger machinery all engaged).
+
+    Sink note: the drain uses COMPLETE mode into a memory sink so every
+    window — including those the final watermark has not passed — is in
+    the returned table; the production path is append mode into files,
+    where closed windows finalize incrementally (bounded sink size).
+    Complete-mode memory collects the aggregate to the driver: fine for
+    a verification drain, not the 100-TB serving path."""
+    import os
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(input_path).schema
+    if os.path.isfile(input_path):
+        # the file stream source lists a DIRECTORY; production inputs
+        # are landing dirs already — wrap a single-file fixture
+        d = tempfile.mkdtemp(prefix="wec_in_")
+        os.symlink(os.path.abspath(input_path), os.path.join(d, "part-0.parquet"))
+        input_path = d
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    # watermarks require TIMESTAMP; the fixture's ts is TIMESTAMP_NTZ —
+    # cast through the (UTC) session zone and back on output
+    ntz = dict(stream.dtypes).get("ts") == "timestamp_ntz"
+    if ntz:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed_event_counts(stream, window=window, watermark=watermark)
+    if ntz:
+        agg = agg.select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    name = f"wec_{uuid.uuid4().hex}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wec_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 SESSION_OUT_SCHEMA = (
     "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, n_events BIGINT"
 )
