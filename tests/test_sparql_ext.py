@@ -229,3 +229,77 @@ def test_sparql_fuzz_token_soup(parts):
         _parse(" ".join(parts))
     except SparqlError:
         pass
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    # a -p-> b -p-> c -p-> d; c -q-> x
+    rows = [
+        (E + "a", E + "p", E + "b", False, None, E),
+        (E + "b", E + "p", E + "c", False, None, E),
+        (E + "c", E + "p", E + "d", False, None, E),
+        (E + "c", E + "q", E + "x", False, None, E),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_path_plus_closure(graph):
+    got = {
+        tuple(r)
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?x ?y WHERE {{ ?x e:p+ ?y }}"
+        ).collect()
+    }
+    assert got == {
+        (E + "a", E + "b"), (E + "a", E + "c"), (E + "a", E + "d"),
+        (E + "b", E + "c"), (E + "b", E + "d"), (E + "c", E + "d"),
+    }
+
+
+def test_path_sequence(graph):
+    got = {
+        r[0]
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?s WHERE {{ ?s e:p/e:q ?v }}"
+        ).collect()
+    }
+    assert got == {E + "b"}
+
+
+def test_path_closure_then_step(graph):
+    # p+ then q: everything that reaches c via p then hops q
+    got = {
+        tuple(r)
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?s ?v WHERE {{ ?s e:p+/e:q ?v }}"
+        ).collect()
+    }
+    assert got == {(E + "a", E + "x"), (E + "b", E + "x")}
+
+
+def test_path_constant_endpoints(graph):
+    got = {
+        r[0]
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?y WHERE {{ e:a e:p+ ?y }}"
+        ).collect()
+    }
+    assert got == {E + "b", E + "c", E + "d"}
+
+
+def test_path_joins_other_patterns(graph):
+    got = {
+        tuple(r)
+        for r in make_query(
+            graph,
+            f"PREFIX e: <{E}> SELECT ?x ?v WHERE {{ ?x e:p+ ?y . ?y e:q ?v }}",
+        ).collect()
+    }
+    assert got == {(E + "a", E + "x"), (E + "b", E + "x")}
+
+
+def test_path_var_predicate_rejected(graph):
+    with pytest.raises(SparqlError, match="propert"):
+        make_query(graph, f"PREFIX e: <{E}> SELECT ?x WHERE {{ ?x ?p/e:q ?y }}")
+    with pytest.raises(SparqlError, match="concrete predicate"):
+        make_query(graph, f"PREFIX e: <{E}> SELECT ?x WHERE {{ ?x ?p+ ?y }}")

@@ -6,10 +6,11 @@ PREFIX + one/two-pattern SELECT BGPs (tests/test_core.py:124-144).
 This module parses that subset plus the next-most-common SPARQL
 constructs — ``FILTER`` (var-const and var-var comparisons plus
 ``regex()``, ``&&``-conjoined), ``UNION``, ``OPTIONAL``, ``MINUS``,
-``VALUES`` (single-var and tuple forms) and simple ``BIND`` — and
-compiles them onto DataFrame filters / equi-joins / unions / left and
-anti joins / local relations. Catalyst plans the execution; we write
-no evaluator of our own.
+``VALUES`` (single-var and tuple forms), simple ``BIND``, and property
+paths (``p+`` one-or-more closure, ``p1/p2`` sequences) — and compiles
+them onto DataFrame filters / equi-joins / unions / left and anti
+joins / local relations / the semi-naive transitive-closure operator.
+Catalyst plans the execution; we write no evaluator of our own.
 
 Dialect notes (documented, not silent): var-var ordering comparisons
 (``FILTER(?a < ?b)``) compare NUMERICALLY (both sides cast to double;
@@ -18,8 +19,9 @@ non-numeric values drop out), ``=``/``!=`` compare lexical forms;
 constant, a variable copy, or one binary arithmetic step
 (``BIND(?a * 2 AS ?b)``, double-typed).
 
-Still-unsupported SPARQL (GRAPH, EXISTS, ASK, CONSTRUCT, property
-paths, subqueries) raises — loudly, not wrongly.
+Still-unsupported SPARQL (GRAPH, EXISTS, ASK, CONSTRUCT, path
+alternation/inverse (`|`, `^`), subqueries) raises — loudly, not
+wrongly.
 """
 
 from __future__ import annotations
@@ -169,9 +171,15 @@ class _Parser:
                 else:
                     items.extend(g1)  # plain nested group = same scope
                 continue
-            # otherwise: a triple pattern (3 terms)
-            terms = [_term_of(self.next(), self.prefixes) for _ in range(3)]
-            items.append(("t", tuple(terms)))
+            # otherwise: a triple pattern — subject, property PATH
+            # (single predicate, `p+` closure, `p1/p2` sequence), object
+            s = _term_of(self.next(), self.prefixes)
+            segs = self._path()
+            o = _term_of(self.next(), self.prefixes)
+            if len(segs) == 1 and not segs[0][1]:
+                items.append(("t", (s, segs[0][0], o)))
+            else:
+                items.append(("path", s, segs, o))
 
     def _filter(self) -> list:
         """FILTER ( comp [&& comp ...] ) with comp = ?v op (const|?w)
@@ -219,6 +227,30 @@ class _Parser:
                 return comps
             if _kind(nxt) != "op" or nxt.group("op") != "&&":
                 raise SparqlError(f"expected && or ) in FILTER, got {nxt.group(0)!r}")
+
+    def _path(self) -> list:
+        """Property path in predicate position: ``p``, ``p+``,
+        ``p1/p2[/p3...]`` with ``+`` per segment. Returns
+        ``[(pred_term, one_or_more), ...]``. A variable predicate is
+        allowed only as a single plain segment (plain BGP)."""
+        segs = []
+        while True:
+            term = _term_of(self.next(), self.prefixes)
+            plus = False
+            nxt = self.peek()
+            if nxt is not None and _kind(nxt) == "arith" and nxt.group("arith") == "+":
+                if term.startswith("?"):
+                    raise SparqlError("`+` closure needs a concrete predicate")
+                self.next()
+                plus = True
+            segs.append((term, plus))
+            nxt = self.peek()
+            if nxt is not None and _kind(nxt) == "arith" and nxt.group("arith") == "/":
+                self.next()
+                continue
+            if len(segs) > 1 and any(t.startswith("?") for t, _ in segs):
+                raise SparqlError("variable predicates not allowed in property paths")
+            return segs
 
     def _values(self) -> tuple:
         """VALUES ?x { t1 t2 ... }  |  VALUES (?x ?y) { (a b) (c d) }"""
@@ -313,7 +345,7 @@ def _parse(src: str):
     items = parser.group()
     if parser.peek() is not None:
         raise SparqlError(f"trailing tokens: {parser.peek().group(0)!r}")
-    if not any(k[0] in ("t", "union", "values") for k in items):
+    if not any(k[0] in ("t", "path", "union", "values") for k in items):
         raise SparqlError(
             "WHERE block has no required triple patterns "
             "(OPTIONAL/FILTER/BIND alone is not a query)"
@@ -346,6 +378,40 @@ def _pattern_frame(triples: DataFrame, pat, idx: int) -> DataFrame:
         else:
             t = t.filter(F.col(pos) == term)
     return t.select(*cols) if cols else t.select(F.lit(1).alias(f"_m{idx}"))
+
+
+def _path_frame(triples: DataFrame, s: str, segs: list, o: str, idx: int) -> DataFrame:
+    """Compile a property path onto edge joins; ``p+`` segments become
+    a distributed semi-naive transitive closure (operators/closure) —
+    SPARQL 1.1 paths expressed as the iterative-DataFrame pattern
+    instead of a recursive evaluator."""
+    from .closure import transitive_closure
+
+    cur = None
+    for i, (p, plus) in enumerate(segs):
+        e = triples.filter(F.col("pred") == p).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        if plus:
+            e = transitive_closure(e)
+        e = e.select(
+            F.col("src").alias(f"_h{idx}_{i}"), F.col("dst").alias(f"_h{idx}_{i + 1}")
+        )
+        cur = e if cur is None else cur.join(e, f"_h{idx}_{i}")
+    first, last = f"_h{idx}_0", f"_h{idx}_{len(segs)}"
+    if s.startswith("?"):
+        cur = cur.withColumnRenamed(first, s[1:])
+    else:
+        cur = cur.filter(F.col(first) == s)
+    if o.startswith("?"):
+        if o == s:  # cycle pattern ?x p+ ?x
+            cur = cur.filter(F.col(last) == F.col(s[1:]))
+        else:
+            cur = cur.withColumnRenamed(last, o[1:])
+    else:
+        cur = cur.filter(F.col(last) == o)
+    keep = [c for c in cur.columns if not c.startswith("_h")]
+    return cur.select(*keep).distinct() if keep else cur.select(F.lit(1).alias(f"_m{idx}"))
 
 
 def _merge(a: DataFrame, b: DataFrame, how: str = "inner") -> DataFrame:
@@ -390,6 +456,9 @@ def _compile(triples: DataFrame, items: list) -> DataFrame:
         kind = item[0]
         if kind == "t":
             frame = _pattern_frame(triples, item[1], n)
+            df = frame if df is None else _merge(df, frame)
+        elif kind == "path":
+            frame = _path_frame(triples, item[1], item[2], item[3], n)
             df = frame if df is None else _merge(df, frame)
         elif kind == "union":
             a = _compile(triples, item[1])

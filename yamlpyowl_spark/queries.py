@@ -343,6 +343,26 @@ def _register_kg():
         return make_query(kg_triples(spark), q)
 
     @_q(
+        "kg_sparql_path",
+        f"""WITH RECURSIVE e AS (
+              SELECT DISTINCT subj AS a, obj AS b FROM {_t()} WHERE pred = '{RR}hasPart'
+            ),
+            r(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+            )
+            SELECT DISTINCT a AS x, b AS y FROM r""",
+    )
+    def kg_sparql_path(spark, sf_dir):
+        # SPARQL 1.1 property path `p+` compiled onto the distributed
+        # semi-naive transitive-closure operator
+        from .operators.sparql import make_query
+
+        q = f"PREFIX P: <{RR}> SELECT ?x ?y WHERE {{ ?x P:hasPart+ ?y }}"
+        return make_query(kg_triples(spark), q)
+
+    @_q(
         "kg_bgp_join",
         f"""SELECT DISTINCT t1.doc_iri, t1.subj AS region, t2.obj AS directive
             FROM {_t()} t1 JOIN {_t()} t2
