@@ -354,3 +354,65 @@ def test_unsupported_construct_is_loud(spark):
     assert "minCardinality" in str(ei.value)
     # ignore: the silent legacy behavior
     assert dl_model_search(triples, on_unsupported="ignore").count() == 0
+
+
+def test_allvaluesfrom_supported():
+    # p only Good (+ p some House to force existence) pins p(a) = h1 —
+    # allValuesFrom is now inside the fragment, not a diagnostic
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL,
+        OWL_ALL_VALUES_FROM,
+        OWL_ON_PROPERTY,
+        OWL_SOME_VALUES_FROM,
+        UNSUPPORTED_DL_PREDS,
+    )
+
+    assert OWL_ALL_VALUES_FROM not in UNSUPPORTED_DL_PREDS
+    U = "http://ex.org/only#"
+    yml = f"""\
+- iri: {U}
+- owl_multiple_individuals:
+      names: [a, h1, h2]
+      types: ["owl:Thing"]
+- owl_class:
+      Man:
+          EquivalentTo:
+              OneOf: [a]
+- owl_class:
+      House:
+          EquivalentTo:
+              OneOf: [h1, h2]
+- owl_class:
+      Good:
+          EquivalentTo:
+              OneOf: [h1]
+- owl_object_property:
+    lives_in:
+        Characteristics: [Functional]
+        Domain: [Man]
+        Range: [House]
+- restriction:
+    Subject: Man
+    Body:
+      lives_in:
+        some: House
+"""
+    res = parse_document(yml)
+    rows = [(t[0], t[1], t[2]) for t in res.triples if not t[3]]
+    # graft an allValuesFrom restriction (the YAML grammar has no
+    # `only`, matching the reference — external RDF does)
+    rows += [
+        (U + "a", RDF_TYPE, "_:only1"),
+        ("_:only1", OWL_ON_PROPERTY, U + "lives_in"),
+        ("_:only1", OWL_ALL_VALUES_FROM, U + "Good"),
+    ]
+    inferred = _solve_doc(rows)
+    assert (U + "a", U + "lives_in", U + "h1") in inferred
+
+    # without the `some`, absence remains a model -> no entailment
+    rows_no_some = [
+        r for r in rows
+        if not (r[1] == OWL_SOME_VALUES_FROM or (r[0] == U + "Man" and r[2].startswith("_:")))
+    ]
+    inferred2 = _solve_doc(rows_no_some)
+    assert (U + "a", U + "lives_in", U + "h1") not in inferred2

@@ -15,8 +15,9 @@ Per document:
 1. decode enumerated classes (``C equivalentClass [oneOf l]``),
    functional / inverse-functional properties, ``inverseOf`` pairs,
    domains / ranges, asserted facts, ``AllDifferent`` axioms, and
-   restriction blank-node trees (``someValuesFrom`` / ``hasValue``,
-   possibly over anonymous ``Inverse(p)`` properties);
+   restriction blank-node trees (``someValuesFrom`` / ``hasValue`` /
+   ``allValuesFrom``, possibly over anonymous ``Inverse(p)``
+   properties);
 2. compile to a CSP: one variable per (functional property, subject in
    its enumerated domain) with the enumerated range as domain;
    InverseFunctional injectivity applies between subjects covered by
@@ -54,6 +55,7 @@ OWL_EQUIVALENT_CLASS = OWL + "equivalentClass"
 OWL_ONE_OF = OWL + "oneOf"
 OWL_ON_PROPERTY = OWL + "onProperty"
 OWL_SOME_VALUES_FROM = OWL + "someValuesFrom"
+OWL_ALL_VALUES_FROM = OWL + "allValuesFrom"
 OWL_HAS_VALUE = OWL + "hasValue"
 OWL_ALL_DIFFERENT = OWL + "AllDifferent"
 OWL_DISTINCT_MEMBERS = OWL + "distinctMembers"
@@ -72,7 +74,6 @@ RDFS_RANGE = V.RDFS + "range"
 UNSUPPORTED_DL_PREDS = frozenset(
     OWL + p
     for p in (
-        "allValuesFrom",
         "cardinality",
         "minCardinality",
         "maxCardinality",
@@ -305,6 +306,31 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
                 return None if got is None else got == entity
             got = val(on_p, entity)
             return None if got is None else got == hv
+        av = m.obj(node, OWL_ALL_VALUES_FROM)
+        if av is not None:
+            # only(C): every value of the property satisfies C; a
+            # functional property has at most one — absent is vacuous
+            if inv_q:
+                # Inverse(q).only(C): every y with q(y) = entity is a C
+                unknown = False
+                for y in prop_subjects(inv_q):
+                    got = val(inv_q, y)
+                    if got is None:
+                        unknown = True
+                        continue
+                    if got == entity:
+                        sub = holds(y, av)
+                        if sub is False:
+                            return False
+                        if sub is None:
+                            unknown = True
+                return None if unknown else True
+            got = val(on_p, entity)
+            if got is None:
+                return None
+            if got == OWL_NOTHING:
+                return True
+            return holds(got, av)
         sv = m.obj(node, OWL_SOME_VALUES_FROM)
         if sv is not None:
             if inv_q:
@@ -444,7 +470,7 @@ def dl_model_search(
 
     The supported-fragment boundary is OBSERVABLE, never silent
     (r2 verdict #4): a document using a construct the fragment ignores
-    (cardinality, property chains, allValuesFrom, ... —
+    (cardinality, property chains, ... —
     ``UNSUPPORTED_DL_PREDS``) yields, per distinct construct, one
     diagnostic row ``(doc_iri, ypo:dlUnsupportedConstruct,
     <construct>)`` in the output (``on_unsupported="warn"``, default);
