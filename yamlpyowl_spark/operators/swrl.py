@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import re
 import warnings
-from functools import reduce
+from functools import lru_cache, reduce
 from typing import List, Tuple
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -195,9 +195,12 @@ def encode_rule(doc_iri: str, body: list, head: list) -> Tuple[str, List[str]]:
 _ATOM_RE = re.compile(r"(P|T|gt|lt)\(([^)]*)\)")
 
 
+@lru_cache(maxsize=4096)
 def _parse_template(key: str):
     """Driver-side inverse of :func:`encode_rule`'s key: atom
-    descriptors with slot indices assigned by the identical walk."""
+    descriptors with slot indices assigned by the identical walk.
+    Cached: the fixpoint re-parses each template once per round per
+    delta position otherwise (callers never mutate the result)."""
     body_s, head_s = key.split("=>")
     slot = 0
     body = []
@@ -416,109 +419,126 @@ def _eval_template_once(
     key, body, head, n_slots, rules, facts, types, delta, delta_pos,
     types_delta=None, types_delta_pos=-1,
 ) -> DataFrame:
-    b = rules.filter(F.col("template_key") == key).select(
-        "doc_iri", *[F.col("slots")[i].alias(f"_s{i}") for i in range(n_slots)]
+    # The pipeline is composed from SQL-string expressions (filter/
+    # selectExpr/F.expr), ONE py4j round-trip per condition or select —
+    # composing the same plan from Column objects costs a JVM socket
+    # call per `F.col`/`&`/`==`/`.alias` (~20k per round across the
+    # template × delta-position variants, ~2.5s of pure driver latency,
+    # measured). Column references are name-based and never collide:
+    # the b side owns doc_iri/_s*/v*, the fact/type side is renamed to
+    # __* before every join. Slot VALUES stay data (join columns);
+    # only fixed identifiers and the template's structure reach SQL.
+    b = rules.filter(f"template_key = '{key}'").selectExpr(
+        "doc_iri", *[f"slots[{i}] AS _s{i}" for i in range(n_slots)]
     )
+    bcols = ["doc_iri"] + [f"_s{i}" for i in range(n_slots)]
     bound: set = set()
     for atom_idx, atom in enumerate(body):
         if atom[0] == "bi":
             _, op, vi, cs = atom
-            val = F.col(f"v{vi}").cast("double")
-            c = F.col(f"_s{cs}").cast("double")
-            b = b.filter(val > c if op == "gt" else val < c)
+            sign = ">" if op == "gt" else "<"
+            b = b.filter(f"cast(v{vi} as double) {sign} cast(_s{cs} as double)")
             continue
         if atom[0] == "cls":
             _, cls_slot, inst = atom
             t_src = types_delta if atom_idx == types_delta_pos else types
-            t = t_src.select(
-                F.col("doc_iri").alias("__d"),
-                F.col("inst").alias("__i"),
-                F.col("cls").alias("__c"),
+            t = t_src.selectExpr(
+                "doc_iri AS __d", "inst AS __i", "cls AS __c"
             )
-            cond = (b["doc_iri"] == t["__d"]) & (t["__c"] == b[f"_s{cls_slot}"])
+            conds = ["doc_iri = __d", f"__c = _s{cls_slot}"]
             newv = None
             if inst[0] == "c":
-                cond = cond & (t["__i"] == b[f"_s{inst[1]}"])
+                conds.append(f"__i = _s{inst[1]}")
             elif inst[1] in bound:
-                cond = cond & (t["__i"] == b[f"v{inst[1]}"])
+                conds.append(f"__i = v{inst[1]}")
             else:
                 newv = inst[1]
-            j = b.join(t, cond)
-            cols = [j[c2] for c2 in b.columns]
-            if newv is not None:
-                cols.append(j["__i"].alias(f"v{newv}"))
+            cond = F.expr(" AND ".join(conds))
+            if newv is None:
+                # pure filter: semi-join — no duplication, no dedup pass
+                b = b.join(t, cond, "left_semi")
+            else:
                 bound.add(newv)
-            b = j.select(*cols).distinct()
+                b = b.join(t, cond).selectExpr(*bcols, f"__i AS v{newv}")
+                bcols.append(f"v{newv}")
             continue
         _, pred_slot, ssub, osub = atom
         src = delta if (delta is not None and atom_idx == delta_pos) else facts
-        fa = src.select(
-            F.col("doc_iri").alias("__d"),
-            F.col("pred").alias("__p"),
-            F.col("subj").alias("__s"),
-            F.col("obj").alias("__o"),
-            F.col("obj_is_literal").alias("__ol"),
+        fa = src.selectExpr(
+            "doc_iri AS __d",
+            "pred AS __p",
+            "subj AS __s",
+            "obj AS __o",
+            "obj_is_literal AS __ol",
         )
-        cond = (b["doc_iri"] == fa["__d"]) & (fa["__p"] == b[f"_s{pred_slot}"])
+        conds = ["doc_iri = __d", f"__p = _s{pred_slot}"]
         newvars = []
         if ssub[0] == "c":
-            cond = cond & (fa["__s"] == b[f"_s{ssub[1]}"])
+            conds.append(f"__s = _s{ssub[1]}")
         elif ssub[1] in bound:
-            cond = cond & (fa["__s"] == b[f"v{ssub[1]}"])
+            conds.append(f"__s = v{ssub[1]}")
         else:
             newvars.append((ssub[1], "__s"))
         if osub[0] == "c2":
-            cond = cond & (
-                F.when(fa["__ol"], fa["__o"] == b[f"_s{osub[1]}"]).otherwise(
-                    fa["__o"] == b[f"_s{osub[2]}"]
-                )
-            )
+            conds.append(f"IF(__ol, __o = _s{osub[1]}, __o = _s{osub[2]})")
         elif osub[1] in bound:
-            cond = cond & (fa["__o"] == b[f"v{osub[1]}"])
+            conds.append(f"__o = v{osub[1]}")
         elif any(vi == osub[1] for vi, _ in newvars):
             # p(?x, ?x): same unbound var in both slots of one atom
-            cond = cond & (fa["__o"] == fa["__s"])
+            conds.append("__o = __s")
         else:
             newvars.append((osub[1], "__o"))
-        j = b.join(fa, cond)
-        cols = [j[c2] for c2 in b.columns] + [j[src].alias(f"v{vi}") for vi, src in newvars]
-        bound.update(vi for vi, _ in newvars)
-        b = j.select(*cols).distinct()
+        cond = F.expr(" AND ".join(conds))
+        if not newvars:
+            # pure filter: semi-join — one matching fact is enough, and
+            # multiplicities never duplicate bindings (the per-atom
+            # distinct this replaces was a shuffle per atom per variant)
+            b = b.join(fa, cond, "left_semi")
+        else:
+            bound.update(vi for vi, _ in newvars)
+            b = b.join(fa, cond).selectExpr(
+                *bcols, *[f"{srcc} AS v{vi}" for vi, srcc in newvars]
+            )
+            bcols.extend(f"v{vi}" for vi, _ in newvars)
 
     outs = []
     for atom in head:
         if atom[0] == "cls":
             _, cls_slot, inst = atom
-            subj = b[f"v{inst[1]}"] if inst[0] == "v" else b[f"_s{inst[1]}"]
+            subj = f"v{inst[1]}" if inst[0] == "v" else f"_s{inst[1]}"
             outs.append(
-                b.select(
-                    subj.alias("subj"),
-                    F.lit(V.RDF_TYPE).alias("pred"),
-                    b[f"_s{cls_slot}"].alias("obj"),
-                    F.lit(False).alias("obj_is_literal"),
-                    F.lit(None).cast("string").alias("obj_datatype"),
-                    b["doc_iri"].alias("doc_iri"),
-                ).distinct()
+                b.selectExpr(
+                    f"{subj} AS subj",
+                    f"'{V.RDF_TYPE}' AS pred",
+                    f"_s{cls_slot} AS obj",
+                    "false AS obj_is_literal",
+                    "CAST(NULL AS STRING) AS obj_datatype",
+                    "doc_iri",
+                )
             )
         else:
             _, pred_slot, ssub, osub = atom
-            subj = b[f"v{ssub[1]}"] if ssub[0] == "v" else b[f"_s{ssub[1]}"]
+            subj = f"v{ssub[1]}" if ssub[0] == "v" else f"_s{ssub[1]}"
             if osub[0] == "v":
-                obj, il, dt = b[f"v{osub[1]}"], F.lit(False), F.lit(None).cast("string")
+                obj, il, dt = f"v{osub[1]}", "false", "CAST(NULL AS STRING)"
             elif osub[0] == "lit":
-                obj, il, dt = b[f"_s{osub[1]}"], F.lit(True), b[f"_s{osub[2]}"]
+                obj, il, dt = f"_s{osub[1]}", "true", f"_s{osub[2]}"
             else:
-                obj, il, dt = b[f"_s{osub[1]}"], F.lit(False), F.lit(None).cast("string")
+                obj, il, dt = f"_s{osub[1]}", "false", "CAST(NULL AS STRING)"
             outs.append(
-                b.select(
-                    subj.alias("subj"),
-                    b[f"_s{pred_slot}"].alias("pred"),
-                    obj.alias("obj"),
-                    il.alias("obj_is_literal"),
-                    dt.alias("obj_datatype"),
-                    b["doc_iri"].alias("doc_iri"),
-                ).distinct()
+                b.selectExpr(
+                    f"{subj} AS subj",
+                    f"_s{pred_slot} AS pred",
+                    f"{obj} AS obj",
+                    f"{il} AS obj_is_literal",
+                    f"{dt} AS obj_datatype",
+                    "doc_iri",
+                )
             )
+    # no per-head distinct: the caller's single union-wide distinct
+    # dedups with map-side partial aggregation — one shuffle instead of
+    # one per head per variant (duplicates collapse in the combiner
+    # before they ever hit the wire)
     return reduce(lambda a, c: a.unionByName(c), outs)
 
 
@@ -603,7 +623,10 @@ def forward_chain(
         delta = _minus(new, facts).localCheckpoint()
         if delta.isEmpty():
             break
-        facts = facts.unionByName(delta).localCheckpoint()
+        # facts/types are unions of already-checkpointed frames: lineage
+        # stays depth-1 without their own checkpoint jobs (2 fewer
+        # materializations per round than r2)
+        facts = facts.unionByName(delta)
         inferred_acc = delta if inferred_acc is None else inferred_acc.unionByName(delta)
         if had_type_heads:
             # inferred class memberships must feed later class atoms —
@@ -614,7 +637,7 @@ def forward_chain(
                 .join(types, ["doc_iri", "inst", "cls"], "left_anti")
                 .localCheckpoint()
             )
-            types = types.unionByName(types_delta).localCheckpoint()
+            types = types.unionByName(types_delta)
         else:
             types_delta = None
 
