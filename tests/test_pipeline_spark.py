@@ -309,3 +309,43 @@ def test_edited_document_versions_and_current_view(spark, pipe, source, tmp_path
     assert cur.select("src_commit").distinct().collect()[0][0] == "f" * 40
     # the edit is visible only in the current view
     assert cur.filter(F.col("obj") == "edited v2").count() == 1
+
+
+def test_canonical_nodes_overlap_triggers_cc(spark):
+    """An iri carrying two link keys (declared class in one doc,
+    individual in another) bridges two alias groups: canonical_nodes
+    must detect the overlap and merge BOTH groups via CC; with no
+    overlap it short-circuits to the star mapping (same output)."""
+    from yamlpyowl_spark.operators.linking import canonical_nodes
+
+    cols = "iri string, name string, kind string"
+    # group class|x: {c_x, a_x}; group individual|x: {c_x, b_x};
+    # c_x appears with BOTH kinds -> bridges the groups
+    rows = [
+        ("http://e/a#x", "x", "class"),
+        ("http://e/c#x", "x", "class"),
+        ("http://e/b#x", "x", "individual"),
+        ("http://e/c#x", "x", "individual"),
+        ("http://e/z#solo", "solo", "class"),
+    ]
+    out = canonical_nodes(spark.createDataFrame(rows, cols))
+    got = {r["iri"]: r["canonical_id"] for r in out.collect()}
+    # everything in the bridged component collapses to the global min
+    assert got["http://e/a#x"] == "http://e/a#x"
+    assert got["http://e/b#x"] == "http://e/a#x"
+    assert got["http://e/c#x"] == "http://e/a#x"
+    assert got["http://e/z#solo"] == "http://e/z#solo"
+
+    # disjoint input: same operator, star short-circuit path
+    rows2 = [
+        ("http://e/a#x", "x", "class"),
+        ("http://e/b#x", "x", "class"),
+        ("http://e/z#solo", "solo", "class"),
+    ]
+    out2 = canonical_nodes(spark.createDataFrame(rows2, cols))
+    got2 = {r["iri"]: r["canonical_id"] for r in out2.collect()}
+    assert got2 == {
+        "http://e/a#x": "http://e/a#x",
+        "http://e/b#x": "http://e/a#x",
+        "http://e/z#solo": "http://e/z#solo",
+    }

@@ -59,14 +59,33 @@ def alias_edges(nodes: DataFrame, salt_buckets: int = 16) -> DataFrame:
 def canonical_nodes(nodes: DataFrame, salt_buckets: int = 16) -> DataFrame:
     """nodes + ``canonical_id`` after alias merging (linking + CC).
 
-    CC matters when alias groups overlap (one node in several groups,
-    e.g. via multiple normalizations); for pure star inputs it returns
-    the group minimum unchanged.
+    CC matters only when alias groups OVERLAP — one iri carrying
+    several link keys (e.g. declared a class in one document and an
+    individual in another, or multiple normalizations). When every iri
+    maps to exactly one group, the alias graph is a disjoint union of
+    stars and CC is the identity on it: comp(node) = its group minimum.
+    That case is detected with one aggregation (does any iri have >1
+    canonical candidate?) and the iterative CC pass — the dominant cost
+    at corpus scale — is skipped; the mapping IS the component table.
     """
     from .cc import connected_components
 
-    edges = alias_edges(nodes, salt_buckets)
-    comp = connected_components(edges, "src", "dst")
+    mapping = canonical_mapping(nodes, salt_buckets).localCheckpoint()
+    overlapping = not (
+        mapping.groupBy("iri")
+        .agg(F.countDistinct("canonical_iri").alias("nk"))
+        .filter(F.col("nk") > 1)
+        .isEmpty()
+    )
+    if overlapping:
+        edges = mapping.filter(F.col("iri") != F.col("canonical_iri")).select(
+            F.col("iri").alias("src"), F.col("canonical_iri").alias("dst")
+        )
+        comp = connected_components(edges, "src", "dst")
+    else:
+        comp = mapping.select(
+            F.col("iri").alias("node"), F.col("canonical_iri").alias("component")
+        ).distinct()
     return (
         nodes.join(comp.withColumnRenamed("node", "iri"), "iri", "left")
         .withColumn("canonical_id", F.coalesce("component", "iri"))

@@ -883,9 +883,12 @@ def _register_more_kg():
 
         pipe, parsed = _parsed(spark)
         triples = pipe.triples(parsed)
-        # snapshot: the CC result feeds three joins — without this the
-        # whole iterative lineage re-executes per join
-        canon = canonical_nodes(pipe.nodes(triples)).localCheckpoint()
+        # snapshot twice: nodes feeds the linking aggregate, the mapping
+        # join AND the CC input — uncheckpointed, the nodes groupBy over
+        # the parse re-executes per consumer (~4 rescans measured at the
+        # 25k-doc corpus); and the CC result feeds three joins
+        nodes = pipe.nodes(triples).localCheckpoint()
+        canon = canonical_nodes(nodes).localCheckpoint()
         edges = pipe.edges(triples).localCheckpoint()
         return canonical_edges(edges, canon).groupBy("src_id", "pred", "dst_id").agg(
             F.count("*").alias("n")
