@@ -158,3 +158,25 @@ def test_drain_matches_batch_twin(spark):
     )
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
     assert got.count() == want.count() > 0
+
+
+def test_stream_dedup_drops_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark removes exact re-deliveries: a
+    stream with 10% duplicated events drains to the original rows."""
+    from pyspark.sql import functions as F
+
+    from yamlpyowl_spark.streaming.windowed import drain_dedup_counts
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    dup = ev.unionByName(ev.filter("event_id % 10 = 0"))
+    d = str(tmp_path / "dupsrc")
+    dup.write.parquet(d)
+    got = {
+        r["event_type"]: r["n_events"] for r in drain_dedup_counts(spark, d).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want

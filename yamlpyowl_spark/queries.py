@@ -1040,6 +1040,26 @@ def _register_relational():
         return drain_windowed_event_counts(spark, f"{sf_dir}/events.parquet")
 
     @_q(
+        "stream_dedup_counts",
+        """SELECT event_type, count(*) AS n_events
+           FROM events GROUP BY event_type""",
+    )
+    def stream_dedup_counts(spark, sf_dir):
+        # streaming ingest dedup: re-deliver 10% of the events (exact
+        # duplicate rows), then dropDuplicatesWithinWatermark must
+        # restore the original per-type counts — gated against plain
+        # batch counts over the un-duplicated table
+        import tempfile
+
+        from .streaming.windowed import drain_dedup_counts
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        dup_in = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+        d = tempfile.mkdtemp(prefix="sdd_src_")
+        dup_in.write.mode("overwrite").parquet(d)
+        return drain_dedup_counts(spark, d)
+
+    @_q(
         "rel_clickers_without_purchase",
         """SELECT DISTINCT user_id FROM events
            WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-02 00:00:00'

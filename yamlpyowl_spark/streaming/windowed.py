@@ -108,6 +108,54 @@ def drain_windowed_event_counts(
     return spark.table(name)
 
 
+def dedup_stream(events: DataFrame, keys=("event_id",), watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark bound (``dropDuplicatesWithinWatermark``) — the
+    streaming twin of ``docops.exact_dedup_groups`` and the standard
+    at-least-once → effectively-once ingest repair. State holds one
+    entry per key seen within the watermark window and is EVICTED as
+    the watermark advances — bounded by key arrival rate × window, not
+    stream length (plain ``dropDuplicates`` on a stream never evicts)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def drain_dedup_counts(spark, input_path: str, watermark: str = "2 hours") -> DataFrame:
+    """Driver-gate drain for :func:`dedup_stream`: run it as a real
+    availableNow streaming query over a file source and return per-type
+    counts of the deduplicated stream (append mode — first-seen rows
+    emit immediately; duplicates never do)."""
+    import os
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(input_path).schema
+    if os.path.isfile(input_path):
+        d = tempfile.mkdtemp(prefix="sdd_in_")
+        os.symlink(os.path.abspath(input_path), os.path.join(d, "part-0.parquet"))
+        input_path = d
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    ntz = dict(stream.dtypes).get("ts") == "timestamp_ntz"
+    if ntz:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = dedup_stream(stream)
+    name = f"sdd_{uuid.uuid4().hex}"
+    q = (
+        deduped.select("event_type", "event_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdd_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, n_events BIGINT"
 )
