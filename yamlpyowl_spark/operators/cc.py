@@ -118,11 +118,17 @@ def connected_components(
             sym.join(labels, sym.a == labels.node)
             .select(F.col("b").alias("node"), "component")
         )
+        # carry the OLD label through the aggregation (each node has
+        # exactly one labels row) so convergence is read off the
+        # checkpointed round result — no extra old-vs-new join per round
         new_labels = (
-            labels.select("node", "component")
-            .union(msgs)
+            labels.select("node", "component", F.col("component").alias("old"))
+            .unionByName(msgs.withColumn("old", F.lit(None).cast("string")))
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("old").alias("old"),
+            )
         )
         # pointer jumping: component := component's component — turns the
         # O(diameter) propagation into O(log d) rounds (matters for chain
@@ -135,16 +141,12 @@ def connected_components(
             .select(
                 "node",
                 F.least(F.col("component"), F.coalesce("jcomp", "component")).alias("component"),
+                "old",
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") != F.col("old")).count()
+        labels = new_labels.drop("old")
         if changed == 0:
             break
 

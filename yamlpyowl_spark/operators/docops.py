@@ -141,7 +141,10 @@ def ngram_jaccard_pairs(
         .filter(F.col("_df") <= max_shingle_df)
         .select("shingle")
     )
-    sh = sh_all.join(rare, "shingle").persist()
+    # eager snapshot: sh feeds the sizes aggregate AND both self-join
+    # sides; persist() would leave lazy cache blocks pinned for the
+    # session lifetime — localCheckpoint truncates and is reclaimable
+    sh = sh_all.join(rare, "shingle").localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
