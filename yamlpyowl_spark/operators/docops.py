@@ -177,8 +177,18 @@ def jaccard_on_pairs(
     scales with #candidates, never with per-shingle document frequency
     (unlike :func:`ngram_jaccard_pairs`' Σ df² self-join). This is the
     composition a 100-TB dedup pipeline runs: LSH buckets propose,
-    this verifies."""
-    sh = with_shingles(docs).localCheckpoint()
+    this verifies.
+
+    Only documents that appear in ``pairs`` are shingled: at scale the
+    candidate set covers a sliver of the corpus, so the semi-join keeps
+    the shingle materialization proportional to the work, not the
+    table."""
+    in_pairs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = with_shingles(docs.join(in_pairs, "doc_id", "left_semi")).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
