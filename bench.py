@@ -101,7 +101,14 @@ def parse_job(spark, corpus_path: str) -> dict:
     from yamlpyowl_spark.sources.fixtures import build_default_import_map
 
     source = spark.read.parquet(corpus_path)
-    pipe = KGPipeline(spark, import_map=build_default_import_map())
+    # pin the measured-best 8x fan-out: the adaptive default would bound
+    # it by the scan split count and change the workload shape between
+    # rounds (scaling numbers must stay comparable)
+    pipe = KGPipeline(
+        spark,
+        import_map=build_default_import_map(),
+        parse_partitions=spark.sparkContext.defaultParallelism * 8,
+    )
     parsed = pipe.parsed(source)
     t0 = time.time()
     counts = (

@@ -97,7 +97,18 @@ class KGPipeline:
             # tail is small vs the job (measured best at both 4 and 16
             # cores on the bench corpus), coarse enough that per-task
             # overhead stays negligible
-            n_parts = self.parse_partitions or self.spark.sparkContext.defaultParallelism * 8
+            if self.parse_partitions:
+                n_parts = self.parse_partitions
+            else:
+                # default 8x parallelism, but never fan a small input out
+                # wider than its scan justifies: a 60-document corpus on
+                # one parquet split gains nothing from 256 parse tasks
+                # and pays 256 python-worker round-trips (~5s of pure
+                # latency, measured). The source's scan partition count
+                # is a bytes-proportional size proxy that costs no job.
+                cores = self.spark.sparkContext.defaultParallelism
+                src_parts = df.rdd.getNumPartitions()
+                n_parts = min(cores * 8, max(cores, src_parts * 8))
             # skew-spreading repartition on the FULL (repo, path) key —
             # documents from one giant monorepo scatter across all tasks.
             # NB: do not pre-bucket with pmod(hash(...), n) — Spark hashes
