@@ -214,7 +214,7 @@ def test_sparql_fuzz_arbitrary_text(src):
 _SOUP = st.lists(
     st.sampled_from(
         ["SELECT", "WHERE", "{", "}", "(", ")", "FILTER", "UNION", "OPTIONAL",
-         "MINUS", "VALUES", "BIND", "AS", "regex", ",", "+", "*", "/", "-",
+         "MINUS", "VALUES", "BIND", "AS", "regex", ",", "+", "*", "/", "-", "|", "^",
          "?x", "?y", "<http://e#p>", '"lit"', "42", "e:name", ".", "&&", ">", "=",
          "PREFIX e: <http://e#>"]
     ),
@@ -303,3 +303,53 @@ def test_path_var_predicate_rejected(graph):
         make_query(graph, f"PREFIX e: <{E}> SELECT ?x WHERE {{ ?x ?p/e:q ?y }}")
     with pytest.raises(SparqlError, match="concrete predicate"):
         make_query(graph, f"PREFIX e: <{E}> SELECT ?x WHERE {{ ?x ?p+ ?y }}")
+
+
+def test_path_inverse_single(graph):
+    got = {
+        r[0]
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?x WHERE {{ ?x ^e:p e:c }}"
+        ).collect()
+    }
+    assert got == {E + "d"}  # c -p-> d, so d ^p c
+
+
+def test_path_alternation(graph):
+    got = {
+        tuple(r)
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?s ?v WHERE {{ ?s e:p|e:q ?v }}"
+        ).collect()
+    }
+    assert got == {
+        (E + "a", E + "b"), (E + "b", E + "c"), (E + "c", E + "d"),
+        (E + "c", E + "x"),
+    }
+
+
+def test_path_grouped_alternation_closure(graph):
+    # (p|q)+ from a reaches everything downstream via either relation
+    got = {
+        r[0]
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?y WHERE {{ e:a (e:p|e:q)+ ?y }}"
+        ).collect()
+    }
+    assert got == {E + "b", E + "c", E + "d", E + "x"}
+
+
+def test_path_inverse_in_sequence(graph):
+    # x ^q/^p: from x back over q to c, then back over p to b
+    got = {
+        r[0]
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?y WHERE {{ e:x ^e:q/^e:p ?y }}"
+        ).collect()
+    }
+    assert got == {E + "b"}
+
+
+def test_path_inverse_var_pred_rejected(graph):
+    with pytest.raises(SparqlError, match="concrete predicate"):
+        make_query(graph, f"PREFIX e: <{E}> SELECT ?x WHERE {{ ?x ^?p e:c }}")

@@ -7,7 +7,8 @@ This module parses that subset plus the next-most-common SPARQL
 constructs — ``FILTER`` (var-const and var-var comparisons plus
 ``regex()``, ``&&``-conjoined), ``UNION``, ``OPTIONAL``, ``MINUS``,
 ``VALUES`` (single-var and tuple forms), simple ``BIND``, and property
-paths (``p+`` one-or-more closure, ``p1/p2`` sequences) — and compiles
+paths (``p+`` one-or-more closure, ``^p`` inverse, ``p1|p2``
+alternation incl. ``(p1|p2)+``, and ``p1/p2`` sequences) — and compiles
 them onto DataFrame filters / equi-joins / unions / left and anti
 joins / local relations / the semi-naive transitive-closure operator.
 Catalyst plans the execution; we write no evaluator of our own.
@@ -19,9 +20,8 @@ non-numeric values drop out), ``=``/``!=`` compare lexical forms;
 constant, a variable copy, or one binary arithmetic step
 (``BIND(?a * 2 AS ?b)``, double-typed).
 
-Still-unsupported SPARQL (GRAPH, EXISTS, ASK, CONSTRUCT, path
-alternation/inverse (`|`, `^`), subqueries) raises — loudly, not
-wrongly.
+Still-unsupported SPARQL (GRAPH, EXISTS, ASK, CONSTRUCT, `p*`/`p?`
+zero-length paths, subqueries) raises — loudly, not wrongly.
 """
 
 from __future__ import annotations
@@ -46,7 +46,7 @@ _TOKEN_RE = re.compile(
         "(?P<lit>(?:[^"\\]|\\.)*)" |
         (?P<num>-?\d+(?:\.\d+)?) |
         (?P<op>!=|<=|>=|=|<|>|&&) |
-        (?P<arith>[+*/-]) | (?P<comma>,) |
+        (?P<arith>[+*/-]) | (?P<comma>,) | (?P<alt>\|) | (?P<caret>\^) |
         (?P<pname>\w*:\w+) |
         (?P<ident>[A-Za-z_]\w*) |
         (?P<dot>\.)
@@ -176,8 +176,10 @@ class _Parser:
             s = _term_of(self.next(), self.prefixes)
             segs = self._path()
             o = _term_of(self.next(), self.prefixes)
-            if len(segs) == 1 and not segs[0][1]:
-                items.append(("t", (s, segs[0][0], o)))
+            if len(segs) == 1 and not segs[0][1] and len(segs[0][0]) == 1:
+                pred, inv = segs[0][0][0]
+                # single plain atom = a BGP pattern; ^p just swaps ends
+                items.append(("t", (o, pred, s) if inv else (s, pred, o)))
             else:
                 items.append(("path", s, segs, o))
 
@@ -228,27 +230,59 @@ class _Parser:
             if _kind(nxt) != "op" or nxt.group("op") != "&&":
                 raise SparqlError(f"expected && or ) in FILTER, got {nxt.group(0)!r}")
 
+    def _path_atom(self):
+        """``p`` or ``^p`` — (pred_term, inverse)."""
+        inv = False
+        nxt = self.peek()
+        if nxt is not None and _kind(nxt) == "caret":
+            self.next()
+            inv = True
+        term = _term_of(self.next(), self.prefixes)
+        if inv and term.startswith("?"):
+            raise SparqlError("`^` inverse needs a concrete predicate")
+        return (term, inv)
+
+    def _path_alts(self) -> list:
+        """alt-list: atom ('|' atom)*."""
+        alts = [self._path_atom()]
+        while True:
+            nxt = self.peek()
+            if nxt is None or _kind(nxt) != "alt":
+                return alts
+            self.next()
+            alts.append(self._path_atom())
+
     def _path(self) -> list:
-        """Property path in predicate position: ``p``, ``p+``,
-        ``p1/p2[/p3...]`` with ``+`` per segment. Returns
-        ``[(pred_term, one_or_more), ...]``. A variable predicate is
-        allowed only as a single plain segment (plain BGP)."""
+        """Property path in predicate position: ``p``, ``^p``, ``p+``,
+        ``p1|p2``, ``(p1|p2)+``, and ``/``-sequences of those. Returns
+        ``[(alts, one_or_more), ...]`` with alts = [(pred, inverse)].
+        A variable predicate is allowed only as a single plain segment
+        (plain BGP)."""
         segs = []
         while True:
-            term = _term_of(self.next(), self.prefixes)
+            nxt = self.peek()
+            if nxt is not None and _kind(nxt) == "lparen":
+                self.next()
+                alts = self._path_alts()
+                self.expect("rparen")
+            else:
+                alts = self._path_alts()
             plus = False
             nxt = self.peek()
             if nxt is not None and _kind(nxt) == "arith" and nxt.group("arith") == "+":
-                if term.startswith("?"):
+                if any(t.startswith("?") for t, _ in alts):
                     raise SparqlError("`+` closure needs a concrete predicate")
                 self.next()
                 plus = True
-            segs.append((term, plus))
+            segs.append((alts, plus))
             nxt = self.peek()
             if nxt is not None and _kind(nxt) == "arith" and nxt.group("arith") == "/":
                 self.next()
                 continue
-            if len(segs) > 1 and any(t.startswith("?") for t, _ in segs):
+            n_atoms = sum(len(a) for a, _ in segs)
+            if n_atoms > 1 and any(
+                t.startswith("?") for alts2, _ in segs for t, _ in alts2
+            ):
                 raise SparqlError("variable predicates not allowed in property paths")
             return segs
 
@@ -388,10 +422,14 @@ def _path_frame(triples: DataFrame, s: str, segs: list, o: str, idx: int) -> Dat
     from .closure import transitive_closure
 
     cur = None
-    for i, (p, plus) in enumerate(segs):
-        e = triples.filter(F.col("pred") == p).select(
-            F.col("subj").alias("src"), F.col("obj").alias("dst")
-        )
+    for i, (alts, plus) in enumerate(segs):
+        e = None
+        for p, inv in alts:
+            src_col, dst_col = ("obj", "subj") if inv else ("subj", "obj")
+            f = triples.filter(F.col("pred") == p).select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+            e = f if e is None else e.unionByName(f)
         if plus:
             e = transitive_closure(e)
         e = e.select(
