@@ -41,14 +41,21 @@ def _words(col: str = "text"):
 
 
 def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams per document."""
+    """(doc_id, shingle) — distinct word n-grams per document.
+
+    Tokenize ONCE into a projected array column before the shingle
+    transform: inlining ``split(text)`` inside the lambda re-evaluates
+    the split per element (no common-subexpression elimination across a
+    higher-order function boundary) — O(tokens²) per document, measured
+    6× slower on the sf0.1 corpus."""
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
     shingles = F.expr(
-        "case when size(split(text, ' ')) >= 3 then "
-        "transform(sequence(0, size(split(text, ' ')) - 3), "
-        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])) "
+        "case when size(w) >= 3 then "
+        "transform(sequence(0, size(w) - 3), "
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
         "else array() end"
     )
-    return docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    return w.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -321,18 +328,26 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame
     Output: (doc_id, n_fingerprints, min_fp, max_fp) — the per-doc
     sketch summary; join two docs' exploded fingerprint sets for
     similarity."""
-    kgrams = (
-        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
-        f"i -> substr(md5(substr(text, i, {k})), 1, 8))"
-    )
-    wins = (
-        f"array_distinct(transform(sequence(1, greatest(size({kgrams}) - {w - 1}, 1)), "
-        f"j -> array_min(slice({kgrams}, j, {w}))))"
-    )
-    fp = F.expr(wins)
-    return docs.select(
+    # materialize the k-gram hash array ONCE as a projected column —
+    # inlining it into the window lambda re-evaluates the whole array
+    # per window position (O(len²) per document; same trap as
+    # with_shingles' inlined split)
+    kg = docs.select(
         "doc_id",
-        F.size(fp).cast("bigint").alias("n_fingerprints"),
-        F.array_min(fp).alias("min_fp"),
-        F.array_max(fp).alias("max_fp"),
+        F.expr(
+            f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
+            f"i -> substr(md5(substr(text, i, {k})), 1, 8))"
+        ).alias("kgrams"),
+    )
+    fp = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(kgrams) - {w - 1}, 1)), "
+        f"j -> array_min(slice(kgrams, j, {w}))))"
+    )
+    # ...and the fingerprint array once too (three consumers below)
+    fps = kg.select("doc_id", fp.alias("fps"))
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
     )
