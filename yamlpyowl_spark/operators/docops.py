@@ -227,14 +227,16 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): bit j = sign of sum over tokens of
     (hex_digit_j(md5(token)) % 2) * 2 - 1. Pure JVM-side lambda exprs;
     replicated verbatim in the oracle SQL."""
+    # tokenize once: 16 inlined splits per row otherwise (no CSE)
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
     bit_sums = [
         F.expr(
-            f"aggregate(split(text, ' '), 0L, (acc, t) -> acc + "
+            f"aggregate(w, 0L, (acc, t) -> acc + "
             f"(conv(substring(md5(t), {j + 1}, 1), 16, 10) % 2) * 2 - 1)"
         ).alias(f"s{j}")
         for j in range(bits)
     ]
-    with_sums = docs.select("doc_id", *bit_sums)
+    with_sums = w.select("doc_id", *bit_sums)
     sim = None
     for j in range(bits):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
@@ -250,15 +252,16 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 def language_id(docs: DataFrame) -> DataFrame:
     """Marker-token language scoring; argmax with lexicographic
     tie-break (deterministic)."""
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("toks"))
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         arr = ", ".join(f"'{m}'" for m in markers)
         scores.append(
             F.expr(
-                f"size(filter(split(text, ' '), w -> array_contains(array({arr}), w)))"
+                f"size(filter(toks, w -> array_contains(array({arr}), w)))"
             ).alias(f"score_{lang}")
         )
-    scored = docs.select("doc_id", "lang", *scores)
+    scored = toks.select("doc_id", "lang", *scores)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = None
@@ -274,23 +277,26 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:
-    """Length / stopword / token-shape heuristics as scaled integers."""
-    words = _words()
+    """Length / stopword / token-shape heuristics as scaled integers.
+    Tokenizes once (six inlined splits per row otherwise — no CSE)."""
     stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
-    n_tokens = F.size(words)
-    n_stop = F.expr(f"size(filter(split(text, ' '), w -> array_contains(array({stop_arr}), w)))")
+    toks = docs.select(
+        "doc_id", F.length("text").alias("len"), F.split("text", " ").alias("toks")
+    )
+    n_tokens = F.size(F.col("toks"))
+    n_stop = F.expr(f"size(filter(toks, w -> array_contains(array({stop_arr}), w)))")
     mean_len_x100 = F.floor(
-        F.expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t))") * 100 / n_tokens
+        F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))") * 100 / n_tokens
     ).cast("bigint")
     stop_ratio_x1e4 = F.floor(n_stop * 10000 / n_tokens).cast("bigint")
-    return docs.select(
+    return toks.select(
         "doc_id",
-        F.length("text").cast("bigint").alias("n_chars"),
+        F.col("len").cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
         mean_len_x100.alias("mean_token_len_x100"),
         stop_ratio_x1e4.alias("stopword_ratio_x1e4"),
         (
-            F.when(F.length("text") >= 100, 40).otherwise(0)
+            F.when(F.col("len") >= 100, 40).otherwise(0)
             + F.when((n_stop * 10000 / n_tokens) >= 500, 30).otherwise(0)
             + F.when(n_tokens >= 20, 30).otherwise(0)
         ).cast("bigint").alias("quality_score"),
