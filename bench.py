@@ -122,7 +122,11 @@ def parse_job(spark, corpus_path: str) -> dict:
     return {"sec": dt, "n_triples": n_triples, "n_docs": n_docs}
 
 
-DEDUP_DOCS = int(os.environ.get("YPO_DEDUP_DOCS", "48000"))
+# sized so the local[N] measurement window stays ~20s+: after the r3
+# shingle hoisting the per-doc cost dropped ~3x, and at 48k docs fixed
+# job overhead dominated the local[4N] run (efficiency read 0.66 on a
+# 3s window)
+DEDUP_DOCS = int(os.environ.get("YPO_DEDUP_DOCS", "160000"))
 
 
 def dedup_corpus(spark):
