@@ -321,6 +321,28 @@ def write_bench_md(timings: dict, scaling: dict, total: float):
         "## Per-query headline timings (sec)",
         "",
     ]
+    soak_path = os.path.join(REPO_DIR, "BENCH", "soak.json")
+    if os.path.exists(soak_path):
+        try:
+            with open(soak_path) as fh:
+                sk = json.load(fh)
+            lines[-2:-2] = [
+                "## 10× soak (end-to-end materialize at ~100k documents, local[32])",
+                "",
+                "Recorded by `scripts/soak.py` (too slow to run per-bench; the",
+                "JSON next to this file is the source of truth):",
+                "",
+                f"- materialize ({sk['n_docs']:,} docs): **{sk['materialize_sec']} s**, "
+                f"{sk['n_triples']:,} triples → **{sk['triples_per_sec']:,} triples/s** "
+                "sustained incl. parquet writes + _progress commit",
+                f"- entity linking + components on the output: {sk['linking_sec']} s, "
+                f"{sk['n_canonical_mentions']:,} canonical mentions",
+                f"- driver Python RSS peak: {sk['driver_rss_gb']} GB (corpus synthesis; "
+                "the pipeline keeps no per-doc state on the driver)",
+                "",
+            ]
+        except Exception:
+            pass
     prev = _prev_round_timings()
     if prev:
         lines += ["| query | sec | prev round | delta |", "|---|---|---|---|"]
