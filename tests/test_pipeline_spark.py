@@ -349,3 +349,16 @@ def test_canonical_nodes_overlap_triggers_cc(spark):
         "http://e/b#x": "http://e/a#x",
         "http://e/z#solo": "http://e/z#solo",
     }
+
+
+def test_transitive_closure_doubling_deep_chain(spark):
+    """Path doubling must produce the exact closure of a 33-node chain
+    in O(log d) rounds — including pairs whose only decomposition has
+    the new half as SUFFIX (the one-sided recurrence misses those)."""
+    n = 33
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n - 1)], ["src", "dst"]
+    )
+    got = {(r["src"], r["dst"]) for r in transitive_closure(edges).collect()}
+    want = {(f"n{i:02d}", f"n{j:02d}") for i in range(n) for j in range(i + 1, n)}
+    assert got == want

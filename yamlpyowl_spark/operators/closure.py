@@ -18,22 +18,38 @@ def transitive_closure(
     dst: str = "dst",
     max_iter: int = 25,
 ) -> DataFrame:
-    """All pairs (src, dst) reachable via 1+ hops. Deduplicated."""
-    base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
+    """All pairs (src, dst) reachable via 1+ hops. Deduplicated.
+
+    Path doubling: each round extends the DELTA by the full CLOSURE so
+    far (not just base edges), so after round k every path of length
+    ≤ 2^k is present — O(log diameter) rounds instead of O(diameter).
+    Each round costs one join + one anti-join + one checkpoint; for
+    driver-loop iteration the round count IS the latency, and deep
+    chains at corpus scale stay bounded."""
+    base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     closure = base.localCheckpoint()
     delta = closure
 
     for _ in range(max_iter):
-        new_paths = (
-            delta.alias("d")
-            .join(base.alias("b"), F.col("d.dst") == F.col("b.src"))
-            .select(F.col("d.src").alias("src"), F.col("b.dst").alias("dst"))
-            .distinct()
+        # every genuinely-new pair decomposes into two halves of which
+        # at least one is new (else it existed already), so extend the
+        # delta on BOTH sides — delta∘closure alone misses pairs whose
+        # only new half is the suffix
+        # fresh exprIds via aliased projections: in round 1 delta IS
+        # closure, and a dataset-alias self-join trips constraint
+        # propagation at the checkpoint (`key not found` in
+        # rewriteStatsAndConstraints)
+        c2 = closure.select(F.col("src").alias("csrc"), F.col("dst").alias("cdst"))
+        fwd = delta.join(c2, F.col("dst") == F.col("csrc")).select(
+            "src", F.col("cdst").alias("dst")
         )
+        bwd = c2.join(delta, F.col("cdst") == F.col("src")).select(
+            F.col("csrc").alias("src"), "dst"
+        )
+        new_paths = fwd.union(bwd).distinct()
         delta = new_paths.join(closure, ["src", "dst"], "left_anti").localCheckpoint()
         if delta.isEmpty():
             break
         closure = closure.union(delta).localCheckpoint()
 
-    base.unpersist()
     return closure
