@@ -437,6 +437,27 @@ def _register_kg():
         ).select("doc_iri", "name", "src_repo")
 
     @_q(
+        "kg_bucketed_linking",
+        f"""WITH {_NODES_CTE.format(T=_t())}
+            SELECT kind || '|' || lower(regexp_replace(name, '[_-]', '', 'g')) AS link_key,
+                   count(*) AS n_mentions, min(iri) AS canonical_iri
+            FROM nodes GROUP BY 1""",
+    )
+    def kg_bucketed_linking(spark, sf_dir):
+        # the storage-layout path: nodes persisted BUCKETED on link_key,
+        # mapping join reads the big side pre-partitioned (zero
+        # hashpartitioning exchanges on it — plan-asserted in
+        # tests/test_bucketed.py). Must equal the shuffle-path
+        # kg_entity_linking output exactly.
+        from .sources.bucketed import bucketed_canonical_mapping, save_nodes_bucketed
+
+        table = save_nodes_bucketed(kg_nodes(spark), table="kg_nodes_bucketed_gate")
+        mapping = bucketed_canonical_mapping(spark, table)
+        return mapping.groupBy("link_key", "canonical_iri").agg(
+            F.count("*").alias("n_mentions")
+        ).select("link_key", "n_mentions", "canonical_iri")
+
+    @_q(
         "kg_sha_lineage",
         f"""SELECT t.src_repo, t.src_path, (t.src_sha256 = sha256(c.content)) AS sha_match
             FROM (SELECT DISTINCT src_repo, src_path, src_sha256 FROM {_t()}) t
