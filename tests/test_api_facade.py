@@ -174,3 +174,32 @@ def test_mutation_rejects_unknowns(om):
         om.add_fact("nosuchsubject", "hasPart", "dresden")
     with pytest.raises(ValueError, match="already exists"):
         om.new_class("GeographicEntity")
+
+
+def test_basic_feature_onto_world_equivalent_to(spark):
+    """The reference's TestCore2 surface (tests/test_core.py:274-341):
+    om.onto.base_iri / metadata.comment / imported_ontologies,
+    om.world[full-iri] lookup, and structural equivalent_to equality."""
+    from yamlpyowl_spark.api import Or
+
+    om = OntologyManager(
+        os.path.join(REFERENCE_DIR, "tests/test_ontologies/basic_feature_ontology.owl.yml"),
+        spark,
+    )
+    assert om.onto.base_iri == "https://w3id.org/unpublished/yamlpyowl/basic-feature-ontology#"
+
+    md = om.onto.metadata.comment
+    assert len(md) == 2 and all("utc_global_annotation" in c for c in md)
+
+    n = om.n
+    assert len(n.Class1.comment) == 1 and "utc_annotation" in n.Class1.comment[0]
+    assert len(n.Class2.comment) == 4
+    assert len(n.Class4.label) == 3
+    assert n.Class4.label.first() == "First label"
+
+    assert len(om.onto.imported_ontologies) == 1
+
+    bfo_entity = om.world["http://purl.obolibrary.org/obo/BFO_0000001"]
+    assert bfo_entity in n.Class3.is_a
+
+    assert n.Class7.equivalent_to[0] == Or([n.Class2, n.Class3])

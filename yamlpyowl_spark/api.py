@@ -41,14 +41,57 @@ class AnnotationList(list):
         return self[0] if self else None
 
 
+class ClassConstruct:
+    """Value object for an anonymous class expression (Or/And/Not/
+    OneOf) decoded from its blank-node triples — equality is structural,
+    so user code can assert ``n.Class7.equivalent_to[0] == Or([n.Class2,
+    n.Class3])`` like the reference does with owlready's constructs
+    (tests/test_core.py:335)."""
+
+    __slots__ = ("kind", "members")
+
+    def __init__(self, kind: str, members: list):
+        self.kind = kind
+        self.members = list(members)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, ClassConstruct)
+            and self.kind == other.kind
+            and self.members == other.members
+        )
+
+    def __hash__(self):
+        return hash((self.kind, tuple(self.members)))
+
+    def __repr__(self):
+        return f"{self.kind}({self.members!r})"
+
+
+def Or(members):  # noqa: N802 — mirrors the reference's constructor names
+    return ClassConstruct("Or", members)
+
+
+def And(members):  # noqa: N802
+    return ClassConstruct("And", members)
+
+
+def Not(member):  # noqa: N802
+    return ClassConstruct("Not", [member])
+
+
+def OneOf(members):  # noqa: N802
+    return ClassConstruct("OneOf", members)
+
+
 class EntityHandle:
     """Lightweight stand-in for an owlready2 entity: ``.name``/``.iri``
-    /``.kind``, lazily-collected ``label``/``comment``/``is_a``, and
-    attribute access to property values — ``om.n.Ukrainian.drinks``
-    returns the ``tea`` handle for a functional property, a list for a
-    non-functional one (reference Container semantics, core.py:55-69;
-    used pervasively in reference tests, e.g. tests/test_core.py:210,
-    263)."""
+    /``.kind``, lazily-collected ``label``/``comment``/``is_a``/
+    ``equivalent_to``, and attribute access to property values —
+    ``om.n.Ukrainian.drinks`` returns the ``tea`` handle for a
+    functional property, a list for a non-functional one (reference
+    Container semantics, core.py:55-69; used pervasively in reference
+    tests, e.g. tests/test_core.py:210, 263)."""
 
     __slots__ = ("name", "iri", "kind", "_om")
 
@@ -96,12 +139,29 @@ class EntityHandle:
 
     @property
     def is_a(self):
+        # owlready semantics: a CLASS's is_a lists its superclasses,
+        # an individual's its types (reference tests/test_core.py:313
+        # asserts a BFO superclass in Class3.is_a)
+        from . import vocab as V
+
+        pred = V.RDFS_SUBCLASSOF if self.kind == "class" else V.RDF_TYPE
+        return [
+            self._to_value(o, False, None)
+            for o, _, _ in self._objs(pred)
+            if not o.startswith("_:")
+        ]
+
+    @property
+    def equivalent_to(self):
+        """owl:equivalentClass values — named classes as handles,
+        anonymous Or/And/Not/OneOf expressions decoded to structural
+        :class:`ClassConstruct` values (reference tests/test_core.py:
+        329-341)."""
         from . import vocab as V
 
         return [
-            self._to_value(o, False, None)
-            for o, _, _ in self._objs(V.RDF_TYPE)
-            if not o.startswith("_:")
+            self._om._resolve_ref(o)
+            for o, _, _ in self._objs(V.OWL_EQUIVALENT_CLASS)
         ]
 
     def __getattr__(self, name: str):
@@ -153,6 +213,61 @@ class NameContainer:
 
     def __repr__(self):
         return f"<NameContainer (len={len(self._entities)})>"
+
+
+class _World:
+    """Dict-style IRI → entity lookup (reference ``om.world[...]``)."""
+
+    def __init__(self, om: "OntologyManager"):
+        self._om = om
+
+    def __getitem__(self, iri: str) -> EntityHandle:
+        return self._om._resolve_ref(iri)
+
+
+class _OntoHandle:
+    """The reference's ``om.onto`` surface subset its tests read."""
+
+    def __init__(self, om: "OntologyManager"):
+        self._om = om
+
+    @property
+    def base_iri(self) -> str:
+        return self._om.iri
+
+    @property
+    def metadata(self) -> EntityHandle:
+        # ontology-level annotations live on the ontology IRI subject;
+        # EntityHandle.comment / .label read them
+        return EntityHandle("", self._om.iri, "ontology", self._om)
+
+    @property
+    def imported_ontologies(self) -> list:
+        from . import vocab as V
+
+        rows = (
+            self._om.triples.filter(
+                (F.col("subj") == self._om.iri) & (F.col("pred") == V.OWL_IMPORTS)
+            )
+            .select("obj")
+            .collect()
+        )
+        return [_ImportedOnto(r["obj"], self._om) for r in rows]
+
+
+class _ImportedOnto:
+    """An imported ontology: ``.base_iri`` plus annotation access."""
+
+    def __init__(self, iri: str, om: "OntologyManager"):
+        self.base_iri = iri
+        self._om = om
+
+    @property
+    def comment(self):
+        return EntityHandle("", self.base_iri, "ontology", self._om).comment
+
+    def __repr__(self):
+        return f"<imported {self.base_iri}>"
 
 
 class OntologyManager:
@@ -229,6 +344,75 @@ class OntologyManager:
                 for r in df.collect()
             }
         return {tuple(r) for r in df.collect()}
+
+    # ------------------------------------------------------------------
+    # owlready-shaped read surface: om.onto / om.world / expression decode
+    # ------------------------------------------------------------------
+
+    def _blank_map(self) -> dict:
+        """(subj, pred) → [obj] for every blank-node-subject triple of
+        this (single) document — collected once, cached; anonymous class
+        expressions and RDF lists are decoded driver-side from it.
+        Mutations/reasoning never rewrite existing blank nodes, so the
+        cache stays valid across them."""
+        if getattr(self, "_blank_cache", None) is None:
+            m: dict = {}
+            for r in self.triples.filter(F.col("subj").startswith("_:")).collect():
+                m.setdefault((r["subj"], r["pred"]), []).append(r["obj"])
+            self._blank_cache = m
+        return self._blank_cache
+
+    def _rdf_list(self, head: str) -> list:
+        from . import vocab as V
+
+        m = self._blank_map()
+        out, seen = [], set()
+        while head and head != V.RDF_NIL and head not in seen:
+            seen.add(head)
+            first = m.get((head, V.RDF_FIRST))
+            if first:
+                out.append(first[0])
+            rest = m.get((head, V.RDF_REST))
+            head = rest[0] if rest else None
+        return out
+
+    def _resolve_ref(self, ref: str):
+        """IRI or blank-node ref → EntityHandle or ClassConstruct."""
+        from . import vocab as V
+
+        if not ref.startswith("_:"):
+            local = ref.replace(self.iri, "")
+            if local in self.n:
+                return getattr(self.n, local)
+            return EntityHandle(local, ref, "entity", self)
+        m = self._blank_map()
+        for key, kind in (
+            (V.OWL_UNION_OF, "Or"),
+            (V.OWL_INTERSECTION_OF, "And"),
+            (V.OWL_ONE_OF, "OneOf"),
+        ):
+            head = m.get((ref, key))
+            if head:
+                return ClassConstruct(
+                    kind, [self._resolve_ref(x) for x in self._rdf_list(head[0])]
+                )
+        comp = m.get((ref, V.OWL_COMPLEMENT_OF))
+        if comp:
+            return ClassConstruct("Not", [self._resolve_ref(comp[0])])
+        return EntityHandle(ref, ref, "restriction", self)
+
+    @property
+    def world(self) -> "_World":
+        """Dict-style entity lookup by FULL IRI (reference
+        ``om.world["http://..."]``, tests/test_core.py:312)."""
+        return _World(self)
+
+    @property
+    def onto(self) -> "_OntoHandle":
+        """The loaded-ontology handle: ``.base_iri``,
+        ``.metadata.comment`` (ontology-level annotations) and
+        ``.imported_ontologies`` (reference tests/test_core.py:278-297)."""
+        return _OntoHandle(self)
 
     # ------------------------------------------------------------------
     # write side: imperative mutation after load (owlready2 lets users
