@@ -203,3 +203,35 @@ def test_basic_feature_onto_world_equivalent_to(spark):
     assert bfo_entity in n.Class3.is_a
 
     assert n.Class7.equivalent_to[0] == Or([n.Class2, n.Class3])
+
+
+def test_restriction_constructs_and_instances(spark):
+    """Reference TestCore2 pre-reasoner read surface (tests/test_core.py:
+    348-381): structural restriction equality in is_a / equivalent_to,
+    instances(), subclasses()."""
+    om = OntologyManager(
+        os.path.join(REFERENCE_DIR, "tests/test_ontologies/basic_feature_ontology.owl.yml"),
+        spark,
+    )
+    n = om.n
+    # n.has_demo_property_value.some(n.Class2) in Class10a.is_a
+    expected = n.has_demo_property_value.some(n.Class2)
+    assert expected in n.Class10a.is_a
+    assert n.Class11a in n.Class11b.is_a
+    assert n.Class4 not in n.Class10a.is_a
+
+    expected_eq = n.has_demo_property_value2.some(n.Class2)
+    assert expected_eq in n.Class10b.equivalent_to
+    assert n.Class10d in n.Class10c.equivalent_to
+    assert n.Class10e in n.Class10d.equivalent_to
+    assert n.Class10e not in n.Class10c.equivalent_to  # pre-reasoner
+
+    assert len(n.Class6.equivalent_to) == 1
+    assert len(n.Class2.equivalent_to) == 0
+
+    # pre-reasoner: defined classes have no asserted instances
+    assert len(set(n.Class8a.instances())) == 0
+    assert len(set(n.Class8b.instances())) == 0
+    # Class9a: owl:Thing + a restriction expression
+    assert len(n.Class9a.is_a) == 2
+    assert n.Class9a not in set(n.Class1.subclasses())

@@ -84,6 +84,35 @@ def OneOf(members):  # noqa: N802
     return ClassConstruct("OneOf", members)
 
 
+class Restriction:
+    """Structural value for ``∃p.C`` / ``p value v`` / ``∀p.C`` —
+    built by :meth:`EntityHandle.some` / ``.value`` / ``.only`` and by
+    decoding restriction blank nodes, so
+    ``n.has_x.some(n.Class2) in n.Class10a.is_a`` holds like the
+    reference's owlready construct equality (tests/test_core.py:361)."""
+
+    __slots__ = ("rtype", "prop", "filler")
+
+    def __init__(self, rtype: str, prop, filler):
+        self.rtype = rtype  # some | value | only
+        self.prop = prop
+        self.filler = filler
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Restriction)
+            and self.rtype == other.rtype
+            and self.prop == other.prop
+            and self.filler == other.filler
+        )
+
+    def __hash__(self):
+        return hash((self.rtype, self.prop, self.filler))
+
+    def __repr__(self):
+        return f"{self.prop!r}.{self.rtype}({self.filler!r})"
+
+
 class EntityHandle:
     """Lightweight stand-in for an owlready2 entity: ``.name``/``.iri``
     /``.kind``, lazily-collected ``label``/``comment``/``is_a``/
@@ -141,15 +170,20 @@ class EntityHandle:
     def is_a(self):
         # owlready semantics: a CLASS's is_a lists its superclasses,
         # an individual's its types (reference tests/test_core.py:313
-        # asserts a BFO superclass in Class3.is_a)
+        # asserts a BFO superclass in Class3.is_a). Blank-node entries
+        # decode to structural Restriction/ClassConstruct values so
+        # `n.p.some(n.C) in n.X.is_a` holds (tests/test_core.py:361
+        # and the zebra restriction asserts :245-261)
         from . import vocab as V
 
         pred = V.RDFS_SUBCLASSOF if self.kind == "class" else V.RDF_TYPE
-        return [
-            self._to_value(o, False, None)
-            for o, _, _ in self._objs(pred)
-            if not o.startswith("_:")
-        ]
+        out = []
+        for o, _, _ in self._objs(pred):
+            if o.startswith("_:"):
+                out.append(self._om._resolve_ref(o))
+            else:
+                out.append(self._to_value(o, False, None))
+        return out
 
     @property
     def equivalent_to(self):
@@ -181,6 +215,41 @@ class EntityHandle:
         if name in om.functional_roles:
             return vals[0] if vals else None
         return vals
+
+    # -- owlready-style construct builders on property handles ---------
+
+    def some(self, filler) -> Restriction:
+        return Restriction("some", self, filler)
+
+    def value(self, v) -> Restriction:
+        return Restriction("value", self, v)
+
+    def only(self, filler) -> Restriction:
+        return Restriction("only", self, filler)
+
+    def instances(self) -> list:
+        """Individuals typed with this class (owlready
+        ``Class.instances()``; grows after ``sync_reasoner`` merges
+        inferred memberships — reference tests/test_core.py:338-346)."""
+        from . import vocab as V
+
+        rows = self._om.triples.filter(
+            (F.col("pred") == V.RDF_TYPE) & (F.col("obj") == self.iri)
+        ).select("subj").distinct().collect()
+        return [self._om._resolve_ref(r["subj"]) for r in rows]
+
+    def subclasses(self) -> list:
+        """Direct subclasses (owlready ``Class.subclasses()``)."""
+        from . import vocab as V
+
+        rows = self._om.triples.filter(
+            (F.col("pred") == V.RDFS_SUBCLASSOF) & (F.col("obj") == self.iri)
+        ).select("subj").distinct().collect()
+        return [
+            self._om._resolve_ref(r["subj"])
+            for r in rows
+            if not r["subj"].startswith("_:")
+        ]
 
     def __repr__(self):
         return f"<{self.kind} {self.name}>"
@@ -399,6 +468,22 @@ class OntologyManager:
         comp = m.get((ref, V.OWL_COMPLEMENT_OF))
         if comp:
             return ClassConstruct("Not", [self._resolve_ref(comp[0])])
+        on_p = m.get((ref, V.OWL_ON_PROPERTY))
+        if on_p:
+            prop = self._resolve_ref(on_p[0])
+            sv = m.get((ref, V.OWL_SOME_VALUES_FROM))
+            if sv:
+                return Restriction("some", prop, self._resolve_ref(sv[0]))
+            av = m.get((ref, V.OWL + "allValuesFrom"))
+            if av:
+                return Restriction("only", prop, self._resolve_ref(av[0]))
+            hv = m.get((ref, V.OWL_HAS_VALUE))
+            if hv:
+                return Restriction("value", prop, self._resolve_ref(hv[0]))
+        inv = m.get((ref, V.OWL_INVERSE_OF))
+        if inv:
+            # anonymous Inverse(p) property node inside a restriction
+            return ClassConstruct("Inverse", [self._resolve_ref(inv[0])])
         return EntityHandle(ref, ref, "restriction", self)
 
     @property
