@@ -235,3 +235,32 @@ def test_restriction_constructs_and_instances(spark):
     # Class9a: owl:Thing + a restriction expression
     assert len(n.Class9a.is_a) == 2
     assert n.Class9a not in set(n.Class1.subclasses())
+
+
+def test_post_reasoner_owlrl_inferences(spark):
+    """Reference TestCore2 POST-reasoner assertions (tests/test_core.py:
+    341-382): defined-class membership, equivalence closure, domain
+    subsumption — materialized by the OWL-RL rule pass composed into
+    sync_reasoner."""
+    om = OntologyManager(
+        os.path.join(REFERENCE_DIR, "tests/test_ontologies/basic_feature_ontology.owl.yml"),
+        spark,
+    )
+    n = om.n
+    assert om.sync_reasoner() > 0
+
+    # defined-class membership (hasValue over a data property, Or/And)
+    assert len(set(n.Class8a.instances())) == 2
+    assert len(set(n.Class8b.instances())) == 1
+    assert len(set(n.Class8c.instances())) == 1
+    assert len(set(n.Class8d.instances())) == 2
+
+    # equivalence closure: symmetry gives Class2 ≡ Class6 ...
+    assert len(n.Class2.equivalent_to) == 1
+    # ... and transitivity chains 10c ≡ 10d ≡ {10e, 10f}
+    assert n.Class10e in n.Class10c.equivalent_to
+    assert n.Class10f in n.Class10c.equivalent_to
+
+    # domain subsumption
+    assert n.Class9a in set(n.Class1.subclasses())
+    assert n.Class4 in n.Class10a.is_a

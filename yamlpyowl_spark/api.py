@@ -614,10 +614,12 @@ class OntologyManager:
         if self._reasoned:
             return 0
         from .operators.dlreason import dl_model_search
+        from .operators.owlrl import owlrl_materialize
 
         inferred = (
             forward_chain(self.triples)
             .unionByName(dl_model_search(self.triples))
+            .unionByName(owlrl_materialize(self.triples))
             .distinct()
         )
         n = inferred.count()

@@ -1,0 +1,262 @@
+"""OWL-RL-style rule materialization for defined classes, equivalence
+closure and domain subsumption — the Pellet behaviors the reference's
+TestCore2 observes beyond SWRL chaining and the OneOf CSP
+(tests/test_core.py:329-382):
+
+* **defined-class membership** (cls-hv2 / cls-svf "if" direction, plus
+  union/intersection): ``C ≡ hasValue(p, v)`` and ``p(x, v)`` ⇒
+  ``type(x, C)``; ``C ≡ ∃p.D`` and ``p(x, y), type(y, D*)`` ⇒
+  ``type(x, C)`` — with Or = any disjunct, And = all conjuncts;
+* **equivalence closure** (eq-sym / eq-trans over NAMED classes):
+  ``Class6 ≡ Class2`` ⇒ ``Class2 ≡ Class6``; chains close
+  transitively (``10c ≡ 10d ≡ 10e`` ⇒ ``10c ≡ 10e``);
+* **domain subsumption** (scm-dom composed with restriction
+  definitions): ``C ⊑/≡ ∃p.X`` (or hasValue) and ``domain(p) = D`` ⇒
+  ``C ⊑ D`` — every member of C has a p-value, hence is in p's
+  domain. Or-expressions require EVERY disjunct to yield the same
+  domain; And-expressions any conjunct.
+
+Scale architecture: identical to :mod:`dlreason` — the rules are
+document-local, so the distributed dimension is ``doc_iri`` (one
+Arrow-batched ``applyInPandas`` group per document) and the per-doc
+payload is pure-Python graph walking over that document's triples.
+No join or driver loop grows with the corpus.
+
+OWL RL is the W3C profile DESIGNED for rule-based forward
+materialization at scale — this implements the fragment the
+reference's own tests observe, not the full profile; anything beyond
+it stays behind :mod:`dlreason`'s loud unsupported-construct boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import vocab as V
+
+OWL = "http://www.w3.org/2002/07/owl#"
+
+
+class _Doc:
+    def __init__(self, rows):
+        # rows: (subj, pred, obj, obj_is_literal)
+        self.spo: Dict[Tuple[str, str], List[Tuple[str, bool]]] = {}
+        for s, p, o, il in rows:
+            self.spo.setdefault((s, p), []).append((o, il))
+
+    def objs(self, s: str, p: str) -> List[str]:
+        return [o for o, _ in self.spo.get((s, p), [])]
+
+    def obj(self, s: str, p: str) -> Optional[str]:
+        v = self.spo.get((s, p))
+        return v[0][0] if v else None
+
+    def rdf_list(self, node: str) -> List[str]:
+        out, seen = [], set()
+        while node and node != V.RDF_NIL and node not in seen:
+            seen.add(node)
+            head = self.obj(node, V.RDF_FIRST)
+            if head is not None:
+                out.append(head)
+            node = self.obj(node, V.RDF_REST)
+        return out
+
+
+def _infer_doc(rows) -> Set[Tuple[str, str, str]]:
+    """rows: (subj, pred, obj, obj_is_literal). Returns inferred
+    (subj, pred, obj) ENTITY triples (types, equivalences,
+    subClassOf)."""
+    m = _Doc(rows)
+
+    # ---- indexes ----------------------------------------------------
+    # property facts p -> {(x, o_lexical)}
+    facts: Dict[str, Set[Tuple[str, str]]] = {}
+    # asserted types with subClassOf closure (for some-filler checks)
+    types: Dict[str, Set[str]] = {}
+    sub: Dict[str, Set[str]] = {}
+    named_eq: List[Tuple[str, str]] = []
+    eq_exprs: List[Tuple[str, str]] = []  # (named class, blank expr)
+    sub_exprs: List[Tuple[str, str]] = []
+    domains: Dict[str, str] = {}
+    individuals: Set[str] = set()
+
+    for (s, p), objs in m.spo.items():
+        if p == V.RDF_TYPE:
+            for o, il in objs:
+                if o == V.OWL_NAMED_INDIVIDUAL:
+                    individuals.add(s)
+                if not o.startswith("_:") and not s.startswith("_:"):
+                    types.setdefault(s, set()).add(o)
+        elif p == V.RDFS_SUBCLASSOF and not s.startswith("_:"):
+            for o, il in objs:
+                if o.startswith("_:"):
+                    sub_exprs.append((s, o))
+                else:
+                    sub.setdefault(s, set()).add(o)
+        elif p == V.OWL_EQUIVALENT_CLASS and not s.startswith("_:"):
+            for o, il in objs:
+                if o.startswith("_:"):
+                    eq_exprs.append((s, o))
+                else:
+                    named_eq.append((s, o))
+        elif p == V.RDFS_DOMAIN and not s.startswith("_:"):
+            o = objs[0][0]
+            if not o.startswith("_:"):
+                domains[s] = o
+        elif not s.startswith("_:") and not p.startswith("_:"):
+            for o, il in objs:
+                facts.setdefault(p, set()).add((s, o))
+
+    # subClassOf closure for filler checks (tiny per doc)
+    def closed_types(x: str) -> Set[str]:
+        out = set(types.get(x, ()))
+        frontier = list(out)
+        while frontier:
+            c = frontier.pop()
+            for up in sub.get(c, ()):
+                if up not in out:
+                    out.add(up)
+                    frontier.append(up)
+        return out
+
+    # ---- expression evaluation -------------------------------------
+    def members_of(node: str, depth: int = 0) -> Optional[Set[str]]:
+        """Individuals satisfying the class expression at `node`;
+        None = not evaluable in this fragment."""
+        if depth > 16:
+            return None
+        if not node.startswith("_:"):
+            return {x for x in individuals if node in closed_types(x)}
+        union = m.obj(node, V.OWL + "unionOf")
+        if union:
+            out: Set[str] = set()
+            for part in m.rdf_list(union):
+                sub_m = members_of(part, depth + 1)
+                if sub_m is None:
+                    return None
+                out |= sub_m
+            return out
+        inter = m.obj(node, V.OWL + "intersectionOf")
+        if inter:
+            acc: Optional[Set[str]] = None
+            for part in m.rdf_list(inter):
+                sub_m = members_of(part, depth + 1)
+                if sub_m is None:
+                    return None
+                acc = sub_m if acc is None else (acc & sub_m)
+            return acc or set()
+        on_p = m.obj(node, V.OWL_ON_PROPERTY)
+        if on_p and not on_p.startswith("_:"):
+            hv = m.spo.get((node, V.OWL_HAS_VALUE))
+            if hv:
+                v = hv[0][0]
+                return {x for x, o in facts.get(on_p, ()) if o == v}
+            sv = m.obj(node, V.OWL_SOME_VALUES_FROM)
+            if sv is not None and not sv.startswith("_:"):
+                if sv == V.OWL_THING:
+                    return {x for x, _ in facts.get(on_p, ())}
+                return {
+                    x
+                    for x, y in facts.get(on_p, ())
+                    if sv in closed_types(y)
+                }
+        return None
+
+    def domain_of(node: str, depth: int = 0) -> Optional[str]:
+        """The domain class every member of the expression must be in;
+        None when not derivable."""
+        if depth > 16 or not node.startswith("_:"):
+            return None
+        union = m.obj(node, V.OWL + "unionOf")
+        if union:
+            doms = {domain_of(p, depth + 1) for p in m.rdf_list(union)}
+            return doms.pop() if len(doms) == 1 and None not in doms else None
+        inter = m.obj(node, V.OWL + "intersectionOf")
+        if inter:
+            for part in m.rdf_list(inter):
+                d = domain_of(part, depth + 1)
+                if d is not None:
+                    return d
+            return None
+        on_p = m.obj(node, V.OWL_ON_PROPERTY)
+        if on_p and not on_p.startswith("_:"):
+            has_filler = (
+                m.spo.get((node, V.OWL_HAS_VALUE))
+                or m.obj(node, V.OWL_SOME_VALUES_FROM) is not None
+            )
+            if has_filler:
+                return domains.get(on_p)
+        return None
+
+    inferred: Set[Tuple[str, str, str]] = set()
+
+    # defined-class membership
+    for cls, expr in eq_exprs:
+        ms = members_of(expr)
+        if ms:
+            for x in ms:
+                if cls not in types.get(x, ()):
+                    inferred.add((x, V.RDF_TYPE, cls))
+
+    # equivalence closure over named classes (sym + trans, minus self)
+    adj: Dict[str, Set[str]] = {}
+    for a, b in named_eq:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for start in adj:
+        seen = {start}
+        frontier = [start]
+        while frontier:
+            c = frontier.pop()
+            for nxt in adj.get(c, ()):
+                if nxt not in seen:
+                    seen.add(nxt)
+                    frontier.append(nxt)
+        for other in seen - {start}:
+            if other not in {o for o, _ in m.spo.get((start, V.OWL_EQUIVALENT_CLASS), ())}:
+                inferred.add((start, V.OWL_EQUIVALENT_CLASS, other))
+
+    # domain subsumption
+    for cls, expr in sub_exprs + eq_exprs:
+        d = domain_of(expr)
+        if d is not None and d != cls and d not in sub.get(cls, ()):
+            inferred.add((cls, V.RDFS_SUBCLASSOF, d))
+
+    return inferred
+
+
+OUT_COLS = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype", "doc_iri"]
+
+
+def owlrl_materialize(triples: DataFrame) -> DataFrame:
+    """Distributed materialization: one rule pass per document via
+    ``applyInPandas`` (grouped on ``doc_iri``). Returns the inferred
+    delta with the standard fact schema (entity triples only)."""
+    src = triples.select("doc_iri", "subj", "pred", "obj", "obj_is_literal").distinct()
+
+    def per_doc(pdf):
+        import pandas as pd
+
+        if pdf.empty:
+            return pd.DataFrame(columns=OUT_COLS)
+        doc_iri = pdf["doc_iri"].iloc[0]
+        rows = list(zip(pdf["subj"], pdf["pred"], pdf["obj"], pdf["obj_is_literal"]))
+        out = sorted(_infer_doc(rows))
+        return pd.DataFrame(
+            {
+                "subj": [t[0] for t in out],
+                "pred": [t[1] for t in out],
+                "obj": [t[2] for t in out],
+                "obj_is_literal": [False] * len(out),
+                "obj_datatype": [None] * len(out),
+                "doc_iri": [doc_iri] * len(out),
+            }
+        )
+
+    schema = (
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_datatype string, doc_iri string"
+    )
+    return src.groupBy("doc_iri").applyInPandas(per_doc, schema)

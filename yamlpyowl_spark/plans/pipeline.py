@@ -249,6 +249,7 @@ class KGPipeline:
         SWRL rules are skipped with a warning (a single bad rule must
         not abort a batch)."""
         from ..operators.dlreason import dl_model_search
+        from ..operators.owlrl import owlrl_materialize
         from ..operators.swrl import forward_chain
 
         base = triples.select(
@@ -257,6 +258,7 @@ class KGPipeline:
         return (
             forward_chain(base, on_unsupported="skip")
             .unionByName(dl_model_search(base))
+            .unionByName(owlrl_materialize(base))
             .distinct()
         )
 
