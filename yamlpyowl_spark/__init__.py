@@ -39,11 +39,32 @@ def render_using_label(entity) -> str:
     return f"<{type(entity)} '{repr_str}'>"
 
 
+# root-level session surface, lazily resolved so importing the package
+# (e.g. for the pure-Python parser) doesn't pull pyspark: a reference
+# user writes `import yamlpyowl as ypo; ypo.OntologyManager(...)` —
+# the same spelling works here
+_API_NAMES = ("OntologyManager", "Or", "And", "Not", "OneOf", "Restriction")
+
+
+def __getattr__(name):
+    if name in _API_NAMES:
+        from . import api
+
+        return getattr(api, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
     "check_type",
     "test_type",
     "ensure_list",
     "unpack_len1_mapping",
     "render_using_label",
+    "OntologyManager",
+    "Or",
+    "And",
+    "Not",
+    "OneOf",
+    "Restriction",
     "__version__",
 ]
