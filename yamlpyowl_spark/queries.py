@@ -1250,7 +1250,51 @@ def _register_dlreason():
         return dl_model_search(t)
 
 
+def _register_owlrl():
+    """OWL-RL materialization over the basic-feature document, gated by
+    the HAND-DERIVED inference set (independent ground truth, the
+    kg_dl_zebra pattern): defined-class memberships follow from the
+    asserted facts (i1={801,802}, i2={801,0}, i3={300,150,0}, i4={804},
+    i5={805}) against the fixture's hasValue/Or/And definitions;
+    equivalence closure from the asserted Class6≡Class2 and
+    10c≡10d≡{10e,10f} chain; domain subsumption from the restriction
+    definitions' property domains."""
+    B = "https://w3id.org/unpublished/yamlpyowl/basic-feature-ontology#"
+    EXPECTED = (
+        [("instance1", V.RDF_TYPE, "Class8a"), ("instance2", V.RDF_TYPE, "Class8a"),
+         ("instance1", V.RDF_TYPE, "Class8b"),
+         ("instance1", V.RDF_TYPE, "Class8b2"), ("instance2", V.RDF_TYPE, "Class8b2"),
+         ("instance1", V.RDF_TYPE, "Class8c"),
+         ("instance4", V.RDF_TYPE, "Class8d"), ("instance5", V.RDF_TYPE, "Class8d")]
+        + [(a, V.OWL_EQUIVALENT_CLASS, b) for a, b in
+           [("Class10c", "Class10e"), ("Class10c", "Class10f"),
+            ("Class10d", "Class10c"),
+            ("Class10e", "Class10c"), ("Class10e", "Class10d"), ("Class10e", "Class10f"),
+            ("Class10f", "Class10c"), ("Class10f", "Class10d"), ("Class10f", "Class10e"),
+            ("Class2", "Class6")]]
+        + [("Class9a", V.RDFS_SUBCLASSOF, "Class1"),
+           ("Class10a", V.RDFS_SUBCLASSOF, "Class4"),
+           ("Class10b", V.RDFS_SUBCLASSOF, "Class4")]
+    )
+    values = ",\n".join(
+        f"('{B}{s}', '{p}', '{B}{o}', false, CAST(NULL AS VARCHAR), '{B}')"
+        for s, p, o in EXPECTED
+    )
+    owlrl_sql = (
+        "SELECT subj, pred, obj, obj_is_literal, obj_datatype, doc_iri FROM "
+        f"(VALUES {values}) AS t(subj, pred, obj, obj_is_literal, obj_datatype, doc_iri)"
+    )
+
+    @_q("kg_owlrl_inferences", owlrl_sql)
+    def kg_owlrl_inferences(spark, sf_dir):
+        from .operators.owlrl import owlrl_materialize
+
+        t = kg_triples(spark).filter(F.col("src_repo") == "org/basic-feature")
+        return owlrl_materialize(t)
+
+
 _register_kg()
+_register_owlrl()
 _register_more_kg()
 _register_docops()
 _register_embops()
