@@ -216,7 +216,9 @@ _SOUP = st.lists(
         ["SELECT", "WHERE", "{", "}", "(", ")", "FILTER", "UNION", "OPTIONAL",
          "MINUS", "VALUES", "BIND", "AS", "regex", ",", "+", "*", "/", "-", "|", "^",
          "?x", "?y", "<http://e#p>", '"lit"', "42", "e:name", ".", "&&", ">", "=",
-         "PREFIX e: <http://e#>"]
+         "PREFIX e: <http://e#>",
+         "GROUP", "BY", "ORDER", "LIMIT", "DESC(?x)", "ASC(?y)", "?",
+         "(COUNT(?x) AS ?n)", "(SUM(?y) AS ?s)", "COUNT", "AS"]
     ),
     max_size=25,
 )
@@ -353,3 +355,143 @@ def test_path_inverse_in_sequence(graph):
 def test_path_inverse_var_pred_rejected(graph):
     with pytest.raises(SparqlError, match="concrete predicate"):
         make_query(graph, f"PREFIX e: <{E}> SELECT ?x WHERE {{ ?x ^?p e:c }}")
+
+
+# ---------------------------------------------------------------------------
+# round 4: zero-length paths, aggregates, GROUP BY, ORDER BY / LIMIT
+# ---------------------------------------------------------------------------
+
+
+def test_path_star_constant_start(graph):
+    # zero-or-more includes the start itself (SPARQL 1.1 §9.3)
+    got = {
+        r[0]
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?y WHERE {{ e:a e:p* ?y }}"
+        ).collect()
+    }
+    assert got == {E + "a", E + "b", E + "c", E + "d"}
+
+
+def test_path_star_constant_not_in_graph(graph):
+    # a constant endpoint absent from the graph still matches itself
+    got = {
+        r[0]
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?y WHERE {{ e:zzz e:p* ?y }}"
+        ).collect()
+    }
+    assert got == {E + "zzz"}
+
+
+def test_path_qmark_zero_or_one(graph):
+    got = {
+        r[0]
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?y WHERE {{ e:a e:p? ?y }}"
+        ).collect()
+    }
+    assert got == {E + "a", E + "b"}
+
+
+def test_path_star_in_sequence(graph):
+    # q then p*: x has no q out-edges; c -q-> x so start at c: c q x, then x p* → {x}
+    got = {
+        r[0]
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?y WHERE {{ e:c e:q/e:p* ?y }}"
+        ).collect()
+    }
+    assert got == {E + "x"}
+
+
+def test_agg_count_group_by(triples):
+    rows = {
+        (r["x"], r["n"])
+        for r in _q(
+            triples,
+            "?x (COUNT(?a) AS ?n) WHERE { ?x e:age ?a } GROUP BY ?x",
+        ).collect()
+    }
+    assert rows == {(E + "a", 1), (E + "b", 1), (E + "c", 1)}
+
+
+def test_agg_global_count_star(triples):
+    [row] = _q(triples, "(COUNT(*) AS ?n) WHERE { ?x e:age ?a }").collect()
+    assert row["n"] == 3
+
+
+def test_agg_count_distinct(triples):
+    [row] = _q(
+        triples, "(COUNT(DISTINCT ?p) AS ?n) WHERE { ?x ?p ?o }"
+    ).collect()
+    assert row["n"] == 4  # age, knows, likes, name — distinct predicates
+
+
+def test_agg_sum_avg_min_max(triples):
+    [row] = _q(
+        triples,
+        "(SUM(?a) AS ?s) (AVG(?a) AS ?m) (MIN(?a) AS ?lo) (MAX(?a) AS ?hi) "
+        "WHERE { ?x e:age ?a }",
+    ).collect()
+    assert row["s"] == 82.0
+    assert abs(row["m"] - 82.0 / 3) < 1e-9
+    # MIN/MAX are lexical over string-typed columns (dialect note)
+    assert row["lo"] == "30" and row["hi"] == "7"
+
+
+def test_agg_multiset_semantics(spark):
+    # aggregation runs over the solution multiset, not the distinct set
+    rows = [
+        (E + "a", E + "p", E + "b", False, None, E),
+        (E + "a", E + "p", E + "c", False, None, E),
+    ]
+    t = spark.createDataFrame(rows, SCHEMA)
+    [row] = make_query(
+        t, f"PREFIX e: <{E}> SELECT (COUNT(?y) AS ?n) WHERE {{ e:a e:p ?y }}"
+    ).collect()
+    assert row["n"] == 2
+
+
+def test_agg_nongrouped_var_rejected(triples):
+    with pytest.raises(SparqlError, match="GROUP BY"):
+        _q(triples, "?x (COUNT(?a) AS ?n) WHERE { ?x e:age ?a }")
+
+
+def test_order_by_limit(triples):
+    rows = _q(
+        triples,
+        "?x ?a WHERE { ?x e:age ?a } ORDER BY DESC(?a) LIMIT 2",
+    ).collect()
+    # lexical ordering of the string column: "7" > "45" > "30"
+    assert [r["a"] for r in rows] == ["7", "45"]
+
+
+def test_order_by_agg_alias(triples):
+    rows = _q(
+        triples,
+        "?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p ORDER BY DESC(?n) ?p LIMIT 2",
+    ).collect()
+    assert rows[0]["p"] == E + "age" and rows[0]["n"] == 3
+    assert rows[1]["n"] == 1
+
+
+def test_order_by_unprojected_rejected(triples):
+    with pytest.raises(SparqlError, match="unprojected"):
+        _q(triples, "?x WHERE { ?x e:age ?a } ORDER BY ?a")
+
+
+def test_limit_without_order(triples):
+    assert len(_q(triples, "?x WHERE { ?x e:age ?a } LIMIT 2").collect()) == 2
+
+
+def test_having_offset_still_rejected(triples):
+    with pytest.raises(SparqlError, match="HAVING"):
+        _q(triples, "?x (COUNT(?a) AS ?n) WHERE { ?x e:age ?a } GROUP BY ?x HAVING (?n > 1)")
+    with pytest.raises(SparqlError, match="OFFSET"):
+        _q(triples, "?x WHERE { ?x e:age ?a } LIMIT 2 OFFSET 1")
+
+
+def test_modifier_garbage_rejected(triples):
+    with pytest.raises(SparqlError, match="cannot parse after WHERE"):
+        _q(triples, "?x WHERE { ?x e:age ?a } SORT BY ?x")

@@ -6,22 +6,32 @@ PREFIX + one/two-pattern SELECT BGPs (tests/test_core.py:124-144).
 This module parses that subset plus the next-most-common SPARQL
 constructs — ``FILTER`` (var-const and var-var comparisons plus
 ``regex()``, ``&&``-conjoined), ``UNION``, ``OPTIONAL``, ``MINUS``,
-``VALUES`` (single-var and tuple forms), simple ``BIND``, and property
-paths (``p+`` one-or-more closure, ``^p`` inverse, ``p1|p2``
-alternation incl. ``(p1|p2)+``, and ``p1/p2`` sequences) — and compiles
-them onto DataFrame filters / equi-joins / unions / left and anti
-joins / local relations / the semi-naive transitive-closure operator.
-Catalyst plans the execution; we write no evaluator of our own.
+``VALUES`` (single-var and tuple forms), simple ``BIND``, property
+paths (``p+`` one-or-more, ``p*`` zero-or-more, ``p?`` zero-or-one,
+``^p`` inverse, ``p1|p2`` alternation incl. ``(p1|p2)+``, and ``p1/p2``
+sequences), aggregates (``(COUNT|SUM|MIN|MAX|AVG)(?v)``, ``COUNT(*)``,
+``COUNT(DISTINCT ?v)``) with ``GROUP BY``, and the ``ORDER BY`` /
+``LIMIT`` solution modifiers — and compiles them onto DataFrame
+filters / equi-joins / unions / left and anti joins / local relations
+/ ``groupBy().agg()`` / ``orderBy().limit()`` (Catalyst plans a
+TakeOrdered, no full sort at scale) / the semi-naive
+transitive-closure operator. Catalyst plans the execution; we write no
+evaluator of our own.
 
 Dialect notes (documented, not silent): var-var ordering comparisons
 (``FILTER(?a < ?b)``) compare NUMERICALLY (both sides cast to double;
 non-numeric values drop out), ``=``/``!=`` compare lexical forms;
 ``regex()`` uses Java regex via ``rlike``. ``BIND`` supports a
 constant, a variable copy, or one binary arithmetic step
-(``BIND(?a * 2 AS ?b)``, double-typed).
+(``BIND(?a * 2 AS ?b)``, double-typed). ``SUM``/``AVG`` cast to
+double (non-numeric values become NULL and are skipped, as in SQL);
+``MIN``/``MAX``/``ORDER BY`` compare lexical forms unless the column
+is already numeric (an aggregate alias). Zero-length paths match the
+identity over all terms of the graph plus any constant endpoint of
+the path, per SPARQL 1.1 §9.3.
 
-Still-unsupported SPARQL (GRAPH, EXISTS, ASK, CONSTRUCT, `p*`/`p?`
-zero-length paths, subqueries) raises — loudly, not wrongly.
+Still-unsupported SPARQL (GRAPH, EXISTS, ASK, CONSTRUCT, HAVING,
+OFFSET, subqueries) raises — loudly, not wrongly.
 """
 
 from __future__ import annotations
@@ -32,17 +42,33 @@ from typing import List, Tuple
 from pyspark.sql import DataFrame, functions as F
 
 _PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>]+)>", re.IGNORECASE)
+# greedy body capture pairs with the LAST '}': everything after it is the
+# solution-modifier tail (GROUP BY / ORDER BY / LIMIT)
 _SELECT_RE = re.compile(
-    r"SELECT\s+(DISTINCT\s+)?(.+?)\s+WHERE\s*\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL
+    r"SELECT\s+(DISTINCT\s+)?(.+?)\s+WHERE\s*\{(.*)\}\s*(.*?)\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
-_UNSUPPORTED = re.compile(r"\b(GRAPH|EXISTS|ASK|CONSTRUCT)\b", re.IGNORECASE)
+_UNSUPPORTED = re.compile(
+    r"\b(GRAPH|EXISTS|ASK|CONSTRUCT|HAVING|OFFSET)\b", re.IGNORECASE
+)
+_AGG_ITEM_RE = re.compile(
+    r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)\s+AS\s+\?(\w+)\s*\)",
+    re.IGNORECASE,
+)
+_VAR_ITEM_RE = re.compile(r"\?(\w+)")
+_GROUPBY_RE = re.compile(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", re.IGNORECASE)
+_ORDERBY_RE = re.compile(
+    r"ORDER\s+BY\s+(.+?)(?=\bLIMIT\b|\bGROUP\b|$)", re.IGNORECASE | re.DOTALL
+)
+_ORDER_ITEM_RE = re.compile(r"(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)", re.IGNORECASE)
+_LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.IGNORECASE)
 
 # IRIs contain no whitespace/angle brackets, so `< 3` in a FILTER can
 # never be mistaken for an IRI opener
 _TOKEN_RE = re.compile(
     r"""(?P<lbrace>\{) | (?P<rbrace>\}) | (?P<lparen>\() | (?P<rparen>\)) |
         (?P<kw>OPTIONAL|UNION|FILTER|MINUS|VALUES|BIND|AS)\b |
-        \?(?P<var>\w+) | <(?P<iri>[^<>\s]+)> |
+        \?(?P<var>\w+) | (?P<qmark>\?) | <(?P<iri>[^<>\s]+)> |
         "(?P<lit>(?:[^"\\]|\\.)*)" |
         (?P<num>-?\d+(?:\.\d+)?) |
         (?P<op>!=|<=|>=|=|<|>|&&) |
@@ -254,10 +280,11 @@ class _Parser:
 
     def _path(self) -> list:
         """Property path in predicate position: ``p``, ``^p``, ``p+``,
-        ``p1|p2``, ``(p1|p2)+``, and ``/``-sequences of those. Returns
-        ``[(alts, one_or_more), ...]`` with alts = [(pred, inverse)].
-        A variable predicate is allowed only as a single plain segment
-        (plain BGP)."""
+        ``p*``, ``p?``, ``p1|p2``, ``(p1|p2)+``, and ``/``-sequences of
+        those. Returns ``[(alts, mod), ...]`` with alts = [(pred,
+        inverse)] and mod in (None, '+', '*', '?'). A variable
+        predicate is allowed only as a single plain segment (plain
+        BGP)."""
         segs = []
         while True:
             nxt = self.peek()
@@ -267,14 +294,17 @@ class _Parser:
                 self.expect("rparen")
             else:
                 alts = self._path_alts()
-            plus = False
+            mod = None
             nxt = self.peek()
-            if nxt is not None and _kind(nxt) == "arith" and nxt.group("arith") == "+":
+            if nxt is not None and (
+                (_kind(nxt) == "arith" and nxt.group("arith") in "+*")
+                or _kind(nxt) == "qmark"
+            ):
                 if any(t.startswith("?") for t, _ in alts):
-                    raise SparqlError("`+` closure needs a concrete predicate")
+                    raise SparqlError("path modifiers need a concrete predicate")
+                mod = "?" if _kind(nxt) == "qmark" else nxt.group("arith")
                 self.next()
-                plus = True
-            segs.append((alts, plus))
+            segs.append((alts, mod))
             nxt = self.peek()
             if nxt is not None and _kind(nxt) == "arith" and nxt.group("arith") == "/":
                 self.next()
@@ -363,6 +393,57 @@ class _Parser:
         return ("bind", "?" + var_tok.group("var"), expr)
 
 
+def _parse_projection(proj: str):
+    """SELECT items: plain ``?var`` or ``(AGG(...) AS ?alias)``.
+    Returns [("var", name) | ("agg", fn, distinct, arg, alias), ...]."""
+    items, pos = [], 0
+    proj = proj.strip()
+    while pos < len(proj):
+        if proj[pos].isspace():
+            pos += 1
+            continue
+        m = _AGG_ITEM_RE.match(proj, pos)
+        if m:
+            fn, dist, arg, alias = m.groups()
+            items.append(("agg", fn.upper(), bool(dist), arg, alias))
+            pos = m.end()
+            continue
+        m = _VAR_ITEM_RE.match(proj, pos)
+        if m:
+            items.append(("var", m.group(1)))
+            pos = m.end()
+            continue
+        raise SparqlError(f"cannot parse SELECT item at: {proj[pos:]!r}")
+    if not items:
+        raise SparqlError("SELECT needs at least one ?variable or aggregate")
+    return items
+
+
+def _parse_modifiers(tail: str):
+    """GROUP BY / ORDER BY / LIMIT tail after the WHERE block."""
+    group_by, order_by, limit = [], [], None
+    rest = tail
+    m = _GROUPBY_RE.search(rest)
+    if m:
+        group_by = re.findall(r"\?(\w+)", m.group(1))
+        rest = rest[: m.start()] + rest[m.end():]
+    m = _ORDERBY_RE.search(rest)
+    if m:
+        for om in _ORDER_ITEM_RE.finditer(m.group(1)):
+            if om.group(3) is not None:
+                order_by.append((om.group(3), False))
+            else:
+                order_by.append((om.group(2), om.group(1).upper() == "DESC"))
+        rest = rest[: m.start()] + rest[m.end():]
+    m = _LIMIT_RE.search(rest)
+    if m:
+        limit = int(m.group(1))
+        rest = rest[: m.start()] + rest[m.end():]
+    if rest.strip():
+        raise SparqlError(f"cannot parse after WHERE block: {rest.strip()!r}")
+    return group_by, order_by, limit
+
+
 def _parse(src: str):
     if _UNSUPPORTED.search(src):
         raise SparqlError(
@@ -372,9 +453,8 @@ def _parse(src: str):
     m = _SELECT_RE.search(src.strip())
     if not m:
         raise SparqlError("expected `SELECT ... WHERE { ... }`")
-    select_vars = re.findall(r"\?(\w+)", m.group(2))
-    if not select_vars:
-        raise SparqlError("SELECT needs at least one ?variable")
+    select_items = _parse_projection(m.group(2))
+    group_by, order_by, limit = _parse_modifiers(m.group(4) or "")
     parser = _Parser(_tokenize(m.group(3)), prefixes)
     items = parser.group()
     if parser.peek() is not None:
@@ -384,16 +464,20 @@ def _parse(src: str):
             "WHERE block has no required triple patterns "
             "(OPTIONAL/FILTER/BIND alone is not a query)"
         )
-    return ["?" + v for v in select_vars], items
+    return select_items, items, group_by, order_by, limit
 
 
 def parse_sparql(src: str) -> Tuple[List[str], List[Tuple[str, str, str]]]:
     """Legacy surface: (selected variables, plain triple patterns).
     Raises on FILTER/UNION/OPTIONAL — use :func:`make_query` for those."""
-    select_vars, items = _parse(src)
+    select_items, items, group_by, order_by, limit = _parse(src)
     if any(k[0] != "t" for k in items):
         raise SparqlError("query uses FILTER/UNION/OPTIONAL — evaluate via make_query")
-    return select_vars, [it[1] for it in items]
+    if group_by or order_by or limit is not None or any(
+        it[0] == "agg" for it in select_items
+    ):
+        raise SparqlError("query uses aggregates/modifiers — evaluate via make_query")
+    return ["?" + it[1] for it in select_items], [it[1] for it in items]
 
 
 # ---------------------------------------------------------------------------
@@ -414,15 +498,33 @@ def _pattern_frame(triples: DataFrame, pat, idx: int) -> DataFrame:
     return t.select(*cols) if cols else t.select(F.lit(1).alias(f"_m{idx}"))
 
 
+def _identity_frame(triples: DataFrame, s: str, o: str) -> DataFrame:
+    """Zero-length-path identity: (t, t) for every term of the graph,
+    plus any constant endpoint of this path expression (SPARQL 1.1
+    §9.3: a zero-length path from a constant matches the constant
+    itself whether or not it occurs in the graph)."""
+    nodes = triples.select(F.col("subj").alias("n")).unionByName(
+        triples.select(F.col("obj").alias("n"))
+    )
+    extras = [t for t in (s, o) if not t.startswith("?")]
+    if extras:
+        nodes = nodes.unionByName(
+            triples.sparkSession.createDataFrame([(t,) for t in extras], ["n"])
+        )
+    nodes = nodes.distinct()
+    return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+
+
 def _path_frame(triples: DataFrame, s: str, segs: list, o: str, idx: int) -> DataFrame:
-    """Compile a property path onto edge joins; ``p+`` segments become
-    a distributed semi-naive transitive closure (operators/closure) —
-    SPARQL 1.1 paths expressed as the iterative-DataFrame pattern
-    instead of a recursive evaluator."""
+    """Compile a property path onto edge joins; ``p+``/``p*`` segments
+    become a distributed semi-naive transitive closure
+    (operators/closure) — SPARQL 1.1 paths expressed as the
+    iterative-DataFrame pattern instead of a recursive evaluator;
+    ``p*``/``p?`` union the identity over graph terms."""
     from .closure import transitive_closure
 
     cur = None
-    for i, (alts, plus) in enumerate(segs):
+    for i, (alts, mod) in enumerate(segs):
         e = None
         for p, inv in alts:
             src_col, dst_col = ("obj", "subj") if inv else ("subj", "obj")
@@ -430,8 +532,14 @@ def _path_frame(triples: DataFrame, s: str, segs: list, o: str, idx: int) -> Dat
                 F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
             )
             e = f if e is None else e.unionByName(f)
-        if plus:
+        if mod == "+":
             e = transitive_closure(e)
+        elif mod == "*":
+            e = transitive_closure(e).unionByName(
+                _identity_frame(triples, s, o)
+            ).distinct()
+        elif mod == "?":
+            e = e.unionByName(_identity_frame(triples, s, o)).distinct()
         e = e.select(
             F.col("src").alias(f"_h{idx}_{i}"), F.col("dst").alias(f"_h{idx}_{i + 1}")
         )
@@ -565,13 +673,68 @@ def _compile(triples: DataFrame, items: list) -> DataFrame:
     return df
 
 
+_AGG_FNS = {
+    "SUM": lambda c: F.sum(c.cast("double")),
+    "AVG": lambda c: F.avg(c.cast("double")),
+    "MIN": F.min,
+    "MAX": F.max,
+}
+
+
 def make_query(triples: DataFrame, sparql_src: str) -> DataFrame:
     """Evaluate a SPARQL-subset SELECT over the triples table; DISTINCT
     semantics like the reference's set() (core.py:1340). Supports BGPs
-    plus FILTER comparisons, UNION and OPTIONAL (left join)."""
-    select_vars, items = _parse(sparql_src)
+    plus FILTER comparisons, UNION, OPTIONAL (left join), MINUS,
+    VALUES, BIND, property paths, aggregates with GROUP BY, and
+    ORDER BY / LIMIT (compiled to orderBy().limit() — Catalyst plans a
+    TakeOrdered, never a full sort)."""
+    select_items, items, group_by, order_by, limit = _parse(sparql_src)
     df = _compile(triples, items)
-    missing = [v for v in select_vars if v[1:] not in df.columns]
+    plain = [it[1] for it in select_items if it[0] == "var"]
+    aggs = [it for it in select_items if it[0] == "agg"]
+    missing = [v for v in plain + group_by if v not in df.columns]
     if missing:
-        raise SparqlError(f"SELECT variables never bound: {missing}")
-    return df.select(*[v[1:] for v in select_vars]).distinct()
+        raise SparqlError(f"SELECT/GROUP BY variables never bound: {missing}")
+    if aggs:
+        extra = [v for v in plain if v not in group_by]
+        if extra:
+            raise SparqlError(
+                f"non-aggregate SELECT variables must appear in GROUP BY: {extra}"
+            )
+        cols = []
+        for _, fn, dist, arg, alias in aggs:
+            if fn == "COUNT":
+                if arg == "*":
+                    col = F.count(F.lit(1))
+                elif dist:
+                    col = F.countDistinct(F.col(arg[1:]))
+                else:
+                    col = F.count(F.col(arg[1:]))
+            else:
+                if arg == "*":
+                    raise SparqlError(f"{fn}(*) is not valid SPARQL")
+                if dist:
+                    raise SparqlError(f"{fn}(DISTINCT ...) is not supported")
+                if arg[1:] not in df.columns:
+                    raise SparqlError(f"aggregate over unbound variable {arg}")
+                col = _AGG_FNS[fn](F.col(arg[1:]))
+            cols.append(col.alias(alias))
+        # SPARQL aggregates run over the solution MULTISET — no distinct
+        df = df.groupBy(*group_by).agg(*cols) if group_by else df.agg(*cols)
+        # project in SELECT order (vars ⊆ group_by keys, agg aliases)
+        df = df.select(*[it[1] if it[0] == "var" else it[4] for it in select_items])
+    elif group_by:
+        # GROUP BY with no aggregates = projection to the keys, distinct
+        df = df.select(*group_by).distinct().select(*plain)
+    else:
+        df = df.select(*plain).distinct()
+    for name, _ in order_by:
+        if name not in df.columns:
+            raise SparqlError(f"ORDER BY references unprojected variable ?{name}")
+    if order_by:
+        df = df.orderBy(
+            *[F.col(n).desc() if d else F.col(n).asc() for n, d in order_by]
+        )
+    if limit is not None:
+        df = df.limit(limit)
+    return df
