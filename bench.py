@@ -58,6 +58,11 @@ HEADLINE = [
     # and for the SPARQL property-path closure
     "stream_hourly_event_counts",
     "kg_sparql_path",
+    # r4: aggregates+ORDER/LIMIT, zero-length paths (identity over all
+    # graph terms), and the OWL-RL property-rule fixpoint
+    "kg_sparql_agg",
+    "kg_sparql_path_star",
+    "kg_owlrl_prop_rules",
 ]
 
 
@@ -193,7 +198,7 @@ def scaling_experiment(corpus_path: str) -> dict:
         ddocs = dedup_corpus(spark)
         ddocs.count()
         dedup_job(spark, ddocs)
-        d = min((dedup_job(spark, ddocs) for _ in range(2)), key=lambda x: x["sec"])
+        d = min((dedup_job(spark, ddocs) for _ in range(3)), key=lambda x: x["sec"])
         d["docs_per_sec"] = round(d["n_docs"] / d["sec"], 1)
         results[f"dedup_local[{cpus}]"] = d
         log(f"dedup scaling local[{cpus}]: {d}")
@@ -209,35 +214,50 @@ def scaling_experiment(corpus_path: str) -> dict:
         results["dedup_scaling_efficiency"] = round((d_4n / d_n) / 4.0, 3)
 
     _ratios()
+    # the raw first-pass ratios are always reported alongside any
+    # retried ones, so the retry policy cannot silently inflate them
+    results["scaling_efficiency_first_pass"] = results["scaling_efficiency"]
+    results["dedup_scaling_efficiency_first_pass"] = results[
+        "dedup_scaling_efficiency"
+    ]
 
     # Sandbox noise is ONE-SIDED (background load only ever slows a
-    # run, never speeds it), so a below-target ratio usually means the
-    # 4N measurement drew a loaded window after the N side ran clean.
-    # Re-measure just the 4N side once more and keep the max observed
-    # throughput — the least-biased estimate under one-sided noise.
-    if results["scaling_efficiency"] < 0.8:
-        log("kg efficiency below target — re-measuring the 4N parse side")
-        spark = get_spark(cpus=SCALE_4N, app_name=f"ypo-bench-scale-{SCALE_4N}-retry")
+    # run, never speeds it), so max-throughput-of-k is the least-biased
+    # estimate. A below-target ratio gets ONE symmetric re-measure of
+    # BOTH sides (keeping each side's max observed throughput) — the
+    # round-3 advice: retrying only the 4N side could never correct a
+    # noisy-slow N baseline and biased the ratio upward only.
+    def _remeasure_parse(cpus: int) -> None:
+        spark = get_spark(cpus=cpus, app_name=f"ypo-bench-scale-{cpus}-retry")
         parse_job(spark, corpus_path)
         r = min((parse_job(spark, corpus_path) for _ in range(3)), key=lambda x: x["sec"])
         spark.stop()
         r["docs_per_sec"] = round(r["n_docs"] / r["sec"], 1)
         r["triples_per_sec"] = round(r["n_triples"] / r["sec"], 1)
-        log(f"retry local[{SCALE_4N}]: {r}")
-        if r["triples_per_sec"] > results[f"local[{SCALE_4N}]"]["triples_per_sec"]:
-            results[f"local[{SCALE_4N}]"] = r
-    if results.get("dedup_scaling_efficiency", 1.0) < 0.8:
-        log("dedup efficiency below target — re-measuring the 4N dedup side")
-        spark = get_spark(cpus=SCALE_4N, app_name=f"ypo-bench-dedup-{SCALE_4N}-retry")
+        log(f"retry local[{cpus}]: {r}")
+        if r["triples_per_sec"] > results[f"local[{cpus}]"]["triples_per_sec"]:
+            results[f"local[{cpus}]"] = r
+
+    def _remeasure_dedup(cpus: int) -> None:
+        spark = get_spark(cpus=cpus, app_name=f"ypo-bench-dedup-{cpus}-retry")
         ddocs = dedup_corpus(spark)
         ddocs.count()
         dedup_job(spark, ddocs)
-        d = min((dedup_job(spark, ddocs) for _ in range(2)), key=lambda x: x["sec"])
+        d = min((dedup_job(spark, ddocs) for _ in range(3)), key=lambda x: x["sec"])
         spark.stop()
         d["docs_per_sec"] = round(d["n_docs"] / d["sec"], 1)
-        log(f"retry dedup local[{SCALE_4N}]: {d}")
-        if d["docs_per_sec"] > results[f"dedup_local[{SCALE_4N}]"]["docs_per_sec"]:
-            results[f"dedup_local[{SCALE_4N}]"] = d
+        log(f"retry dedup local[{cpus}]: {d}")
+        if d["docs_per_sec"] > results[f"dedup_local[{cpus}]"]["docs_per_sec"]:
+            results[f"dedup_local[{cpus}]"] = d
+
+    if results["scaling_efficiency"] < 0.8:
+        log("kg efficiency below target — re-measuring BOTH parse sides")
+        _remeasure_parse(SCALE_N)
+        _remeasure_parse(SCALE_4N)
+    if results.get("dedup_scaling_efficiency", 1.0) < 0.8:
+        log("dedup efficiency below target — re-measuring BOTH dedup sides")
+        _remeasure_dedup(SCALE_N)
+        _remeasure_dedup(SCALE_4N)
     _ratios()
     return results
 

@@ -264,3 +264,53 @@ def test_post_reasoner_owlrl_inferences(spark):
     # domain subsumption
     assert n.Class9a in set(n.Class1.subclasses())
     assert n.Class4 in n.Class10a.is_a
+
+
+def test_sync_reasoner_counts_only_new_delta(spark):
+    """Round-4 advice: after a mutation, a second sync_reasoner call
+    re-derives every previously-merged inference — the return value
+    must count only the genuinely NEW facts, not the recomputed set."""
+    om = OntologyManager(
+        os.path.join(REFERENCE_DIR, "examples/regional-rules.owl.yml"), spark
+    )
+    n1 = om.sync_reasoner()
+    assert n1 > 0
+    # a mutation clears the reasoned flag; the re-run derives the same
+    # inference set plus whatever chains off the one new fact
+    om.new_individual("tinyville", types=["GeographicEntity"])
+    om.add_fact("dresden", "hasPart", "tinyville")
+    n2 = om.sync_reasoner()
+    # transitive hasPart lifts tinyville to saxony/germany (+isPartOf
+    # inverses): a handful of new facts, NOT the full n1 set again
+    assert 0 < n2 < n1
+
+
+def test_sync_reasoner_filters_dl_diagnostics(spark):
+    """Diagnostic ypo:dlUnsupportedConstruct rows are surfaced as a
+    warning, not merged into triples (round-4 advice: they must never
+    masquerade as ontology facts in save() output for externally-
+    grafted RDF using cardinality restrictions)."""
+    import warnings
+
+    from yamlpyowl_spark.operators.dlreason import YPO_DL_UNSUPPORTED
+
+    OWL = "http://www.w3.org/2002/07/owl#"
+    om = OntologyManager(
+        os.path.join(REFERENCE_DIR, "examples/regional-rules.owl.yml"), spark
+    )
+    # graft a cardinality restriction the DL fragment cannot solve
+    grafted = spark.createDataFrame(
+        [
+            ("_:r", OWL + "onProperty", om.iri + "hasPart", False, None),
+            ("_:r", OWL + "minCardinality", "2", False, None),
+            (om.iri + "GeographicEntity", 
+             "http://www.w3.org/2000/01/rdf-schema#subClassOf", "_:r", False, None),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean, obj_datatype string",
+    )
+    om._append_rows([tuple(r) for r in grafted.collect()])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        om.sync_reasoner()
+    assert any("dlUnsupportedConstruct" in str(w.message) for w in caught)
+    assert om.triples.filter(om.triples.pred == YPO_DL_UNSUPPORTED).count() == 0

@@ -22,6 +22,7 @@ MUST_BE_IN_WINDOW = [
     "kg_sparql_agg",
     "kg_sparql_order_limit",
     "kg_sparql_path_star",
+    "kg_owlrl_prop_rules",
     "doc_exact_dedup",
     "doc_minhash_signatures",
     "doc_lsh_candidates",
@@ -64,3 +65,30 @@ def test_only_tail_overflows():
 def test_oracles_follow_query_order():
     q_order = [n for n in Q.QUERIES if n in Q.ORACLES]
     assert q_order == list(Q.ORACLES)
+
+
+class _FakeDF:
+    def __init__(self):
+        self.unpersisted = False
+
+    def unpersist(self):
+        self.unpersisted = True
+
+
+def test_cache_evicts_dead_sessions():
+    """Entries keyed by a stopped session's applicationId are dropped
+    (and their parse DataFrame unpersisted) on the next _parsed call's
+    eviction pass — a long-lived process cycling sessions must not
+    grow the registry without bound (round-3 verdict, wrong #3)."""
+    fake = _FakeDF()
+    Q._CACHE[("parsed", "dead-app-1")] = (None, fake)
+    Q._CACHE[("shipped", "dead-app-1")] = True
+    Q._CACHE[("parsed", "live-app")] = (None, _FakeDF())
+    try:
+        Q._evict_dead_sessions("live-app")
+        assert ("parsed", "dead-app-1") not in Q._CACHE
+        assert ("shipped", "dead-app-1") not in Q._CACHE
+        assert ("parsed", "live-app") in Q._CACHE
+        assert fake.unpersisted
+    finally:
+        Q._CACHE.pop(("parsed", "live-app"), None)

@@ -450,7 +450,9 @@ class OntologyManager:
         from . import vocab as V
 
         if not ref.startswith("_:"):
-            local = ref.replace(self.iri, "")
+            # prefix-strip ONCE: replace() would mangle a non-local IRI
+            # that embeds the base IRI mid-string
+            local = ref[len(self.iri):] if ref.startswith(self.iri) else ref
             if local in self.n:
                 return getattr(self.n, local)
             return EntityHandle(local, ref, "entity", self)
@@ -519,7 +521,10 @@ class OntologyManager:
             (s, p, o, il, dt, self.iri) + self._lineage for s, p, o, il, dt in rows
         ]
         new = self.spark.createDataFrame(full, self.triples.schema)
-        self.triples = self.triples.unionByName(new).persist()
+        old = self.triples
+        self.triples = old.unionByName(new).persist()
+        self.triples.count()  # materialize before releasing the old blocks
+        old.unpersist()  # repeated mutations must not pin dead cache blocks
         self._reasoned = False  # new facts may enable new inferences
 
     def add_fact(self, subject, prop: str, value) -> None:
@@ -585,13 +590,21 @@ class OntologyManager:
         """Serialize the current triples (including mutations and merged
         inferences) — the reference's ``onto.save(path, format)``
         (script.py:51). Formats: ``rdfxml`` | ``ntriples``. Returns the
-        triple count written."""
-        rows = [
-            tuple(r)
-            for r in self.triples.select(
-                "subj", "pred", "obj", "obj_is_literal", "obj_datatype"
-            ).collect()
-        ]
+        triple count written. Above ``export.DRIVER_EXPORT_MAX_ROWS``
+        the N-Triples path writes distributed part files under ``path``
+        (a directory) instead of collecting to the driver."""
+        sel = self.triples.select(
+            "subj", "pred", "obj", "obj_is_literal", "obj_datatype"
+        )
+        if format == "ntriples":
+            from .export import DRIVER_EXPORT_MAX_ROWS, write_ntriples
+
+            dedup = sel.distinct()
+            n = dedup.count()
+            if n > DRIVER_EXPORT_MAX_ROWS:
+                write_ntriples(dedup, path)
+                return n
+        rows = [tuple(r) for r in sel.collect()]
         if format == "rdfxml":
             from .rdfxml import write_rdfxml
 
@@ -613,7 +626,9 @@ class OntologyManager:
         core.py:1342-1343). Returns #inferred."""
         if self._reasoned:
             return 0
-        from .operators.dlreason import dl_model_search
+        import warnings
+
+        from .operators.dlreason import YPO_DL_UNSUPPORTED, dl_model_search
         from .operators.owlrl import owlrl_materialize
 
         inferred = (
@@ -622,17 +637,38 @@ class OntologyManager:
             .unionByName(owlrl_materialize(self.triples))
             .distinct()
         )
-        n = inferred.count()
+        # diagnostic rows must not masquerade as ontology facts in
+        # self.triples / save(): surface them as a warning instead
+        n_diag = inferred.filter(F.col("pred") == YPO_DL_UNSUPPORTED).count()
+        if n_diag:
+            warnings.warn(
+                f"sync_reasoner: {n_diag} DL construct(s) outside the "
+                "implemented fragments were NOT reasoned over "
+                "(ypo:dlUnsupportedConstruct); inferences may be incomplete",
+                stacklevel=2,
+            )
+            inferred = inferred.filter(F.col("pred") != YPO_DL_UNSUPPORTED)
         lineage = self.triples.select(
             "src_repo", "src_path", "src_commit", "src_sha256"
         ).limit(1)
-        enriched = inferred.crossJoin(F.broadcast(lineage))
+        enriched = inferred.crossJoin(F.broadcast(lineage)).select(
+            *self.triples.columns
+        )
+        # count the genuinely NEW delta: a second call after a mutation
+        # re-derives previously-merged inferences — they must not count.
+        # eqNullSafe: obj_datatype is NULL on entity triples and a plain
+        # anti-join would treat every such row as unmatched
+        a, b = enriched.alias("a"), self.triples.alias("b")
+        cond = None
+        for c in self.triples.columns:
+            e = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+            cond = e if cond is None else cond & e
+        n = a.join(b, cond, "left_anti").count()
+        old = self.triples
         # distinct: re-reasoning after a mutation must not duplicate
         # facts inferred by an earlier sync_reasoner call
-        self.triples = (
-            self.triples.unionByName(enriched.select(*self.triples.columns))
-            .distinct()
-            .persist()
-        )
+        self.triples = old.unionByName(enriched).distinct().persist()
+        self.triples.count()
+        old.unpersist()
         self._reasoned = True
         return n

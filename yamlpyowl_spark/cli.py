@@ -42,12 +42,25 @@ def ntriples_line(subj, pred, obj, is_lit, dtype) -> str:
 
 def cmd_convert(args, spark) -> int:
     from .api import OntologyManager
+    from .export import DRIVER_EXPORT_MAX_ROWS, write_ntriples
 
     om = OntologyManager(args.file, spark)
     outdir = args.out or os.path.splitext(os.path.abspath(args.file))[0] + "_rdf"
     os.makedirs(outdir, exist_ok=True)
     om.triples.write.mode("overwrite").parquet(os.path.join(outdir, "triples.parquet"))
-    rows = om.triples.select("subj", "pred", "obj", "obj_is_literal", "obj_datatype").collect()
+    sel = om.triples.select("subj", "pred", "obj", "obj_is_literal", "obj_datatype")
+    n = sel.count()
+    if n > DRIVER_EXPORT_MAX_ROWS:
+        # corpus scale: format JVM-side, one part file per partition —
+        # never funnel every triple through the driver
+        write_ntriples(sel, os.path.join(outdir, "triples.nt.d"))
+        print(
+            f"wrote {n} triples to {outdir} (distributed N-Triples in "
+            "triples.nt.d/; RDF/XML skipped at this scale)",
+            file=sys.stderr,
+        )
+        return 0
+    rows = sel.collect()
     with open(os.path.join(outdir, "triples.nt"), "w") as fh:
         for r in rows:
             fh.write(ntriples_line(*r) + "\n")

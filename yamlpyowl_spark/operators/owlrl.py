@@ -14,7 +14,19 @@ TestCore2 observes beyond SWRL chaining and the OneOf CSP
   definitions): ``C ⊑/≡ ∃p.X`` (or hasValue) and ``domain(p) = D`` ⇒
   ``C ⊑ D`` — every member of C has a p-value, hence is in p's
   domain. Or-expressions require EVERY disjunct to yield the same
-  domain; And-expressions any conjunct.
+  domain; And-expressions any conjunct;
+* **property rules** (prp-trp / prp-symp / prp-inv / prp-spo1), run
+  to a joint fixpoint so they compose (e.g. an inverse of a
+  transitive property receives the full transposed closure):
+  ``TransitiveProperty(p), p(x,y), p(y,z)`` ⇒ ``p(x,z)``;
+  ``SymmetricProperty(p), p(x,y)`` ⇒ ``p(y,x)``;
+  ``inverseOf(p,q), p(x,y)`` ⇒ ``q(y,x)`` (both directions);
+  ``subPropertyOf(p,q), p(x,y)`` ⇒ ``q(x,y)`` (propagated over the
+  transitively-closed sub-property graph; literal-valued facts
+  propagate for data sub-properties, while symmetric / transitive /
+  inverse steps apply to entity facts only). The reference gets
+  these from Pellet (core.py:1342; transitive ``hasPart`` is
+  observed post-reasoner by tests/test_core.py:90-117).
 
 Scale architecture: identical to :mod:`dlreason` — the rules are
 document-local, so the distributed dimension is ``doc_iri`` (one
@@ -64,15 +76,18 @@ class _Doc:
         return out
 
 
-def _infer_doc(rows) -> Set[Tuple[str, str, str]]:
+def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
     """rows: (subj, pred, obj, obj_is_literal). Returns inferred
-    (subj, pred, obj) ENTITY triples (types, equivalences,
-    subClassOf)."""
+    (subj, pred, obj, obj_is_literal) triples: entity triples (types,
+    equivalences, subClassOf, object-property facts) plus
+    literal-valued facts propagated by prp-spo1."""
     m = _Doc(rows)
 
     # ---- indexes ----------------------------------------------------
     # property facts p -> {(x, o_lexical)}
     facts: Dict[str, Set[Tuple[str, str]]] = {}
+    # same facts WITH the literal flag — the prp-rule fact base
+    pf: Dict[str, Set[Tuple[str, str, bool]]] = {}
     # asserted types with subClassOf closure (for some-filler checks)
     types: Dict[str, Set[str]] = {}
     sub: Dict[str, Set[str]] = {}
@@ -81,6 +96,8 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str]]:
     sub_exprs: List[Tuple[str, str]] = []
     domains: Dict[str, str] = {}
     individuals: Set[str] = set()
+    inv_pairs: List[Tuple[str, str]] = []
+    subprop: Dict[str, Set[str]] = {}
 
     for (s, p), objs in m.spo.items():
         if p == V.RDF_TYPE:
@@ -105,9 +122,18 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str]]:
             o = objs[0][0]
             if not o.startswith("_:"):
                 domains[s] = o
+        elif p == V.OWL_INVERSE_OF and not s.startswith("_:"):
+            for o, il in objs:
+                if not o.startswith("_:"):
+                    inv_pairs.append((s, o))
+        elif p == V.RDFS_SUBPROPERTYOF and not s.startswith("_:"):
+            for o, il in objs:
+                if not o.startswith("_:"):
+                    subprop.setdefault(s, set()).add(o)
         elif not s.startswith("_:") and not p.startswith("_:"):
             for o, il in objs:
                 facts.setdefault(p, set()).add((s, o))
+                pf.setdefault(p, set()).add((s, o, il))
 
     # subClassOf closure for filler checks (tiny per doc)
     def closed_types(x: str) -> Set[str]:
@@ -190,7 +216,7 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str]]:
                 return domains.get(on_p)
         return None
 
-    inferred: Set[Tuple[str, str, str]] = set()
+    inferred: Set[Tuple[str, str, str, bool]] = set()
 
     # defined-class membership
     for cls, expr in eq_exprs:
@@ -198,7 +224,7 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str]]:
         if ms:
             for x in ms:
                 if cls not in types.get(x, ()):
-                    inferred.add((x, V.RDF_TYPE, cls))
+                    inferred.add((x, V.RDF_TYPE, cls, False))
 
     # equivalence closure over named classes (sym + trans, minus self)
     adj: Dict[str, Set[str]] = {}
@@ -216,13 +242,82 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str]]:
                     frontier.append(nxt)
         for other in seen - {start}:
             if other not in {o for o, _ in m.spo.get((start, V.OWL_EQUIVALENT_CLASS), ())}:
-                inferred.add((start, V.OWL_EQUIVALENT_CLASS, other))
+                inferred.add((start, V.OWL_EQUIVALENT_CLASS, other, False))
 
     # domain subsumption
     for cls, expr in sub_exprs + eq_exprs:
         d = domain_of(expr)
         if d is not None and d != cls and d not in sub.get(cls, ()):
-            inferred.add((cls, V.RDFS_SUBCLASSOF, d))
+            inferred.add((cls, V.RDFS_SUBCLASSOF, d, False))
+
+    # ---- property rules: prp-spo1 / prp-symp / prp-inv / prp-trp ----
+    trans = {x for x, ts in types.items() if V.OWL_TRANSITIVE in ts}
+    sym = {x for x, ts in types.items() if V.OWL_SYMMETRIC in ts}
+
+    # transitively close the sub-property graph once (scm-spo is used
+    # for propagation, not emitted as triples)
+    subprop_closed: Dict[str, Set[str]] = {}
+    for p0 in subprop:
+        seen, frontier = set(), [p0]
+        while frontier:
+            c = frontier.pop()
+            for up in subprop.get(c, ()):
+                if up not in seen and up != p0:
+                    seen.add(up)
+                    frontier.append(up)
+        subprop_closed[p0] = seen
+
+    if trans or sym or inv_pairs or subprop_closed:
+        asserted = {p: set(v) for p, v in pf.items()}
+        changed, rounds = True, 0
+        while changed and rounds < 64:
+            rounds += 1
+            changed = False
+            for p1, sups in subprop_closed.items():
+                for fact in list(pf.get(p1, ())):
+                    for p2 in sups:
+                        tgt = pf.setdefault(p2, set())
+                        if fact not in tgt:
+                            tgt.add(fact)
+                            changed = True
+            for p in sym:
+                cur = pf.get(p)
+                if cur:
+                    new = {(o, s, False) for s, o, il in cur if not il} - cur
+                    if new:
+                        cur |= new
+                        changed = True
+            for p, q in inv_pairs:
+                for a, b in ((p, q), (q, p)):
+                    fa = pf.get(a)
+                    if not fa:
+                        continue
+                    fb = pf.setdefault(b, set())
+                    new = {(o, s, False) for s, o, il in fa if not il} - fb
+                    if new:
+                        fb |= new
+                        changed = True
+            for p in trans:
+                cur = pf.get(p)
+                if cur:
+                    by_src: Dict[str, Set[str]] = {}
+                    for s, o, il in cur:
+                        if not il:
+                            by_src.setdefault(s, set()).add(o)
+                    new = set()
+                    for s, o, il in cur:
+                        if il:
+                            continue
+                        for o2 in by_src.get(o, ()):
+                            t = (s, o2, False)
+                            if t not in cur:
+                                new.add(t)
+                    if new:
+                        cur |= new
+                        changed = True
+        for p, cur in pf.items():
+            for s, o, il in cur - asserted.get(p, set()):
+                inferred.add((s, p, o, il))
 
     return inferred
 
@@ -249,7 +344,7 @@ def owlrl_materialize(triples: DataFrame) -> DataFrame:
                 "subj": [t[0] for t in out],
                 "pred": [t[1] for t in out],
                 "obj": [t[2] for t in out],
-                "obj_is_literal": [False] * len(out),
+                "obj_is_literal": [t[3] for t in out],
                 "obj_datatype": [None] * len(out),
                 "doc_iri": [doc_iri] * len(out),
             }

@@ -1398,6 +1398,46 @@ def _register_owlrl():
         t = kg_triples(spark).filter(F.col("src_repo") == "org/basic-feature")
         return owlrl_materialize(t)
 
+    # property rules (prp-trp / prp-inv interplay) gated over the
+    # regional-rules doc — transitive hasPart, its transitive inverse
+    # isPartOf — against an INDEPENDENT recursive-CTE closure oracle:
+    # inferred = closure(hasPart ∪ isPartOf⁻¹) minus the asserted
+    # facts, emitted in both directions (reference observes transitive
+    # hasPart post-Pellet, tests/test_core.py:90-117)
+    RR = "https://w3id.org/yet/undefined/regional-rules-ontology#"
+    prp_sql = f"""WITH RECURSIVE hp AS (
+          SELECT DISTINCT subj AS a, obj AS b FROM {_t()}
+          WHERE pred = '{RR}hasPart' AND src_repo = 'org/regional-rules'
+            AND substr(subj,1,2) <> '_:'
+        ),
+        ip AS (
+          SELECT DISTINCT subj AS a, obj AS b FROM {_t()}
+          WHERE pred = '{RR}isPartOf' AND src_repo = 'org/regional-rules'
+            AND substr(subj,1,2) <> '_:'
+        ),
+        g AS (SELECT a, b FROM hp UNION SELECT b, a FROM ip),
+        r(a, b) AS (
+          SELECT a, b FROM g
+          UNION
+          SELECT r.a, g.b FROM r JOIN g ON r.b = g.a
+        )
+        SELECT a AS subj, '{RR}hasPart' AS pred, b AS obj FROM r
+        WHERE NOT EXISTS (SELECT 1 FROM hp WHERE hp.a = r.a AND hp.b = r.b)
+        UNION
+        SELECT b AS subj, '{RR}isPartOf' AS pred, a AS obj FROM r
+        WHERE NOT EXISTS (SELECT 1 FROM ip WHERE ip.a = r.b AND ip.b = r.a)"""
+
+    @_q("kg_owlrl_prop_rules", prp_sql)
+    def kg_owlrl_prop_rules(spark, sf_dir):
+        from .operators.owlrl import owlrl_materialize
+
+        t = kg_triples(spark).filter(F.col("src_repo") == "org/regional-rules")
+        return (
+            owlrl_materialize(t)
+            .filter(F.col("pred").isin(RR + "hasPart", RR + "isPartOf"))
+            .select("subj", "pred", "obj")
+        )
+
 
 _register_kg()
 _register_owlrl()
@@ -1424,6 +1464,7 @@ _TAIL = [
     "kg_bgp_hassection",
     "kg_bgp_canonical",
     "kg_bgp_join",
+    "kg_subclass_closure",  # closure op stays gated by kg_sparql_path{,_star}
     "kg_sparql_filter",
     "kg_sparql_union",
     "kg_sparql_optional",

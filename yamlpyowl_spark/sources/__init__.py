@@ -1,3 +1,4 @@
+from ..parser.imports import build_import_map, build_import_map_from_corpus
 from .fixtures import (
     DEMO_ONTOLOGY,
     FIXTURE_SPECS,
@@ -8,6 +9,8 @@ from .fixtures import (
 
 __all__ = [
     "DEMO_ONTOLOGY",
+    "build_import_map",
+    "build_import_map_from_corpus",
     "FIXTURE_SPECS",
     "build_default_import_map",
     "load_fixture_texts",
