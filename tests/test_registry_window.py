@@ -23,6 +23,8 @@ MUST_BE_IN_WINDOW = [
     "kg_sparql_order_limit",
     "kg_sparql_path_star",
     "kg_owlrl_prop_rules",
+    "kg_sparql_ask",
+    "kg_sparql_construct",
     "doc_exact_dedup",
     "doc_minhash_signatures",
     "doc_lsh_candidates",

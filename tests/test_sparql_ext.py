@@ -495,3 +495,66 @@ def test_having_offset_still_rejected(triples):
 def test_modifier_garbage_rejected(triples):
     with pytest.raises(SparqlError, match="cannot parse after WHERE"):
         _q(triples, "?x WHERE { ?x e:age ?a } SORT BY ?x")
+
+
+# ---------------------------------------------------------------------------
+# round 4b: ASK and CONSTRUCT query forms
+# ---------------------------------------------------------------------------
+
+from yamlpyowl_spark.operators.sparql import ask_query, construct_query
+
+
+def test_ask_true_false(triples):
+    assert ask_query(triples, f"PREFIX e: <{E}> ASK {{ ?x e:age ?a . FILTER(?a > 40) }}")
+    assert not ask_query(
+        triples, f"PREFIX e: <{E}> ASK {{ ?x e:age ?a . FILTER(?a > 100) }}"
+    )
+
+
+def test_ask_via_make_query(triples):
+    [row] = make_query(triples, f"PREFIX e: <{E}> ASK {{ ?x e:knows ?y }}").collect()
+    assert row["ask"] is True
+
+
+def test_construct_rewrites_predicates(triples):
+    got = {
+        tuple(r)
+        for r in construct_query(
+            triples,
+            f"PREFIX e: <{E}> CONSTRUCT {{ ?y e:knownBy ?x }} WHERE {{ ?x e:knows ?y }}",
+        ).collect()
+    }
+    assert got == {(E + "b", E + "knownBy", E + "a")}
+
+
+def test_construct_multi_template_and_constants(triples):
+    got = {
+        tuple(r)
+        for r in construct_query(
+            triples,
+            f"PREFIX e: <{E}> CONSTRUCT {{ ?x e:isAdult e:yes . ?x e:checked e:yes }} "
+            f"WHERE {{ ?x e:age ?a . FILTER(?a > 10) }}",
+        ).collect()
+    }
+    assert got == {
+        (E + "a", E + "isAdult", E + "yes"),
+        (E + "c", E + "isAdult", E + "yes"),
+        (E + "a", E + "checked", E + "yes"),
+        (E + "c", E + "checked", E + "yes"),
+    }
+
+
+def test_construct_unbound_template_var_rejected(triples):
+    with pytest.raises(SparqlError, match="never bound"):
+        construct_query(
+            triples,
+            f"PREFIX e: <{E}> CONSTRUCT {{ ?z e:p ?x }} WHERE {{ ?x e:knows ?y }}",
+        )
+
+
+def test_construct_template_path_rejected(triples):
+    with pytest.raises(SparqlError, match="only plain triples"):
+        construct_query(
+            triples,
+            f"PREFIX e: <{E}> CONSTRUCT {{ ?x e:p+ ?y }} WHERE {{ ?x e:knows ?y }}",
+        )

@@ -10,8 +10,9 @@ constructs — ``FILTER`` (var-const and var-var comparisons plus
 paths (``p+`` one-or-more, ``p*`` zero-or-more, ``p?`` zero-or-one,
 ``^p`` inverse, ``p1|p2`` alternation incl. ``(p1|p2)+``, and ``p1/p2``
 sequences), aggregates (``(COUNT|SUM|MIN|MAX|AVG)(?v)``, ``COUNT(*)``,
-``COUNT(DISTINCT ?v)``) with ``GROUP BY``, and the ``ORDER BY`` /
-``LIMIT`` solution modifiers — and compiles them onto DataFrame
+``COUNT(DISTINCT ?v)``) with ``GROUP BY``, the ``ORDER BY`` /
+``LIMIT`` solution modifiers, and the ``ASK`` / ``CONSTRUCT`` query
+forms — and compiles them onto DataFrame
 filters / equi-joins / unions / left and anti joins / local relations
 / ``groupBy().agg()`` / ``orderBy().limit()`` (Catalyst plans a
 TakeOrdered, no full sort at scale) / the semi-naive
@@ -30,8 +31,8 @@ is already numeric (an aggregate alias). Zero-length paths match the
 identity over all terms of the graph plus any constant endpoint of
 the path, per SPARQL 1.1 §9.3.
 
-Still-unsupported SPARQL (GRAPH, EXISTS, ASK, CONSTRUCT, HAVING,
-OFFSET, subqueries) raises — loudly, not wrongly.
+Still-unsupported SPARQL (GRAPH, EXISTS, HAVING, OFFSET, subqueries)
+raises — loudly, not wrongly.
 """
 
 from __future__ import annotations
@@ -49,7 +50,11 @@ _SELECT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _UNSUPPORTED = re.compile(
-    r"\b(GRAPH|EXISTS|ASK|CONSTRUCT|HAVING|OFFSET)\b", re.IGNORECASE
+    r"\b(GRAPH|EXISTS|HAVING|OFFSET)\b", re.IGNORECASE
+)
+_ASK_RE = re.compile(r"^ASK\s*\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL)
+_CONSTRUCT_RE = re.compile(
+    r"^CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL
 )
 _AGG_ITEM_RE = re.compile(
     r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)\s+AS\s+\?(\w+)\s*\)",
@@ -444,6 +449,24 @@ def _parse_modifiers(tail: str):
     return group_by, order_by, limit
 
 
+def _strip_prefixes(src: str):
+    prefixes = dict((m.group(1), m.group(2)) for m in _PREFIX_RE.finditer(src))
+    return _PREFIX_RE.sub("", src).strip(), prefixes
+
+
+def _parse_group(body: str, prefixes: dict) -> list:
+    parser = _Parser(_tokenize(body), prefixes)
+    items = parser.group()
+    if parser.peek() is not None:
+        raise SparqlError(f"trailing tokens: {parser.peek().group(0)!r}")
+    if not any(k[0] in ("t", "path", "union", "values") for k in items):
+        raise SparqlError(
+            "graph pattern has no required triple patterns "
+            "(OPTIONAL/FILTER/BIND alone is not a query)"
+        )
+    return items
+
+
 def _parse(src: str):
     if _UNSUPPORTED.search(src):
         raise SparqlError(
@@ -455,15 +478,7 @@ def _parse(src: str):
         raise SparqlError("expected `SELECT ... WHERE { ... }`")
     select_items = _parse_projection(m.group(2))
     group_by, order_by, limit = _parse_modifiers(m.group(4) or "")
-    parser = _Parser(_tokenize(m.group(3)), prefixes)
-    items = parser.group()
-    if parser.peek() is not None:
-        raise SparqlError(f"trailing tokens: {parser.peek().group(0)!r}")
-    if not any(k[0] in ("t", "path", "union", "values") for k in items):
-        raise SparqlError(
-            "WHERE block has no required triple patterns "
-            "(OPTIONAL/FILTER/BIND alone is not a query)"
-        )
+    items = _parse_group(m.group(3), prefixes)
     return select_items, items, group_by, order_by, limit
 
 
@@ -681,13 +696,65 @@ _AGG_FNS = {
 }
 
 
+def ask_query(triples: DataFrame, sparql_src: str) -> bool:
+    """``ASK { ... }`` — True iff the graph pattern has any solution.
+    ``limit(1)`` short-circuits the scan; the boolean necessarily
+    reaches the driver (that IS the result)."""
+    body, prefixes = _strip_prefixes(sparql_src)
+    m = _ASK_RE.match(body)
+    if not m:
+        raise SparqlError("expected `ASK { ... }`")
+    df = _compile(triples, _parse_group(m.group(1), prefixes))
+    return bool(df.limit(1).count())
+
+
+def construct_query(triples: DataFrame, sparql_src: str) -> DataFrame:
+    """``CONSTRUCT { template } WHERE { ... }`` — instantiate each
+    template triple once per solution; set semantics (rdflib builds a
+    Graph, which dedups). Returns (subj, pred, obj); template terms
+    may be constants or variables bound by the WHERE pattern. One
+    projection + union per template triple — no extra shuffle beyond
+    the final distinct."""
+    body, prefixes = _strip_prefixes(sparql_src)
+    m = _CONSTRUCT_RE.match(body)
+    if not m:
+        raise SparqlError("expected `CONSTRUCT { ... } WHERE { ... }`")
+    tmpl_items = _parse_group(m.group(1), prefixes)
+    if any(it[0] != "t" for it in tmpl_items):
+        raise SparqlError("CONSTRUCT templates may contain only plain triples")
+    df = _compile(triples, _parse_group(m.group(2), prefixes))
+
+    def term_col(t: str):
+        if t.startswith("?"):
+            if t[1:] not in df.columns:
+                raise SparqlError(f"CONSTRUCT template variable never bound: {t}")
+            return F.col(t[1:])
+        return F.lit(t)
+
+    out = None
+    for _, (s, p, o) in tmpl_items:
+        one = df.select(
+            term_col(s).alias("subj"), term_col(p).alias("pred"), term_col(o).alias("obj")
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.distinct()
+
+
 def make_query(triples: DataFrame, sparql_src: str) -> DataFrame:
-    """Evaluate a SPARQL-subset SELECT over the triples table; DISTINCT
-    semantics like the reference's set() (core.py:1340). Supports BGPs
-    plus FILTER comparisons, UNION, OPTIONAL (left join), MINUS,
-    VALUES, BIND, property paths, aggregates with GROUP BY, and
-    ORDER BY / LIMIT (compiled to orderBy().limit() — Catalyst plans a
-    TakeOrdered, never a full sort)."""
+    """Evaluate a SPARQL-subset query over the triples table; DISTINCT
+    semantics like the reference's set() (core.py:1340). SELECT
+    supports BGPs plus FILTER comparisons, UNION, OPTIONAL (left
+    join), MINUS, VALUES, BIND, property paths, aggregates with
+    GROUP BY, and ORDER BY / LIMIT (compiled to orderBy().limit() —
+    Catalyst plans a TakeOrdered, never a full sort). ``ASK`` returns
+    a one-row DataFrame with boolean column ``ask``; ``CONSTRUCT``
+    returns (subj, pred, obj) rows."""
+    head, prefixes = _strip_prefixes(sparql_src)
+    if _ASK_RE.match(head):
+        spark = triples.sparkSession
+        return spark.createDataFrame([(ask_query(triples, sparql_src),)], "ask boolean")
+    if _CONSTRUCT_RE.match(head):
+        return construct_query(triples, sparql_src)
     select_items, items, group_by, order_by, limit = _parse(sparql_src)
     df = _compile(triples, items)
     plain = [it[1] for it in select_items if it[0] == "var"]

@@ -469,6 +469,38 @@ def _register_kg():
         return make_query(kg_triples(spark), q)
 
     @_q(
+        "kg_sparql_ask",
+        f"""SELECT EXISTS (
+              SELECT 1 FROM {_t()}
+              WHERE pred = '{RR}hasPart' AND obj = '{RR}dresden'
+            ) AND NOT EXISTS (
+              SELECT 1 FROM {_t()}
+              WHERE pred = '{RR}hasPart' AND obj = '{RR}atlantis'
+            ) AS ask""",
+    )
+    def kg_sparql_ask(spark, sf_dir):
+        from .operators.sparql import ask_query
+
+        t = kg_triples(spark)
+        pos = ask_query(t, f"PREFIX P: <{RR}> ASK {{ ?x P:hasPart P:dresden }}")
+        neg = ask_query(t, f"PREFIX P: <{RR}> ASK {{ ?x P:hasPart P:atlantis }}")
+        return spark.createDataFrame([(pos and not neg,)], "ask boolean")
+
+    @_q(
+        "kg_sparql_construct",
+        f"""SELECT DISTINCT obj AS subj, '{RR}partOfRegion' AS pred, subj AS obj
+            FROM {_t()} WHERE pred = '{RR}hasPart'""",
+    )
+    def kg_sparql_construct(spark, sf_dir):
+        from .operators.sparql import construct_query
+
+        q = (
+            f"PREFIX P: <{RR}> CONSTRUCT {{ ?c P:partOfRegion ?r }} "
+            f"WHERE {{ ?r P:hasPart ?c }}"
+        )
+        return construct_query(kg_triples(spark), q)
+
+    @_q(
         "kg_bgp_join",
         f"""SELECT DISTINCT t1.doc_iri, t1.subj AS region, t2.obj AS directive
             FROM {_t()} t1 JOIN {_t()} t2
@@ -1461,6 +1493,10 @@ _register_dlreason()
 # row still exercise) ride at the tail.  tests/test_registry_window.py
 # asserts every non-tail query fits in the window.
 _TAIL = [
+    # kg_triples_full hash-matches EVERY column of the full parse, so a
+    # groupBy over pred and a lineage projection add no unique signal
+    "kg_pred_counts",
+    "kg_sha_lineage",
     "kg_bgp_hassection",
     "kg_bgp_canonical",
     "kg_bgp_join",
