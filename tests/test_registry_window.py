@@ -25,6 +25,7 @@ MUST_BE_IN_WINDOW = [
     "kg_owlrl_prop_rules",
     "kg_sparql_ask",
     "kg_sparql_construct",
+    "kg_sparql_having_offset",
     "doc_exact_dedup",
     "doc_minhash_signatures",
     "doc_lsh_candidates",

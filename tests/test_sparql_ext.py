@@ -485,11 +485,12 @@ def test_limit_without_order(triples):
     assert len(_q(triples, "?x WHERE { ?x e:age ?a } LIMIT 2").collect()) == 2
 
 
-def test_having_offset_still_rejected(triples):
-    with pytest.raises(SparqlError, match="HAVING"):
-        _q(triples, "?x (COUNT(?a) AS ?n) WHERE { ?x e:age ?a } GROUP BY ?x HAVING (?n > 1)")
-    with pytest.raises(SparqlError, match="OFFSET"):
-        _q(triples, "?x WHERE { ?x e:age ?a } LIMIT 2 OFFSET 1")
+def test_having_offset_supported_as_of_r4(triples):
+    # round 4a rejected these; round 4c compiles them (see the HAVING
+    # and OFFSET tests below) — malformed HAVING still raises loudly
+    with pytest.raises(SparqlError, match="HAVING supports"):
+        _q(triples, "?x (COUNT(?a) AS ?n) WHERE { ?x e:age ?a } GROUP BY ?x HAVING (?n + 1)")
+    assert len(_q(triples, "?x WHERE { ?x e:age ?a } LIMIT 2 OFFSET 1").collect()) == 2
 
 
 def test_modifier_garbage_rejected(triples):
@@ -558,3 +559,58 @@ def test_construct_template_path_rejected(triples):
             triples,
             f"PREFIX e: <{E}> CONSTRUCT {{ ?x e:p+ ?y }} WHERE {{ ?x e:knows ?y }}",
         )
+
+
+# ---------------------------------------------------------------------------
+# round 4c: HAVING and OFFSET
+# ---------------------------------------------------------------------------
+
+
+def test_having_alias(triples):
+    rows = _q(
+        triples,
+        "?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p HAVING (?n > 2)",
+    ).collect()
+    assert [(r["p"], r["n"]) for r in rows] == [(E + "age", 3)]
+
+
+def test_having_inline_aggregate(triples):
+    got = {
+        r["p"]
+        for r in _q(
+            triples,
+            "?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p HAVING (COUNT(?o) < 2)",
+        ).collect()
+    }
+    assert got == {E + "knows", E + "likes", E + "name"}
+    # the hidden __having column never leaks into the projection
+    df = _q(
+        triples,
+        "?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p HAVING (COUNT(?o) < 2)",
+    )
+    assert df.columns == ["p", "n"]
+
+
+def test_having_without_aggregates_rejected(triples):
+    with pytest.raises(SparqlError, match="HAVING requires aggregates"):
+        _q(triples, "?x WHERE { ?x e:age ?a } HAVING (?a > 1)")
+
+
+def test_having_unknown_alias_rejected(triples):
+    with pytest.raises(SparqlError, match="not a SELECT aggregate"):
+        _q(
+            triples,
+            "?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p HAVING (?zz > 2)",
+        )
+
+
+def test_offset_with_order(triples):
+    rows = _q(
+        triples, "?x ?a WHERE { ?x e:age ?a } ORDER BY ?a LIMIT 2 OFFSET 1"
+    ).collect()
+    # lexical order: "30" < "45" < "7"; skip 1, take 2
+    assert [r["a"] for r in rows] == ["45", "7"]
+
+
+def test_offset_beyond_result(triples):
+    assert _q(triples, "?x WHERE { ?x e:age ?a } OFFSET 99").collect() == []

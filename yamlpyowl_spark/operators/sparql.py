@@ -11,8 +11,8 @@ paths (``p+`` one-or-more, ``p*`` zero-or-more, ``p?`` zero-or-one,
 ``^p`` inverse, ``p1|p2`` alternation incl. ``(p1|p2)+``, and ``p1/p2``
 sequences), aggregates (``(COUNT|SUM|MIN|MAX|AVG)(?v)``, ``COUNT(*)``,
 ``COUNT(DISTINCT ?v)``) with ``GROUP BY``, the ``ORDER BY`` /
-``LIMIT`` solution modifiers, and the ``ASK`` / ``CONSTRUCT`` query
-forms — and compiles them onto DataFrame
+``LIMIT`` / ``OFFSET`` / ``HAVING`` solution modifiers, and the
+``ASK`` / ``CONSTRUCT`` query forms — and compiles them onto DataFrame
 filters / equi-joins / unions / left and anti joins / local relations
 / ``groupBy().agg()`` / ``orderBy().limit()`` (Catalyst plans a
 TakeOrdered, no full sort at scale) / the semi-naive
@@ -31,8 +31,8 @@ is already numeric (an aggregate alias). Zero-length paths match the
 identity over all terms of the graph plus any constant endpoint of
 the path, per SPARQL 1.1 §9.3.
 
-Still-unsupported SPARQL (GRAPH, EXISTS, HAVING, OFFSET, subqueries)
-raises — loudly, not wrongly.
+Still-unsupported SPARQL (GRAPH, EXISTS, subqueries) raises —
+loudly, not wrongly.
 """
 
 from __future__ import annotations
@@ -49,9 +49,7 @@ _SELECT_RE = re.compile(
     r"SELECT\s+(DISTINCT\s+)?(.+?)\s+WHERE\s*\{(.*)\}\s*(.*?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_UNSUPPORTED = re.compile(
-    r"\b(GRAPH|EXISTS|HAVING|OFFSET)\b", re.IGNORECASE
-)
+_UNSUPPORTED = re.compile(r"\b(GRAPH|EXISTS)\b", re.IGNORECASE)
 _ASK_RE = re.compile(r"^ASK\s*\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL)
 _CONSTRUCT_RE = re.compile(
     r"^CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL
@@ -63,10 +61,18 @@ _AGG_ITEM_RE = re.compile(
 _VAR_ITEM_RE = re.compile(r"\?(\w+)")
 _GROUPBY_RE = re.compile(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", re.IGNORECASE)
 _ORDERBY_RE = re.compile(
-    r"ORDER\s+BY\s+(.+?)(?=\bLIMIT\b|\bGROUP\b|$)", re.IGNORECASE | re.DOTALL
+    r"ORDER\s+BY\s+(.+?)(?=\bLIMIT\b|\bGROUP\b|\bOFFSET\b|\bHAVING\b|$)",
+    re.IGNORECASE | re.DOTALL,
 )
 _ORDER_ITEM_RE = re.compile(r"(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)", re.IGNORECASE)
 _LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.IGNORECASE)
+_OFFSET_RE = re.compile(r"OFFSET\s+(\d+)", re.IGNORECASE)
+_HAVING_RE = re.compile(
+    r"HAVING\s*\(\s*"
+    r"(?:(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)|\?(\w+))"
+    r"\s*(!=|<=|>=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*\)",
+    re.IGNORECASE,
+)
 
 # IRIs contain no whitespace/angle brackets, so `< 3` in a FILTER can
 # never be mistaken for an IRI opener
@@ -425,9 +431,27 @@ def _parse_projection(proj: str):
 
 
 def _parse_modifiers(tail: str):
-    """GROUP BY / ORDER BY / LIMIT tail after the WHERE block."""
-    group_by, order_by, limit = [], [], None
+    """GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET tail after the
+    WHERE block. HAVING supports one comparison of an aggregate or a
+    SELECT alias against a numeric constant."""
+    group_by, order_by, limit, offset, having = [], [], None, None, None
     rest = tail
+    m = _HAVING_RE.search(rest)
+    if m:
+        fn, dist, arg, alias, op, const = m.groups()
+        having = (
+            fn.upper() if fn else None,
+            bool(dist),
+            arg,
+            alias,
+            op,
+            float(const),
+        )
+        rest = rest[: m.start()] + rest[m.end():]
+    elif re.search(r"\bHAVING\b", rest, re.IGNORECASE):
+        raise SparqlError(
+            "HAVING supports `(AGG(?v) op number)` or `(?alias op number)`"
+        )
     m = _GROUPBY_RE.search(rest)
     if m:
         group_by = re.findall(r"\?(\w+)", m.group(1))
@@ -444,9 +468,13 @@ def _parse_modifiers(tail: str):
     if m:
         limit = int(m.group(1))
         rest = rest[: m.start()] + rest[m.end():]
+    m = _OFFSET_RE.search(rest)
+    if m:
+        offset = int(m.group(1))
+        rest = rest[: m.start()] + rest[m.end():]
     if rest.strip():
         raise SparqlError(f"cannot parse after WHERE block: {rest.strip()!r}")
-    return group_by, order_by, limit
+    return group_by, order_by, limit, offset, having
 
 
 def _strip_prefixes(src: str):
@@ -477,18 +505,18 @@ def _parse(src: str):
     if not m:
         raise SparqlError("expected `SELECT ... WHERE { ... }`")
     select_items = _parse_projection(m.group(2))
-    group_by, order_by, limit = _parse_modifiers(m.group(4) or "")
+    group_by, order_by, limit, offset, having = _parse_modifiers(m.group(4) or "")
     items = _parse_group(m.group(3), prefixes)
-    return select_items, items, group_by, order_by, limit
+    return select_items, items, group_by, order_by, limit, offset, having
 
 
 def parse_sparql(src: str) -> Tuple[List[str], List[Tuple[str, str, str]]]:
     """Legacy surface: (selected variables, plain triple patterns).
     Raises on FILTER/UNION/OPTIONAL — use :func:`make_query` for those."""
-    select_items, items, group_by, order_by, limit = _parse(src)
+    select_items, items, group_by, order_by, limit, offset, having = _parse(src)
     if any(k[0] != "t" for k in items):
         raise SparqlError("query uses FILTER/UNION/OPTIONAL — evaluate via make_query")
-    if group_by or order_by or limit is not None or any(
+    if group_by or order_by or limit is not None or offset is not None or having or any(
         it[0] == "agg" for it in select_items
     ):
         raise SparqlError("query uses aggregates/modifiers — evaluate via make_query")
@@ -755,7 +783,7 @@ def make_query(triples: DataFrame, sparql_src: str) -> DataFrame:
         return spark.createDataFrame([(ask_query(triples, sparql_src),)], "ask boolean")
     if _CONSTRUCT_RE.match(head):
         return construct_query(triples, sparql_src)
-    select_items, items, group_by, order_by, limit = _parse(sparql_src)
+    select_items, items, group_by, order_by, limit, offset, having = _parse(sparql_src)
     df = _compile(triples, items)
     plain = [it[1] for it in select_items if it[0] == "var"]
     aggs = [it for it in select_items if it[0] == "agg"]
@@ -786,10 +814,42 @@ def make_query(triples: DataFrame, sparql_src: str) -> DataFrame:
                     raise SparqlError(f"aggregate over unbound variable {arg}")
                 col = _AGG_FNS[fn](F.col(arg[1:]))
             cols.append(col.alias(alias))
+        if having is not None:
+            h_fn, h_dist, h_arg, h_alias, h_op, h_const = having
+            if h_fn is not None:
+                # inline aggregate: compute as a hidden column, filter,
+                # drop — same groupBy, no extra shuffle
+                if h_fn == "COUNT":
+                    if h_arg == "*":
+                        hcol = F.count(F.lit(1))
+                    elif h_dist:
+                        hcol = F.countDistinct(F.col(h_arg[1:]))
+                    else:
+                        hcol = F.count(F.col(h_arg[1:]))
+                else:
+                    if h_arg == "*" or h_dist:
+                        raise SparqlError(f"HAVING {h_fn} needs a plain ?variable")
+                    if h_arg[1:] not in df.columns:
+                        raise SparqlError(f"HAVING aggregate over unbound {h_arg}")
+                    hcol = _AGG_FNS[h_fn](F.col(h_arg[1:]))
+                cols.append(hcol.alias("__having"))
+                h_ref = "__having"
+            else:
+                if h_alias not in [a[4] for a in aggs]:
+                    raise SparqlError(
+                        f"HAVING alias ?{h_alias} is not a SELECT aggregate"
+                    )
+                h_ref = h_alias
         # SPARQL aggregates run over the solution MULTISET — no distinct
         df = df.groupBy(*group_by).agg(*cols) if group_by else df.agg(*cols)
+        if having is not None:
+            df = df.filter(
+                _CMP[having[4]](F.col(h_ref).cast("double"), F.lit(having[5]))
+            )
         # project in SELECT order (vars ⊆ group_by keys, agg aliases)
         df = df.select(*[it[1] if it[0] == "var" else it[4] for it in select_items])
+    elif having is not None:
+        raise SparqlError("HAVING requires aggregates in the SELECT clause")
     elif group_by:
         # GROUP BY with no aggregates = projection to the keys, distinct
         df = df.select(*group_by).distinct().select(*plain)
@@ -802,6 +862,9 @@ def make_query(triples: DataFrame, sparql_src: str) -> DataFrame:
         df = df.orderBy(
             *[F.col(n).desc() if d else F.col(n).asc() for n, d in order_by]
         )
+    if offset is not None:
+        # SPARQL: OFFSET skips before LIMIT caps, whatever the clause order
+        df = df.offset(offset)
     if limit is not None:
         df = df.limit(limit)
     return df

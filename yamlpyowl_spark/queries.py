@@ -469,6 +469,21 @@ def _register_kg():
         return make_query(kg_triples(spark), q)
 
     @_q(
+        "kg_sparql_having_offset",
+        f"""SELECT pred AS p, count(obj) AS n FROM {_t()}
+            GROUP BY pred HAVING count(obj) > 10
+            ORDER BY n DESC, pred OFFSET 1 LIMIT 3""",
+    )
+    def kg_sparql_having_offset(spark, sf_dir):
+        from .operators.sparql import make_query
+
+        q = (
+            "SELECT ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } "
+            "GROUP BY ?p HAVING (?n > 10) ORDER BY DESC(?n) ?p OFFSET 1 LIMIT 3"
+        )
+        return make_query(kg_triples(spark), q)
+
+    @_q(
         "kg_sparql_ask",
         f"""SELECT EXISTS (
               SELECT 1 FROM {_t()}
@@ -1497,6 +1512,9 @@ _TAIL = [
     # groupBy over pred and a lineage projection add no unique signal
     "kg_pred_counts",
     "kg_sha_lineage",
+    # the streaming drain gate compares against this same batch window
+    # aggregation, so the batch twin adds no unique signal
+    "rel_hourly_event_counts",
     "kg_bgp_hassection",
     "kg_bgp_canonical",
     "kg_bgp_join",
