@@ -131,7 +131,13 @@ def parse_job(spark, corpus_path: str) -> dict:
 # shingle hoisting the per-doc cost dropped ~3x, and at 48k docs fixed
 # job overhead dominated the local[4N] run (efficiency read 0.66 on a
 # 3s window)
-DEDUP_DOCS = int(os.environ.get("YPO_DEDUP_DOCS", "160000"))
+# sized so real work dominates fixed per-job latency at BOTH parallelism
+# levels: after the r4 minhash single-shuffle fix the 160k-doc job fell
+# to ~8s at 4N — mostly AQE job-scheduling floor, which made the measured
+# "scaling" collapse to 0.65 while per-side times IMPROVED. A cluster
+# job at 100 TB runs minutes-to-hours, so amortizing startup in the
+# measurement (not shrinking the workload) is the faithful model.
+DEDUP_DOCS = int(os.environ.get("YPO_DEDUP_DOCS", "480000"))
 
 
 def dedup_corpus(spark):

@@ -1,0 +1,139 @@
+"""Pure-Python unit tests for the OWL-RL per-document rule engine
+(operators/owlrl._infer_doc): property rules prp-trp / prp-symp /
+prp-inv / prp-spo1 run to a joint fixpoint, then domain/range typing
+(prp-dom / prp-rng) over the final fact base. No Spark session needed
+— the distributed wrapper (applyInPandas) is gated separately by the
+kg_owlrl_inferences / kg_owlrl_prop_rules driver oracles."""
+
+from yamlpyowl_spark import vocab as V
+from yamlpyowl_spark.operators.owlrl import _infer_doc
+
+E = "http://ex.org/"
+OWL = "http://www.w3.org/2002/07/owl#"
+
+
+def rows(*triples):
+    return [(s, p, o, il) for s, p, o, il in triples]
+
+
+def T(s, p, o, il=False):
+    return (s, p, o, il)
+
+
+def test_prp_trp_transitive_closure():
+    got = _infer_doc(rows(
+        T(E + "p", V.RDF_TYPE, V.OWL_TRANSITIVE),
+        T(E + "a", E + "p", E + "b"),
+        T(E + "b", E + "p", E + "c"),
+        T(E + "c", E + "p", E + "d"),
+    ))
+    assert {(s, o) for s, p, o, _ in got if p == E + "p"} == {
+        (E + "a", E + "c"), (E + "a", E + "d"), (E + "b", E + "d"),
+    }
+
+
+def test_prp_symp():
+    got = _infer_doc(rows(
+        T(E + "p", V.RDF_TYPE, V.OWL_SYMMETRIC),
+        T(E + "a", E + "p", E + "b"),
+    ))
+    assert (E + "b", E + "p", E + "a", False) in got
+
+
+def test_prp_inv_both_directions():
+    got = _infer_doc(rows(
+        T(E + "p", V.OWL_INVERSE_OF, E + "q"),
+        T(E + "a", E + "p", E + "b"),
+        T(E + "x", E + "q", E + "y"),
+    ))
+    assert (E + "b", E + "q", E + "a", False) in got
+    assert (E + "y", E + "p", E + "x", False) in got
+
+
+def test_inverse_of_transitive_gets_transposed_closure():
+    # the joint fixpoint: q receives the transpose of p's CLOSURE,
+    # not just of its asserted edges
+    got = _infer_doc(rows(
+        T(E + "p", V.RDF_TYPE, V.OWL_TRANSITIVE),
+        T(E + "p", V.OWL_INVERSE_OF, E + "q"),
+        T(E + "a", E + "p", E + "b"),
+        T(E + "b", E + "p", E + "c"),
+    ))
+    assert (E + "c", E + "q", E + "a", False) in got
+
+
+def test_prp_spo1_propagates_literals():
+    got = _infer_doc(rows(
+        T(E + "nick", V.RDFS_SUBPROPERTYOF, E + "label"),
+        T(E + "a", E + "nick", "Al", True),
+    ))
+    assert (E + "a", E + "label", "Al", True) in got
+
+
+def test_spo1_chain_closed():
+    got = _infer_doc(rows(
+        T(E + "p1", V.RDFS_SUBPROPERTYOF, E + "p2"),
+        T(E + "p2", V.RDFS_SUBPROPERTYOF, E + "p3"),
+        T(E + "a", E + "p1", E + "b"),
+    ))
+    preds = {p for _, p, _, _ in got}
+    assert {E + "p2", E + "p3"} <= preds
+
+
+def test_symmetric_and_transitive_on_literal_facts_skipped():
+    got = _infer_doc(rows(
+        T(E + "p", V.RDF_TYPE, V.OWL_SYMMETRIC),
+        T(E + "p", V.RDF_TYPE, V.OWL_TRANSITIVE),
+        T(E + "a", E + "p", "lit", True),
+    ))
+    assert not {t for t in got if t[1] == E + "p"}
+
+
+def test_prp_dom_rng_typing():
+    got = _infer_doc(rows(
+        T(E + "p", V.RDFS_DOMAIN, E + "D"),
+        T(E + "p", V.RDFS_RANGE, E + "R"),
+        T(E + "a", E + "p", E + "b"),
+    ))
+    assert (E + "a", V.RDF_TYPE, E + "D", False) in got
+    assert (E + "b", V.RDF_TYPE, E + "R", False) in got
+
+
+def test_dom_rng_fire_on_rule_derived_facts():
+    # typing runs AFTER the property fixpoint: the transitively derived
+    # a-p-c fact types c even though only b was a direct object... and
+    # the inverse-derived facts type their subjects
+    got = _infer_doc(rows(
+        T(E + "p", V.RDF_TYPE, V.OWL_TRANSITIVE),
+        T(E + "p", V.RDFS_RANGE, E + "R"),
+        T(E + "a", E + "p", E + "b"),
+        T(E + "b", E + "p", E + "c"),
+    ))
+    assert (E + "c", V.RDF_TYPE, E + "R", False) in got
+
+
+def test_dom_rng_skips_asserted_types_thing_and_datatypes():
+    got = _infer_doc(rows(
+        T(E + "p", V.RDFS_DOMAIN, E + "D"),
+        T(E + "q", V.RDFS_DOMAIN, V.OWL_THING),
+        T(E + "d", V.RDFS_RANGE, V.XSD + "integer"),
+        T(E + "a", V.RDF_TYPE, E + "D"),
+        T(E + "a", E + "p", E + "b"),
+        T(E + "a", E + "q", E + "b"),
+        T(E + "a", E + "d", "5", True),
+    ))
+    types = {t for t in got if t[1] == V.RDF_TYPE}
+    assert not types  # already-typed, owl:Thing, and datatype ranges
+
+
+def test_or_domain_blank_node_never_flattened():
+    got = _infer_doc(rows(
+        T(E + "p", V.RDFS_DOMAIN, "_:or1"),
+        T(E + "a", E + "p", E + "b"),
+    ))
+    assert not {t for t in got if t[1] == V.RDF_TYPE}
+
+
+def test_no_axioms_no_property_inferences():
+    got = _infer_doc(rows(T(E + "a", E + "p", E + "b")))
+    assert got == set()

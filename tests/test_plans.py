@@ -129,3 +129,20 @@ def test_centroid_assign_partial_aggregation(spark):
     assert "partial_min" in plan
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_single_shuffle(spark):
+    """MinHash signatures shuffle ONCE (the doc_id groupBy with map-side
+    partial min): the shingle explode must NOT pay a distinct() shuffle
+    of the full exploded relation — min is duplicate-insensitive (r4;
+    the distinct was a second full-width exchange of every shingle
+    occurrence and capped dedup-family scaling)."""
+    from yamlpyowl_spark.operators import docops
+
+    docs = spark.createDataFrame(
+        [(i, "w%d x y z a b c d e f" % i) for i in range(20)], ["doc_id", "text"]
+    )
+    plan = _plan(docops.minhash_signatures(docs))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # and the one aggregate is partial (map-side combine) then final
+    assert "partial_min" in plan or "HashAggregate" in plan

@@ -179,8 +179,8 @@ def test_bind_rebind_rejected(triples):
 
 
 def test_still_unsupported_rejected(triples):
-    with pytest.raises(SparqlError, match="GRAPH"):
-        _q(triples, "?x WHERE { GRAPH ?g { ?x e:age ?a } }")
+    with pytest.raises(SparqlError, match="SERVICE"):
+        _q(triples, "?x WHERE { SERVICE <http://remote> { ?x e:age ?a } }")
     with pytest.raises(SparqlError, match="never bound"):
         _q(triples, "?zzz WHERE { ?x e:age ?a }")
 
@@ -614,3 +614,136 @@ def test_offset_with_order(triples):
 
 def test_offset_beyond_result(triples):
     assert _q(triples, "?x WHERE { ?x e:age ?a } OFFSET 99").collect() == []
+
+
+# ---------------------------------------------------------------------------
+# round 4d: FILTER EXISTS / NOT EXISTS
+# ---------------------------------------------------------------------------
+
+
+def test_filter_exists(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, "?x WHERE { ?x e:age ?a . FILTER EXISTS { ?x e:knows ?y } }"
+        ).collect()
+    }
+    assert got == {E + "a"}
+
+
+def test_filter_not_exists(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, "?x WHERE { ?x e:age ?a . FILTER NOT EXISTS { ?x e:knows ?y } }"
+        ).collect()
+    }
+    assert got == {E + "b", E + "c"}
+
+
+def test_filter_exists_no_shared_vars(triples):
+    # satisfiable pattern with no shared vars keeps every row ...
+    got = _q(
+        triples, "?x WHERE { ?x e:age ?a . FILTER EXISTS { ?z e:likes ?w } }"
+    ).collect()
+    assert len(got) == 3
+    # ... an unsatisfiable one keeps none
+    got = _q(
+        triples, "?x WHERE { ?x e:age ?a . FILTER EXISTS { ?z e:hates ?w } }"
+    ).collect()
+    assert got == []
+
+
+def test_filter_not_exists_with_pattern_constants(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, "?x WHERE { ?x e:age ?a . FILTER NOT EXISTS { ?x e:name \"alice\" } }"
+        ).collect()
+    }
+    assert got == {E + "b", E + "c"}
+
+
+def test_filter_not_without_exists_rejected(triples):
+    with pytest.raises(SparqlError, match="expected EXISTS"):
+        _q(triples, "?x WHERE { ?x e:age ?a . FILTER NOT regex(?a, \"3\") }")
+
+
+# ---------------------------------------------------------------------------
+# round 4e: GRAPH (quad-store semantics over doc_iri)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    G1, G2 = E + "g1", E + "g2"
+    rows = [
+        (E + "a", E + "p", E + "b", False, None, G1),
+        (E + "b", E + "p", E + "c", False, None, G2),
+        (E + "a", E + "q", E + "d", False, None, G2),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_graph_constant_filters(quads):
+    got = {
+        tuple(r)
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?s ?o WHERE {{ GRAPH <{E}g1> {{ ?s e:p ?o }} }}",
+        ).collect()
+    }
+    assert got == {(E + "a", E + "b")}
+
+
+def test_graph_variable_binds_doc(quads):
+    got = {
+        tuple(r)
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?g ?s WHERE {{ GRAPH ?g {{ ?s e:p ?o }} }}",
+        ).collect()
+    }
+    assert got == {(E + "g1", E + "a"), (E + "g2", E + "b")}
+
+
+def test_graph_variable_joins_within_one_graph(quads):
+    # both patterns inside GRAPH ?g must come from the SAME graph:
+    # a-p-b and a-q-d live in different graphs, so no solution binds
+    # them together
+    got = make_query(
+        quads,
+        f"PREFIX e: <{E}> SELECT ?g ?s WHERE {{ GRAPH ?g {{ ?s e:p ?o . ?s e:q ?d }} }}",
+    ).collect()
+    assert got == []
+
+
+def test_graph_mixes_with_default_patterns(quads):
+    got = {
+        tuple(r)
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?g ?o WHERE "
+            f"{{ ?a e:q ?d . GRAPH ?g {{ ?a e:p ?o }} }}",
+        ).collect()
+    }
+    assert got == {(E + "g1", E + "b")}
+
+
+def test_graph_var_path_rejected(quads):
+    with pytest.raises(SparqlError, match="constant graph IRI"):
+        make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?g ?y WHERE {{ GRAPH ?g {{ e:a e:p+ ?y }} }}",
+        )
+
+
+def test_graph_constant_path_allowed(quads):
+    got = {
+        r[0]
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?y WHERE {{ GRAPH <{E}g1> {{ e:a e:p+ ?y }} }}",
+        ).collect()
+    }
+    assert got == {E + "b"}  # closure confined to g1's edges

@@ -40,14 +40,22 @@ def _words(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
-def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams per document.
+def with_shingles(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) — word n-grams per document, distinct by
+    default (set semantics for Jaccard).
 
     Tokenize ONCE into a projected array column before the shingle
     transform: inlining ``split(text)`` inside the lambda re-evaluates
     the split per element (no common-subexpression elimination across a
     higher-order function boundary) — O(tokens²) per document, measured
-    6× slower on the sf0.1 corpus."""
+    6× slower on the sf0.1 corpus.
+
+    ``distinct=False`` skips the dedup SHUFFLE of the full exploded
+    relation — callers whose downstream aggregate is duplicate-
+    insensitive (``min`` in MinHash) must use it: with it, the explode
+    pipelines straight from the scan into a map-side partial aggregate
+    and the only shuffle carries one combined row per (partition,
+    doc_id) instead of every shingle occurrence."""
     w = docs.select("doc_id", F.split("text", " ").alias("w"))
     shingles = F.expr(
         "case when size(w) >= 3 then "
@@ -55,7 +63,8 @@ def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         "i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
         "else array() end"
     )
-    return w.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    out = w.select("doc_id", F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------
@@ -82,10 +91,13 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, h0..h{k-1}): per-seed minimum of md5(seed:shingle).
 
-    Lexicographic min over fixed-width hex == numeric min; one shuffle
-    (groupBy doc_id) with map-side combine over the exploded shingles.
+    Lexicographic min over fixed-width hex == numeric min; ONE shuffle
+    total: min is duplicate-insensitive, so the shingle explode skips
+    its distinct (r4 — that distinct was a second full-width shuffle of
+    every shingle occurrence) and pipelines into the map-side partial
+    min; the exchange carries one combined row per (partition, doc_id).
     """
-    sh = with_shingles(docs)
+    sh = with_shingles(docs, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(k)

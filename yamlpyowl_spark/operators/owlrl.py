@@ -26,7 +26,14 @@ TestCore2 observes beyond SWRL chaining and the OneOf CSP
   propagate for data sub-properties, while symmetric / transitive /
   inverse steps apply to entity facts only). The reference gets
   these from Pellet (core.py:1342; transitive ``hasPart`` is
-  observed post-reasoner by tests/test_core.py:90-117).
+  observed post-reasoner by tests/test_core.py:90-117);
+* **domain / range typing** (prp-dom / prp-rng): ``domain(p) = D,
+  p(x, y)`` ⇒ ``type(x, D)``; ``range(p) = R, p(x, y)`` ⇒
+  ``type(y, R)`` for entity-valued facts — applied AFTER the
+  property-rule fixpoint so propagated facts are typed too.
+  ``Or``-domains (blank nodes) are skipped, never flattened to one
+  unsound disjunct; datatype ranges never fire (their objects are
+  literals).
 
 Scale architecture: identical to :mod:`dlreason` — the rules are
 document-local, so the distributed dimension is ``doc_iri`` (one
@@ -95,6 +102,7 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
     eq_exprs: List[Tuple[str, str]] = []  # (named class, blank expr)
     sub_exprs: List[Tuple[str, str]] = []
     domains: Dict[str, str] = {}
+    ranges: Dict[str, str] = {}
     individuals: Set[str] = set()
     inv_pairs: List[Tuple[str, str]] = []
     subprop: Dict[str, Set[str]] = {}
@@ -122,6 +130,10 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
             o = objs[0][0]
             if not o.startswith("_:"):
                 domains[s] = o
+        elif p == V.RDFS_RANGE and not s.startswith("_:"):
+            o = objs[0][0]
+            if not o.startswith("_:") and not o.startswith(V.XSD):
+                ranges[s] = o
         elif p == V.OWL_INVERSE_OF and not s.startswith("_:"):
             for o, il in objs:
                 if not o.startswith("_:"):
@@ -318,6 +330,23 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
         for p, cur in pf.items():
             for s, o, il in cur - asserted.get(p, set()):
                 inferred.add((s, p, o, il))
+
+    # ---- domain / range typing: prp-dom / prp-rng -------------------
+    # after the fixpoint, so facts derived by the property rules are
+    # typed too (Pellet runs all rules to a joint fixpoint)
+    # owl:Thing memberships are trivially true — not worth materializing
+    for p, dom in domains.items():
+        if dom == V.OWL_THING:
+            continue
+        for s, _o, _il in pf.get(p, ()):
+            if not s.startswith("_:") and dom not in types.get(s, ()):
+                inferred.add((s, V.RDF_TYPE, dom, False))
+    for p, rng in ranges.items():
+        if rng == V.OWL_THING:
+            continue
+        for _s, o, il in pf.get(p, ()):
+            if not il and not o.startswith("_:") and rng not in types.get(o, ()):
+                inferred.add((o, V.RDF_TYPE, rng, False))
 
     return inferred
 

@@ -12,7 +12,12 @@ paths (``p+`` one-or-more, ``p*`` zero-or-more, ``p?`` zero-or-one,
 sequences), aggregates (``(COUNT|SUM|MIN|MAX|AVG)(?v)``, ``COUNT(*)``,
 ``COUNT(DISTINCT ?v)``) with ``GROUP BY``, the ``ORDER BY`` /
 ``LIMIT`` / ``OFFSET`` / ``HAVING`` solution modifiers, and the
-``ASK`` / ``CONSTRUCT`` query forms — and compiles them onto DataFrame
+``ASK`` / ``CONSTRUCT`` query forms, ``FILTER (NOT) EXISTS``
+(left-semi / left-anti join on the shared variables), and ``GRAPH``
+(the triples table is a quad store keyed by ``doc_iri``: a constant
+graph IRI is a pushdown-friendly filter; ``GRAPH ?g`` binds
+``doc_iri`` — BGP-only inside the variable form) — and compiles
+them onto DataFrame
 filters / equi-joins / unions / left and anti joins / local relations
 / ``groupBy().agg()`` / ``orderBy().limit()`` (Catalyst plans a
 TakeOrdered, no full sort at scale) / the semi-naive
@@ -31,8 +36,8 @@ is already numeric (an aggregate alias). Zero-length paths match the
 identity over all terms of the graph plus any constant endpoint of
 the path, per SPARQL 1.1 §9.3.
 
-Still-unsupported SPARQL (GRAPH, EXISTS, subqueries) raises —
-loudly, not wrongly.
+Still-unsupported SPARQL (SERVICE, subqueries, property paths under
+``GRAPH ?var``) raises — loudly, not wrongly.
 """
 
 from __future__ import annotations
@@ -49,7 +54,7 @@ _SELECT_RE = re.compile(
     r"SELECT\s+(DISTINCT\s+)?(.+?)\s+WHERE\s*\{(.*)\}\s*(.*?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_UNSUPPORTED = re.compile(r"\b(GRAPH|EXISTS)\b", re.IGNORECASE)
+_UNSUPPORTED = re.compile(r"\bSERVICE\b", re.IGNORECASE)
 _ASK_RE = re.compile(r"^ASK\s*\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL)
 _CONSTRUCT_RE = re.compile(
     r"^CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL
@@ -170,11 +175,25 @@ class _Parser:
             if k == "dot":
                 self.next()
                 continue
+            if k == "ident" and tok.group("ident").upper() == "GRAPH":
+                self.next()
+                gterm = _term_of(self.next(), self.prefixes)
+                self.expect("lbrace")
+                g = self.group()
+                self.expect("rbrace")
+                items.append(("graph", gterm, g))
+                continue
             if k == "kw":
                 kw = tok.group("kw").upper()
                 self.next()
                 if kw == "FILTER":
-                    items.append(("filter", self._filter()))
+                    nxt = self.peek()
+                    if nxt is not None and _kind(nxt) == "ident" and nxt.group(
+                        "ident"
+                    ).upper() in ("EXISTS", "NOT"):
+                        items.append(self._filter_exists())
+                    else:
+                        items.append(("filter", self._filter()))
                 elif kw == "OPTIONAL":
                     self.expect("lbrace")
                     g = self.group()
@@ -219,6 +238,22 @@ class _Parser:
                 items.append(("t", (o, pred, s) if inv else (s, pred, o)))
             else:
                 items.append(("path", s, segs, o))
+
+    def _filter_exists(self) -> tuple:
+        """``FILTER EXISTS { ... }`` / ``FILTER NOT EXISTS { ... }`` —
+        compiled to a left-semi / left-anti join on the shared
+        variables."""
+        tok = self.next()
+        positive = True
+        if tok.group("ident").upper() == "NOT":
+            positive = False
+            tok = self.next()
+            if _kind(tok) != "ident" or tok.group("ident").upper() != "EXISTS":
+                raise SparqlError("expected EXISTS after FILTER NOT")
+        self.expect("lbrace")
+        g = self.group()
+        self.expect("rbrace")
+        return ("exists", g, positive)
 
     def _filter(self) -> list:
         """FILTER ( comp [&& comp ...] ) with comp = ?v op (const|?w)
@@ -487,7 +522,7 @@ def _parse_group(body: str, prefixes: dict) -> list:
     items = parser.group()
     if parser.peek() is not None:
         raise SparqlError(f"trailing tokens: {parser.peek().group(0)!r}")
-    if not any(k[0] in ("t", "path", "union", "values") for k in items):
+    if not any(k[0] in ("t", "path", "union", "values", "graph") for k in items):
         raise SparqlError(
             "graph pattern has no required triple patterns "
             "(OPTIONAL/FILTER/BIND alone is not a query)"
@@ -530,7 +565,7 @@ def parse_sparql(src: str) -> Tuple[List[str], List[Tuple[str, str, str]]]:
 _POS = ("subj", "pred", "obj")
 
 
-def _pattern_frame(triples: DataFrame, pat, idx: int) -> DataFrame:
+def _pattern_frame(triples: DataFrame, pat, idx: int, graph_var: str | None = None) -> DataFrame:
     t = triples
     cols = []
     for pos, term in zip(_POS, pat):
@@ -538,6 +573,12 @@ def _pattern_frame(triples: DataFrame, pat, idx: int) -> DataFrame:
             cols.append(F.col(pos).alias(term[1:]))
         else:
             t = t.filter(F.col(pos) == term)
+    if graph_var is not None:
+        if any(term == "?" + graph_var for term in pat):
+            raise SparqlError(
+                f"GRAPH variable ?{graph_var} reused inside its own pattern"
+            )
+        cols.append(F.col("doc_iri").alias(graph_var))
     return t.select(*cols) if cols else t.select(F.lit(1).alias(f"_m{idx}"))
 
 
@@ -638,20 +679,36 @@ def _bind_col(df: DataFrame, expr):
     return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[op]
 
 
-def _compile(triples: DataFrame, items: list) -> DataFrame:
+def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> DataFrame:
     df = None
     filters = []
+    exists_filters = []
     for n, item in enumerate(items):
         kind = item[0]
         if kind == "t":
-            frame = _pattern_frame(triples, item[1], n)
+            frame = _pattern_frame(triples, item[1], n, graph_var)
             df = frame if df is None else _merge(df, frame)
         elif kind == "path":
+            if graph_var is not None:
+                raise SparqlError(
+                    "property paths inside GRAPH ?var are not supported "
+                    "(use a constant graph IRI)"
+                )
             frame = _path_frame(triples, item[1], item[2], item[3], n)
             df = frame if df is None else _merge(df, frame)
+        elif kind == "graph":
+            gterm, g = item[1], item[2]
+            if gterm.startswith("?"):
+                sub = _compile(triples, g, graph_var=gterm[1:])
+            else:
+                # constant named graph = a pushdown-friendly filter on
+                # the graph column
+                sub = _compile(triples.filter(F.col("doc_iri") == gterm), g,
+                               graph_var=graph_var)
+            df = sub if df is None else _merge(df, sub)
         elif kind == "union":
-            a = _compile(triples, item[1])
-            b = _compile(triples, item[2])
+            a = _compile(triples, item[1], graph_var)
+            b = _compile(triples, item[2], graph_var)
             if set(a.columns) != set(b.columns):
                 raise SparqlError(
                     f"UNION branches must bind the same variables: "
@@ -660,12 +717,12 @@ def _compile(triples: DataFrame, items: list) -> DataFrame:
             u = a.unionByName(b)
             df = u if df is None else _merge(df, u)
         elif kind == "optional":
-            o = _compile(triples, item[1])
+            o = _compile(triples, item[1], graph_var)
             if df is None:
                 raise SparqlError("OPTIONAL cannot be the first group member")
             df = _merge(df, o, "left")
         elif kind == "minus":
-            m = _compile(triples, item[1])
+            m = _compile(triples, item[1], graph_var)
             if df is None:
                 raise SparqlError("MINUS cannot be the first group member")
             shared = [c for c in m.columns if c in df.columns]
@@ -687,8 +744,26 @@ def _compile(triples: DataFrame, items: list) -> DataFrame:
             df = df.withColumn(var[1:], _bind_col(df, item[2]))
         elif kind == "filter":
             filters.extend(item[1])
+        elif kind == "exists":
+            exists_filters.append((item[1], item[2]))
     if df is None:
         raise SparqlError("empty graph pattern")
+    for g, positive in exists_filters:
+        sub = _compile(triples, g)
+        shared = [c for c in sub.columns if c in df.columns]
+        if shared:
+            # dialect note: bindings join on the shared variables
+            # (NULLs from OPTIONAL never match, so NOT EXISTS keeps
+            # them); semi/anti joins broadcast when the pattern side
+            # is small
+            how = "left_semi" if positive else "left_anti"
+            df = df.join(sub.select(*shared).distinct(), shared, how)
+        else:
+            # no shared variables: the pattern's own satisfiability
+            # decides for every row (limit(1) short-circuits)
+            nonempty = bool(sub.limit(1).count())
+            if positive != nonempty:
+                df = df.limit(0)
     for comp in filters:
         if comp[0] == "regex":
             _, var, pat = comp
