@@ -26,6 +26,7 @@ MUST_BE_IN_WINDOW = [
     "kg_sparql_ask",
     "kg_sparql_construct",
     "kg_sparql_having_offset",
+    "kg_sparql_graph",
     "doc_exact_dedup",
     "doc_minhash_signatures",
     "doc_lsh_candidates",

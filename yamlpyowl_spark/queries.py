@@ -469,6 +469,24 @@ def _register_kg():
         return make_query(kg_triples(spark), q)
 
     @_q(
+        "kg_sparql_graph",
+        f"""SELECT DISTINCT a.doc_iri AS g, a.subj AS x, a.obj AS p, b.obj AS q
+            FROM {_t()} a JOIN {_t()} b
+              ON a.obj = b.subj AND a.doc_iri = b.doc_iri
+            WHERE a.pred = '{RR}hasPart' AND b.pred = '{RR}hasPart'""",
+    )
+    def kg_sparql_graph(spark, sf_dir):
+        # GRAPH ?g: both patterns must match within the SAME named
+        # graph (doc_iri) — the join carries the graph variable
+        from .operators.sparql import make_query
+
+        q = (
+            f"PREFIX P: <{RR}> SELECT ?g ?x ?p ?q WHERE "
+            f"{{ GRAPH ?g {{ ?x P:hasPart ?p . ?p P:hasPart ?q }} }}"
+        )
+        return make_query(kg_triples(spark), q)
+
+    @_q(
         "kg_sparql_having_offset",
         f"""SELECT pred AS p, count(obj) AS n FROM {_t()}
             GROUP BY pred HAVING count(obj) > 10
@@ -1515,6 +1533,10 @@ _TAIL = [
     # the streaming drain gate compares against this same batch window
     # aggregation, so the batch twin adds no unique signal
     "rel_hourly_event_counts",
+    # rank-per-group window mechanics also gated by rel_latest_event_per_user
+    "rel_top_users_per_event_type",
+    # rank-per-group window mechanics also gated by rel_latest_event_per_user
+    "rel_top_users_per_event_type",
     "kg_bgp_hassection",
     "kg_bgp_canonical",
     "kg_bgp_join",
