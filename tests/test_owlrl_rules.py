@@ -137,3 +137,33 @@ def test_or_domain_blank_node_never_flattened():
 def test_no_axioms_no_property_inferences():
     got = _infer_doc(rows(T(E + "a", E + "p", E + "b")))
     assert got == set()
+
+
+def test_cax_sco_type_inheritance():
+    got = _infer_doc(rows(
+        T(E + "City", V.RDFS_SUBCLASSOF, E + "Geo"),
+        T(E + "Geo", V.RDFS_SUBCLASSOF, E + "Entity"),
+        T(E + "dresden", V.RDF_TYPE, E + "City"),
+    ))
+    assert (E + "dresden", V.RDF_TYPE, E + "Geo", False) in got
+    assert (E + "dresden", V.RDF_TYPE, E + "Entity", False) in got
+
+
+def test_cax_sco_lifts_inferred_types():
+    # a range-typed object inherits through the subclass graph too
+    got = _infer_doc(rows(
+        T(E + "p", V.RDFS_RANGE, E + "City"),
+        T(E + "City", V.RDFS_SUBCLASSOF, E + "Geo"),
+        T(E + "a", E + "p", E + "b"),
+    ))
+    assert (E + "b", V.RDF_TYPE, E + "City", False) in got
+    assert (E + "b", V.RDF_TYPE, E + "Geo", False) in got
+
+
+def test_cax_sco_skips_asserted_vocab_and_thing():
+    got = _infer_doc(rows(
+        T(E + "City", V.RDFS_SUBCLASSOF, V.OWL_THING),
+        T(E + "dresden", V.RDF_TYPE, E + "City"),
+        T(E + "dresden", V.RDF_TYPE, V.OWL + "NamedIndividual"),
+    ))
+    assert not {t for t in got if t[1] == V.RDF_TYPE}

@@ -33,7 +33,13 @@ TestCore2 observes beyond SWRL chaining and the OneOf CSP
   property-rule fixpoint so propagated facts are typed too.
   ``Or``-domains (blank nodes) are skipped, never flattened to one
   unsound disjunct; datatype ranges never fire (their objects are
-  literals).
+  literals);
+* **type inheritance** (cax-sco): ``type(x, C), C ⊑ D`` ⇒
+  ``type(x, D)`` over the transitively-closed NAMED subclass graph
+  — last, over asserted plus every type fact this pass inferred
+  (defined-class memberships and domain/range typings inherit
+  upward, as Pellet materializes them). ``owl:*`` vocabulary
+  classes (NamedIndividual etc.) are excluded.
 
 Scale architecture: identical to :mod:`dlreason` — the rules are
 document-local, so the distributed dimension is ``doc_iri`` (one
@@ -347,6 +353,29 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
         for _s, o, il in pf.get(p, ()):
             if not il and not o.startswith("_:") and rng not in types.get(o, ()):
                 inferred.add((o, V.RDF_TYPE, rng, False))
+
+    # ---- type inheritance: cax-sco ----------------------------------
+    # asserted types plus everything this pass inferred, lifted through
+    # the named-subclass closure; owl:/rdf: vocabulary classes are not
+    # user classes and stay out
+    all_types: Dict[str, Set[str]] = {x: set(ts) for x, ts in types.items()}
+    for s2, p2, o2, _il in inferred:
+        if p2 == V.RDF_TYPE:
+            all_types.setdefault(s2, set()).add(o2)
+    for x, ts in all_types.items():
+        if x.startswith("_:"):
+            continue
+        closed: Set[str] = set()
+        frontier = [c for c in ts]
+        while frontier:
+            c = frontier.pop()
+            for up in sub.get(c, ()):
+                if up not in closed and up not in ts:
+                    closed.add(up)
+                    frontier.append(up)
+        for up in closed:
+            if up != V.OWL_THING and not up.startswith(V.OWL) and not up.startswith(V.RDF):
+                inferred.add((x, V.RDF_TYPE, up, False))
 
     return inferred
 

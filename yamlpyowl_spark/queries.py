@@ -1446,6 +1446,15 @@ def _register_owlrl():
         + [("Class9a", V.RDFS_SUBCLASSOF, "Class1"),
            ("Class10a", V.RDFS_SUBCLASSOF, "Class4"),
            ("Class10b", V.RDFS_SUBCLASSOF, "Class4")]
+        # cax-sco (r4): the PROXY individuals inherit through the named
+        # subclass chain Class5b1 ⊑ Class5b ⊑ Class5 ⊑ Class4
+        # (fixture lines 47-58) — hand-derived: each proxy × each
+        # STRICT superclass of its asserted type
+        + [("iClass5", V.RDF_TYPE, "Class4"),
+           ("iClass5a", V.RDF_TYPE, "Class5"), ("iClass5a", V.RDF_TYPE, "Class4"),
+           ("iClass5b", V.RDF_TYPE, "Class5"), ("iClass5b", V.RDF_TYPE, "Class4"),
+           ("iClass5b1", V.RDF_TYPE, "Class5b"), ("iClass5b1", V.RDF_TYPE, "Class5"),
+           ("iClass5b1", V.RDF_TYPE, "Class4")]
     )
     values = ",\n".join(
         f"('{B}{s}', '{p}', '{B}{o}', false, CAST(NULL AS VARCHAR), '{B}')"
