@@ -747,3 +747,59 @@ def test_graph_constant_path_allowed(quads):
         ).collect()
     }
     assert got == {E + "b"}  # closure confined to g1's edges
+
+
+# ---------------------------------------------------------------------------
+# round 4f: subqueries
+# ---------------------------------------------------------------------------
+
+
+def test_subquery_aggregate_join(triples):
+    # classic shape: aggregate in the subquery, join with an outer
+    # pattern on the shared variable
+    got = {
+        tuple(r)
+        for r in _q(
+            triples,
+            "?p ?n WHERE { ?s ?p ?o . "
+            "{ SELECT ?p (COUNT(?o2) AS ?n) WHERE { ?s2 ?p ?o2 } GROUP BY ?p } }",
+        ).collect()
+    }
+    assert (E + "age", 3) in got and (E + "knows", 1) in got
+
+
+def test_subquery_restricts_outer(triples):
+    # subquery with LIMIT-by-order: only the most frequent predicate
+    got = {
+        r[0]
+        for r in _q(
+            triples,
+            "?s WHERE { ?s ?p ?o . "
+            "{ SELECT ?p (COUNT(?o2) AS ?n) WHERE { ?s2 ?p ?o2 } "
+            "GROUP BY ?p ORDER BY DESC(?n) LIMIT 1 } }",
+        ).collect()
+    }
+    assert got == {E + "a", E + "b", E + "c"}  # age holders
+
+
+def test_subquery_plain_projection(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples,
+            "?x WHERE { ?x e:age ?a . { SELECT ?x WHERE { ?x e:knows ?y } } }",
+        ).collect()
+    }
+    assert got == {E + "a"}
+
+
+def test_subquery_inherits_outer_prefixes(triples):
+    # e: is declared only on the OUTER query
+    got = {
+        r[0]
+        for r in _q(
+            triples,
+            "?x WHERE { { SELECT ?x WHERE { ?x e:knows ?y } } }",
+        ).collect()
+    }
+    assert got == {E + "a"}

@@ -16,7 +16,9 @@ sequences), aggregates (``(COUNT|SUM|MIN|MAX|AVG)(?v)``, ``COUNT(*)``,
 (left-semi / left-anti join on the shared variables), and ``GRAPH``
 (the triples table is a quad store keyed by ``doc_iri``: a constant
 graph IRI is a pushdown-friendly filter; ``GRAPH ?g`` binds
-``doc_iri`` — BGP-only inside the variable form) — and compiles
+``doc_iri`` — BGP-only inside the variable form), and subqueries
+(``{ SELECT ... }`` compiled independently, joined to the outer
+pattern on the shared variables) — and compiles
 them onto DataFrame
 filters / equi-joins / unions / left and anti joins / local relations
 / ``groupBy().agg()`` / ``orderBy().limit()`` (Catalyst plans a
@@ -36,8 +38,8 @@ is already numeric (an aggregate alias). Zero-length paths match the
 identity over all terms of the graph plus any constant endpoint of
 the path, per SPARQL 1.1 §9.3.
 
-Still-unsupported SPARQL (SERVICE, subqueries, property paths under
-``GRAPH ?var``) raises — loudly, not wrongly.
+Still-unsupported SPARQL (SERVICE, property paths or subqueries
+under ``GRAPH ?var``) raises — loudly, not wrongly.
 """
 
 from __future__ import annotations
@@ -143,9 +145,10 @@ class _Parser:
     ("union", groupA, groupB) | ("optional", group) | ("minus", group)
     | ("values", [vars], [rows]) | ("bind", var, expr_ast)."""
 
-    def __init__(self, toks: List[re.Match], prefixes: dict):
+    def __init__(self, toks: List[re.Match], prefixes: dict, text: str = ""):
         self.toks = toks
         self.prefixes = prefixes
+        self.text = text  # raw block — subquery spans are re-parsed from it
         self.i = 0
 
     def peek(self):
@@ -215,6 +218,13 @@ class _Parser:
                 continue
             if k == "lbrace":
                 self.next()
+                nxt = self.peek()
+                if nxt is not None and _kind(nxt) == "ident" and nxt.group(
+                    "ident"
+                ).upper() == "SELECT":
+                    items.append(("subquery", _parse(self._subquery_text(),
+                                                      self.prefixes)))
+                    continue
                 g1 = self.group()
                 self.expect("rbrace")
                 nxt = self.peek()
@@ -238,6 +248,28 @@ class _Parser:
                 items.append(("t", (o, pred, s) if inv else (s, pred, o)))
             else:
                 items.append(("path", s, segs, o))
+
+    def _subquery_text(self) -> str:
+        """The already-consumed '{' opened a nested SELECT: slice its
+        balanced-brace span out of the raw block text and advance past
+        the matching '}' — the span re-enters the full SELECT pipeline
+        (projection, aggregates, modifiers) at compile time."""
+        start_tok = self.toks[self.i]
+        depth, j = 1, self.i
+        while j < len(self.toks):
+            kj = _kind(self.toks[j])
+            if kj == "lbrace":
+                depth += 1
+            elif kj == "rbrace":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise SparqlError("unbalanced braces in subquery")
+        text = self.text[start_tok.start(): self.toks[j].start()]
+        self.i = j + 1
+        return text
 
     def _filter_exists(self) -> tuple:
         """``FILTER EXISTS { ... }`` / ``FILTER NOT EXISTS { ... }`` —
@@ -518,11 +550,14 @@ def _strip_prefixes(src: str):
 
 
 def _parse_group(body: str, prefixes: dict) -> list:
-    parser = _Parser(_tokenize(body), prefixes)
+    parser = _Parser(_tokenize(body), prefixes, body)
     items = parser.group()
     if parser.peek() is not None:
         raise SparqlError(f"trailing tokens: {parser.peek().group(0)!r}")
-    if not any(k[0] in ("t", "path", "union", "values", "graph") for k in items):
+    if not any(
+        k[0] in ("t", "path", "union", "values", "graph", "subquery")
+        for k in items
+    ):
         raise SparqlError(
             "graph pattern has no required triple patterns "
             "(OPTIONAL/FILTER/BIND alone is not a query)"
@@ -530,12 +565,15 @@ def _parse_group(body: str, prefixes: dict) -> list:
     return items
 
 
-def _parse(src: str):
+def _parse(src: str, outer_prefixes: dict | None = None):
     if _UNSUPPORTED.search(src):
         raise SparqlError(
             f"unsupported SPARQL construct: {_UNSUPPORTED.search(src).group(0)}"
         )
-    prefixes = dict((m.group(1), m.group(2)) for m in _PREFIX_RE.finditer(src))
+    prefixes = dict(outer_prefixes or {})
+    prefixes.update(
+        (m.group(1), m.group(2)) for m in _PREFIX_RE.finditer(src)
+    )
     m = _SELECT_RE.search(src.strip())
     if not m:
         raise SparqlError("expected `SELECT ... WHERE { ... }`")
@@ -742,6 +780,13 @@ def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> D
             if var[1:] in df.columns:
                 raise SparqlError(f"BIND target {var} is already bound")
             df = df.withColumn(var[1:], _bind_col(df, item[2]))
+        elif kind == "subquery":
+            if graph_var is not None:
+                raise SparqlError(
+                    "subqueries inside GRAPH ?var are not supported"
+                )
+            sub = _select_frame(triples, item[1])
+            df = sub if df is None else _merge(df, sub)
         elif kind == "filter":
             filters.extend(item[1])
         elif kind == "exists":
@@ -858,7 +903,13 @@ def make_query(triples: DataFrame, sparql_src: str) -> DataFrame:
         return spark.createDataFrame([(ask_query(triples, sparql_src),)], "ask boolean")
     if _CONSTRUCT_RE.match(head):
         return construct_query(triples, sparql_src)
-    select_items, items, group_by, order_by, limit, offset, having = _parse(sparql_src)
+    return _select_frame(triples, _parse(sparql_src))
+
+
+def _select_frame(triples: DataFrame, parsed) -> DataFrame:
+    """Compile one parsed SELECT (projection, aggregates, modifiers)
+    to a DataFrame — shared by make_query and nested subqueries."""
+    select_items, items, group_by, order_by, limit, offset, having = parsed
     df = _compile(triples, items)
     plain = [it[1] for it in select_items if it[0] == "var"]
     aggs = [it for it in select_items if it[0] == "agg"]
