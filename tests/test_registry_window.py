@@ -31,6 +31,8 @@ MUST_BE_IN_WINDOW = [
     "doc_minhash_signatures",
     "doc_lsh_candidates",
     "doc_dedup_survivors",
+    "doc_dup_clusters",
+    "doc_stratified_sample",
     "emb_cosine_topk",
     "emb_ivf_topk",
     "mm_image_features",

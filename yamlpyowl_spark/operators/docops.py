@@ -369,3 +369,76 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (LSH propose → exact verify → CC → canonical)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(docs: DataFrame, min_jaccard_x1000: int = 800) -> DataFrame:
+    """Cluster assignment for near-duplicate documents — the full
+    dedup composition a training-data pipeline runs at 100 TB: banded
+    MinHash LSH proposes candidate pairs (bucket equi-join, never
+    all-pairs), exact 3-gram Jaccard verifies ONLY those candidates
+    (work ∝ #candidates), and pointer-jumping connected components
+    over the verified pairs (O(log diameter) rounds) assigns each doc
+    its cluster. Returns (doc_id, cluster_id, is_canonical): cluster_id
+    is the minimum doc_id of the cluster, is_canonical marks the one
+    row per cluster a dedup pass would KEEP. Documents with no
+    verified near-dup partner never enter the CC join at all — they
+    fall out as their own singleton cluster via the final left join.
+
+    doc ids travel through CC zero-padded to 20 digits so the
+    operator's string-ordered min-label equals numeric min."""
+    from .cc import connected_components
+
+    pairs = jaccard_on_pairs(docs, lsh_candidate_pairs(docs), min_jaccard_x1000)
+    pad = lambda c: F.format_string("%020d", F.col(c).cast("bigint"))
+    comp = connected_components(
+        pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    ).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, key_col: str, rates_x1000: dict
+) -> DataFrame:
+    """Seedless, deterministic stratified sampling: a row is kept iff
+    the first 4 hex chars of ``md5(key)`` fall below its stratum's
+    threshold (rate mapped into the 16^4 hash space). Fixed-width
+    lowercase hex compares lexically == numerically, so the SAME
+    predicate runs in any engine — resumable pipelines re-derive the
+    identical sample with no RNG state, no seed plumbing, and no
+    shuffle (a scan-only filter that Catalyst pushes past projections).
+    Strata absent from ``rates_x1000`` are dropped (rate 0)."""
+    thr = None
+    for stratum, rate in rates_x1000.items():
+        rate = min(max(rate, 0), 1000)
+        # rate 1000 must admit EVERY 4-hex-char prefix incl. 'ffff';
+        # 'g' sorts above all hex digits, '10000' would sort below 'a'
+        hexthr = "g" if rate == 1000 else format(rate * 65536 // 1000, "04x")
+        cond = F.col(stratum_col) == stratum
+        thr = F.when(cond, hexthr) if thr is None else thr.when(cond, hexthr)
+    if thr is None:
+        raise ValueError("rates_x1000 must name at least one stratum")
+    thr = thr.otherwise("0000")
+    return df.filter(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4) < thr
+    )

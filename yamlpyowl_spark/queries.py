@@ -885,6 +885,78 @@ def _register_docops():
         return kept.select("doc_id").join(losers, "doc_id", "left_anti")
 
     @_q(
+        "doc_dup_clusters",
+        f"""WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id < 300),
+           shx AS (
+             SELECT DISTINCT doc_id, s AS shingle
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+                  UNNEST(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+           ),
+           sig AS ({_sig_shx}),
+           bands AS ({_bands_shx_sql}),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           ),
+           sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+           inter AS (
+             SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+             FROM cand c
+             JOIN shx a ON a.doc_id = c.doc_a
+             JOIN shx b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+             GROUP BY c.doc_a, c.doc_b
+           ),
+           verified AS (
+             SELECT doc_a, doc_b FROM inter
+             JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+             WHERE floor(n_inter * 1000.0 / (sa.n_sh + sb.n_sh - n_inter)) >= 800
+           ),
+           sym AS (
+             SELECT doc_a AS a, doc_b AS b FROM verified
+             UNION SELECT doc_b, doc_a FROM verified
+           ),
+           reach(a, b) AS (
+             SELECT a, a FROM sym
+             UNION
+             SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a
+           ),
+           comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+           SELECT d.doc_id,
+                  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                  d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
+           FROM docs d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
+    )
+    def doc_dup_clusters(spark, sf_dir):
+        """The full near-dup CLUSTERING composition (LSH propose →
+        exact verify → pointer-jumping CC → canonical-per-cluster),
+        gated against an independent recursive-CTE reachability
+        oracle."""
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+        return docops.near_dup_clusters(docs, min_jaccard_x1000=800)
+
+    @_q(
+        "doc_stratified_sample",
+        """SELECT doc_id, lang FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+             CASE lang WHEN 'en' THEN '4ccc' WHEN 'es' THEN '9999'
+                       WHEN 'fr' THEN '9999' WHEN 'de' THEN '9999'
+                       WHEN 'zh' THEN 'g' ELSE '0000' END""",
+    )
+    def doc_stratified_sample(spark, sf_dir):
+        """Deterministic (seedless, resumable) stratified sampling:
+        downsample the dominant language, keep rare ones whole — the
+        md5-threshold predicate is engine-portable by construction."""
+        return docops.stratified_sample(
+            _docs(spark, sf_dir).select("doc_id", "lang"),
+            stratum_col="lang",
+            key_col="doc_id",
+            rates_x1000={"en": 300, "es": 600, "fr": 600, "de": 600, "zh": 1000},
+        )
+
+    @_q(
         "doc_fingerprints",
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ ]+', ' ', 'g'))) AS fingerprint FROM documents",
     )
@@ -1538,18 +1610,22 @@ _TAIL = [
     # kg_triples_full hash-matches EVERY column of the full parse, so a
     # groupBy over pred and a lineage projection add no unique signal
     "kg_pred_counts",
+    # closure op stays gated in-window by kg_sparql_path{,_star}
+    "kg_subclass_closure",
+    # whitespace-normalized md5 fingerprint: the winnowing gate (in-window)
+    # is the stronger fingerprinting signal
+    "doc_fingerprints",
+    # the hyperplane signature is recomputed inside emb_near_dup_pairs (in-window)
+    "emb_lsh_buckets",
     "kg_sha_lineage",
     # the streaming drain gate compares against this same batch window
     # aggregation, so the batch twin adds no unique signal
     "rel_hourly_event_counts",
     # rank-per-group window mechanics also gated by rel_latest_event_per_user
     "rel_top_users_per_event_type",
-    # rank-per-group window mechanics also gated by rel_latest_event_per_user
-    "rel_top_users_per_event_type",
     "kg_bgp_hassection",
     "kg_bgp_canonical",
     "kg_bgp_join",
-    "kg_subclass_closure",  # closure op stays gated by kg_sparql_path{,_star}
     "kg_sparql_filter",
     "kg_sparql_union",
     "kg_sparql_optional",
