@@ -59,10 +59,12 @@ HEADLINE = [
     "stream_hourly_event_counts",
     "kg_sparql_path",
     # r4: aggregates+ORDER/LIMIT, zero-length paths (identity over all
-    # graph terms), and the OWL-RL property-rule fixpoint
+    # graph terms), the OWL-RL property-rule fixpoint, and the full
+    # near-dup clustering composition (LSH → verify → CC → canonical)
     "kg_sparql_agg",
     "kg_sparql_path_star",
     "kg_owlrl_prop_rules",
+    "doc_dup_clusters",
 ]
 
 
