@@ -167,3 +167,14 @@ def test_cax_sco_skips_asserted_vocab_and_thing():
         T(E + "dresden", V.RDF_TYPE, V.OWL + "NamedIndividual"),
     ))
     assert not {t for t in got if t[1] == V.RDF_TYPE}
+
+
+def test_cax_eqc_types_across_equivalence():
+    got = _infer_doc(rows(
+        T(E + "C", OWL + "equivalentClass", E + "D"),
+        T(E + "D", V.RDFS_SUBCLASSOF, E + "Sup"),
+        T(E + "x", V.RDF_TYPE, E + "C"),
+    ))
+    # membership crosses the equivalence AND inherits from there
+    assert (E + "x", V.RDF_TYPE, E + "D", False) in got
+    assert (E + "x", V.RDF_TYPE, E + "Sup", False) in got

@@ -803,3 +803,35 @@ def test_subquery_inherits_outer_prefixes(triples):
         ).collect()
     }
     assert got == {E + "a"}
+
+
+# ---------------------------------------------------------------------------
+# round 4g: bound() / !bound() after OPTIONAL
+# ---------------------------------------------------------------------------
+
+
+def test_not_bound_after_optional(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples,
+            "?x WHERE { ?x e:age ?a . OPTIONAL { ?x e:knows ?y } . FILTER(!bound(?y)) }",
+        ).collect()
+    }
+    assert got == {E + "b", E + "c"}
+
+
+def test_bound_after_optional(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples,
+            "?x WHERE { ?x e:age ?a . OPTIONAL { ?x e:knows ?y } . FILTER(bound(?y)) }",
+        ).collect()
+    }
+    assert got == {E + "a"}
+
+
+def test_bang_without_bound_rejected(triples):
+    with pytest.raises(SparqlError, match="only !bound"):
+        _q(triples, "?x WHERE { ?x e:age ?a . FILTER(!regex(?a, \"3\")) }")

@@ -354,10 +354,16 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
             if not il and not o.startswith("_:") and rng not in types.get(o, ()):
                 inferred.add((o, V.RDF_TYPE, rng, False))
 
-    # ---- type inheritance: cax-sco ----------------------------------
+    # ---- type inheritance: cax-sco + cax-eqc ------------------------
     # asserted types plus everything this pass inferred, lifted through
-    # the named-subclass closure; owl:/rdf: vocabulary classes are not
-    # user classes and stay out
+    # the named-subclass closure AND across named equivalences (C ≡ D
+    # share members, and an equivalent of a subclass inherits upward
+    # too); owl:/rdf: vocabulary classes are not user classes and stay
+    # out
+    eq_adj: Dict[str, Set[str]] = {}
+    for a, b in named_eq:
+        eq_adj.setdefault(a, set()).add(b)
+        eq_adj.setdefault(b, set()).add(a)
     all_types: Dict[str, Set[str]] = {x: set(ts) for x, ts in types.items()}
     for s2, p2, o2, _il in inferred:
         if p2 == V.RDF_TYPE:
@@ -369,7 +375,7 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
         frontier = [c for c in ts]
         while frontier:
             c = frontier.pop()
-            for up in sub.get(c, ()):
+            for up in (*sub.get(c, ()), *eq_adj.get(c, ())):
                 if up not in closed and up not in ts:
                     closed.add(up)
                     frontier.append(up)

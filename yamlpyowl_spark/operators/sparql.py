@@ -89,7 +89,7 @@ _TOKEN_RE = re.compile(
         \?(?P<var>\w+) | (?P<qmark>\?) | <(?P<iri>[^<>\s]+)> |
         "(?P<lit>(?:[^"\\]|\\.)*)" |
         (?P<num>-?\d+(?:\.\d+)?) |
-        (?P<op>!=|<=|>=|=|<|>|&&) |
+        (?P<op>!=|<=|>=|=|<|>|&&) | (?P<bang>!) |
         (?P<arith>[+*/-]) | (?P<comma>,) | (?P<alt>\|) | (?P<caret>\^) |
         (?P<pname>\w*:\w+) |
         (?P<ident>[A-Za-z_]\w*) |
@@ -294,7 +294,18 @@ class _Parser:
         comps = []
         while True:
             tok = self.next()
-            if _kind(tok) == "ident" and tok.group("ident").lower() == "regex":
+            negated = False
+            if _kind(tok) == "bang":
+                negated = True
+                tok = self.next()
+            if _kind(tok) == "ident" and tok.group("ident").lower() == "bound":
+                self.expect("lparen")
+                var_tok = self.expect("var")
+                self.expect("rparen")
+                comps.append(("bound", "?" + var_tok.group("var"), not negated))
+            elif negated:
+                raise SparqlError("`!` supports only !bound(?var)")
+            elif _kind(tok) == "ident" and tok.group("ident").lower() == "regex":
                 self.expect("lparen")
                 var_tok = self.next()
                 if _kind(var_tok) != "var":
@@ -810,6 +821,13 @@ def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> D
             if positive != nonempty:
                 df = df.limit(0)
     for comp in filters:
+        if comp[0] == "bound":
+            _, var, positive = comp
+            if var[1:] not in df.columns:
+                raise SparqlError(f"FILTER bound() on never-bound variable {var}")
+            col = F.col(var[1:])
+            df = df.filter(col.isNotNull() if positive else col.isNull())
+            continue
         if comp[0] == "regex":
             _, var, pat = comp
             if var[1:] not in df.columns:
