@@ -377,6 +377,7 @@ def _eval_template(
     types: DataFrame,
     delta: DataFrame = None,
     types_delta: DataFrame = None,
+    live_positions: list = None,
 ) -> DataFrame:
     """One join pipeline evaluating EVERY rule of this template across
     all documents at once; rule slots ride along as columns.
@@ -395,6 +396,7 @@ def _eval_template(
             _eval_template_once(key, body, head, n_slots, rules, facts, types, delta, j)
             for j, a in enumerate(body)
             if a[0] == "prop"
+            and (live_positions is None or j in live_positions)
         ]
         if types_delta is not None:
             outs.extend(
@@ -406,8 +408,10 @@ def _eval_template(
                 if a[0] == "cls"
             )
         if not outs:
-            # body is all class atoms and no template infers types
-            # (types_delta is None): nothing can re-trigger this rule
+            # either the body is all class atoms with no type-inferring
+            # template in play (types_delta is None), or relevance
+            # filtering proved every delta-position plan empty:
+            # nothing can re-trigger this rule this round
             return _eval_template_once(
                 key, body, head, n_slots, rules, facts, types, None, -1
             ).limit(0)
@@ -603,6 +607,32 @@ def forward_chain(
             cond = eq if cond is None else cond & eq
         return aa.join(bb, cond, "left_anti").select(*fact_cols)
 
+    # driver-side relevance index (r4, datalog relevance filtering):
+    # for each (template, prop-atom position), the set of predicate
+    # IRIs any rule of that template binds at that slot. One bounded
+    # job — the result is ≤ #templates × #distinct properties rows no
+    # matter the corpus size. In rounds ≥ 1 a delta-position plan whose
+    # atom cannot bind ANY delta predicate is provably empty (the plan
+    # joins that atom against the delta on pred = slot), so it is
+    # skipped instead of scheduled.
+    atom_preds: dict = {}
+    if templates:
+        rel = None
+        for k in templates:
+            tbody, _th, _tn = _parse_template(k)
+            for j, a in enumerate(tbody):
+                if a[0] == "prop":
+                    one = (
+                        rules.filter(f"template_key = '{k}'")
+                        .selectExpr(f"slots[{a[1]}] AS p")
+                        .distinct()
+                        .selectExpr(f"'{k}' AS k", f"{j} AS j", "p")
+                    )
+                    rel = one if rel is None else rel.unionByName(one)
+        if rel is not None:
+            for r in rel.collect():
+                atom_preds.setdefault((r["k"], r["j"]), set()).add(r["p"])
+
     # semi-naive: round 1 seeds with a full evaluation; later rounds
     # re-join only bindings touching at least one new fact (property
     # atoms read the facts delta) or one new closed type (class atoms
@@ -614,11 +644,29 @@ def forward_chain(
     types_delta = None
     inferred_acc = None
     for rnd in range(max_iter):
-        outs = []
-        for k in templates:
-            d = None if rnd == 0 else delta
-            td = None if rnd == 0 else types_delta
-            outs.append(_eval_template(k, rules, facts, types, delta=d, types_delta=td))
+        if rnd == 0:
+            outs = [
+                _eval_template(k, rules, facts, types, delta=None, types_delta=None)
+                for k in templates
+            ]
+        else:
+            # delta is checkpointed and small; its distinct predicates
+            # drive the per-atom relevance skip
+            delta_preds = {r[0] for r in delta.select("pred").distinct().collect()}
+            outs = []
+            for k in templates:
+                live = [
+                    j
+                    for (tk, j), preds in atom_preds.items()
+                    if tk == k and preds & delta_preds
+                ]
+                outs.append(
+                    _eval_template(
+                        k, rules, facts, types,
+                        delta=delta, types_delta=types_delta,
+                        live_positions=live,
+                    )
+                )
         new = reduce(lambda a, c: a.unionByName(c), outs).distinct()
         delta = _minus(new, facts).localCheckpoint()
         if delta.isEmpty():
@@ -638,6 +686,10 @@ def forward_chain(
                 .localCheckpoint()
             )
             types = types.unionByName(types_delta)
+            if types_delta.isEmpty():
+                # no new closed types: class-atom delta plans would all
+                # be empty — skip scheduling them next round
+                types_delta = None
         else:
             types_delta = None
 
