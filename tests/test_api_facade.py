@@ -167,6 +167,32 @@ def test_write_side_mutation_reason_save(spark, tmp_path):
     assert len(read_rdfxml(owl)) == n_written
 
 
+def test_make_query_literal_embedding_base_iri_not_mangled(spark):
+    # r4 verdict "What's wrong" #1: make_query's result mapping used
+    # .replace(self.iri, ""), which strips EVERY occurrence of the base
+    # IRI — a literal merely containing it mid-string came back mangled
+    om = OntologyManager(
+        "- iri: https://x#\n"
+        "- owl_class:\n"
+        "    A:\n"
+        '      SubClassOf: "owl:Thing"\n'
+        "- owl_data_property:\n"
+        "    note:\n"
+        "      Domain: A\n"
+        "      Range: str\n"
+        "- owl_individual:\n"
+        "    a1:\n"
+        "      types: [A]\n"
+        "- property_facts:\n"
+        "    note:\n"
+        "      Facts:\n"
+        "        - a1: docs at https://x#intro here\n",
+        spark,
+    )
+    q = "PREFIX P: <https://x#> SELECT ?v WHERE { P:a1 P:note ?v . }"
+    assert om.make_query(q) == {"docs at https://x#intro here"}
+
+
 def test_mutation_rejects_unknowns(om):
     with pytest.raises(ValueError, match="not a declared property"):
         om.add_fact("saxony", "nosuchprop", "x")

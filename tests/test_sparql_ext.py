@@ -738,6 +738,32 @@ def test_graph_var_path_rejected(quads):
         )
 
 
+def test_exists_scoped_to_active_graph(quads):
+    # EXISTS inside GRAPH ?g must only see the active graph's triples:
+    # a-p-b lives in g1 but a-q-d lives in g2, so EXISTS { ?s e:q ?d }
+    # is false for (g1, a) — the unscoped (pre-r5) compile matched it
+    # across all graphs
+    got = make_query(
+        quads,
+        f"PREFIX e: <{E}> SELECT ?g ?s WHERE "
+        f"{{ GRAPH ?g {{ ?s e:p ?o . FILTER EXISTS {{ ?s e:q ?d }} }} }}",
+    ).collect()
+    assert got == []
+
+
+def test_not_exists_scoped_to_active_graph(quads):
+    # the dual: NOT EXISTS keeps (g1, a) because g1 has no a-q-* triple
+    got = {
+        tuple(r)
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?g ?s WHERE "
+            f"{{ GRAPH ?g {{ ?s e:p ?o . FILTER NOT EXISTS {{ ?s e:q ?d }} }} }}",
+        ).collect()
+    }
+    assert got == {(E + "g1", E + "a"), (E + "g2", E + "b")}
+
+
 def test_graph_constant_path_allowed(quads):
     got = {
         r[0]

@@ -408,8 +408,11 @@ class OntologyManager:
         returns a set of entities, core.py:1321-1340)."""
         df = _make_query(self.triples, sparql_src)
         if len(df.columns) == 1:
+            # prefix-strip ONCE (same rule as _resolve_ref): replace()
+            # would mangle an IRI that embeds the base IRI mid-string
             return {
-                r[0].replace(self.iri, "") if isinstance(r[0], str) else r[0]
+                (r[0][len(self.iri):] if r[0].startswith(self.iri) else r[0])
+                if isinstance(r[0], str) else r[0]
                 for r in df.collect()
             }
         return {tuple(r) for r in df.collect()}

@@ -805,7 +805,11 @@ def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> D
     if df is None:
         raise SparqlError("empty graph pattern")
     for g, positive in exists_filters:
-        sub = _compile(triples, g)
+        # thread graph_var through: under GRAPH ?g the EXISTS pattern
+        # must be scoped to the active graph, so the graph-binding
+        # column joins with the outer frame's instead of matching
+        # across all named graphs
+        sub = _compile(triples, g, graph_var=graph_var)
         shared = [c for c in sub.columns if c in df.columns]
         if shared:
             # dialect note: bindings join on the shared variables

@@ -411,10 +411,10 @@ def _eval_template(
             # either the body is all class atoms with no type-inferring
             # template in play (types_delta is None), or relevance
             # filtering proved every delta-position plan empty:
-            # nothing can re-trigger this rule this round
-            return _eval_template_once(
-                key, body, head, n_slots, rules, facts, types, None, -1
-            ).limit(0)
+            # nothing can re-trigger this rule this round — return None
+            # so the caller skips it (building even a limit(0) plan
+            # costs py4j round-trips and optimizer time per round)
+            return None
         return reduce(lambda a, c: a.unionByName(c), outs)
     return _eval_template_once(key, body, head, n_slots, rules, facts, types, None, -1)
 
@@ -617,21 +617,27 @@ def forward_chain(
     # skipped instead of scheduled.
     atom_preds: dict = {}
     if templates:
-        rel = None
-        for k in templates:
-            tbody, _th, _tn = _parse_template(k)
+        # ONE distinct scan of the (checkpointed) rules table; the slot
+        # extraction per template shape happens driver-side on the
+        # bounded distinct-rule set (r4 built this as a union of one
+        # filter-scan per prop atom — ~2× the whole index's cost in
+        # scheduling alone)
+        shapes = {k: _parse_template(k)[0] for k in templates}
+        distinct_rules = (
+            rules.filter(F.col("template_key") != _INVALID)
+            .select("template_key", "slots")
+            .distinct()
+            .collect()
+        )
+        for r in distinct_rules:
+            tbody = shapes.get(r["template_key"])
+            if tbody is None:
+                continue
             for j, a in enumerate(tbody):
                 if a[0] == "prop":
-                    one = (
-                        rules.filter(f"template_key = '{k}'")
-                        .selectExpr(f"slots[{a[1]}] AS p")
-                        .distinct()
-                        .selectExpr(f"'{k}' AS k", f"{j} AS j", "p")
+                    atom_preds.setdefault((r["template_key"], j), set()).add(
+                        r["slots"][a[1]]
                     )
-                    rel = one if rel is None else rel.unionByName(one)
-        if rel is not None:
-            for r in rel.collect():
-                atom_preds.setdefault((r["k"], r["j"]), set()).add(r["p"])
 
     # semi-naive: round 1 seeds with a full evaluation; later rounds
     # re-join only bindings touching at least one new fact (property
@@ -641,6 +647,7 @@ def forward_chain(
     # type closure incrementally, so round cost tracks |delta| for all
     # template shapes).
     delta = facts
+    delta_preds: set = set()
     types_delta = None
     inferred_acc = None
     for rnd in range(max_iter):
@@ -650,9 +657,9 @@ def forward_chain(
                 for k in templates
             ]
         else:
-            # delta is checkpointed and small; its distinct predicates
-            # drive the per-atom relevance skip
-            delta_preds = {r[0] for r in delta.select("pred").distinct().collect()}
+            # delta_preds was computed by the SAME action that
+            # materialized the delta checkpoint (below) — no extra
+            # driver round-trip per round (the r4 regression)
             outs = []
             for k in templates:
                 live = [
@@ -660,16 +667,24 @@ def forward_chain(
                     for (tk, j), preds in atom_preds.items()
                     if tk == k and preds & delta_preds
                 ]
-                outs.append(
-                    _eval_template(
-                        k, rules, facts, types,
-                        delta=delta, types_delta=types_delta,
-                        live_positions=live,
-                    )
+                out = _eval_template(
+                    k, rules, facts, types,
+                    delta=delta, types_delta=types_delta,
+                    live_positions=live,
                 )
+                if out is not None:
+                    outs.append(out)
+            if not outs:
+                # every template is provably dead this round
+                break
         new = reduce(lambda a, c: a.unionByName(c), outs).distinct()
-        delta = _minus(new, facts).localCheckpoint()
-        if delta.isEmpty():
+        # lazy checkpoint: the collect_set action materializes the
+        # checkpoint AND returns the delta's predicate set in ONE job
+        # (pred is never NULL, so empty set <=> empty delta) — replaces
+        # r3's checkpoint+isEmpty pair and r4's extra distinct+collect
+        delta = _minus(new, facts).localCheckpoint(eager=False)
+        delta_preds = set(delta.agg(F.collect_set("pred")).head()[0])
+        if not delta_preds:
             break
         # facts/types are unions of already-checkpointed frames: lineage
         # stays depth-1 without their own checkpoint jobs (2 fewer
@@ -683,12 +698,13 @@ def forward_chain(
             types_delta = (
                 _closed_types(delta, closure)
                 .join(types, ["doc_iri", "inst", "cls"], "left_anti")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             types = types.unionByName(types_delta)
-            if types_delta.isEmpty():
-                # no new closed types: class-atom delta plans would all
-                # be empty — skip scheduling them next round
+            if types_delta.count() == 0:
+                # one action: materializes the lazy checkpoint and
+                # answers emptiness. No new closed types: class-atom
+                # delta plans would all be empty — skip them next round
                 types_delta = None
         else:
             types_delta = None
