@@ -178,3 +178,95 @@ def test_cax_eqc_types_across_equivalence():
     # membership crosses the equivalence AND inherits from there
     assert (E + "x", V.RDF_TYPE, E + "D", False) in got
     assert (E + "x", V.RDF_TYPE, E + "Sup", False) in got
+
+
+# ---------------------------------------------------------------------------
+# round 5: prp-spo2 (property chains) + cax-sco over inferred subclass edges
+# ---------------------------------------------------------------------------
+
+
+def _chain(p, *steps):
+    """RDF-encode `p owl:propertyChainAxiom (steps...)`."""
+    out = [T(p, OWL + "propertyChainAxiom", "_:c0")]
+    for i, s in enumerate(steps):
+        out.append(("_:c%d" % i, V.RDF + "first", s, False))
+        rest = "_:c%d" % (i + 1) if i + 1 < len(steps) else V.RDF_NIL
+        out.append(("_:c%d" % i, V.RDF + "rest", rest, False))
+    return out
+
+
+def test_prp_spo2_two_step_chain():
+    # uncle: brother ∘ father⁻¹?  keep it simple: hasGrandparent =
+    # hasParent ∘ hasParent
+    got = _infer_doc(rows(
+        *_chain(E + "hasGrandparent", E + "hasParent", E + "hasParent"),
+        T(E + "a", E + "hasParent", E + "b"),
+        T(E + "b", E + "hasParent", E + "c"),
+        T(E + "b", E + "hasParent", E + "d"),
+    ))
+    gp = {(s, o) for s, p, o, _ in got if p == E + "hasGrandparent"}
+    assert gp == {(E + "a", E + "c"), (E + "a", E + "d")}
+
+
+def test_prp_spo2_three_step_chain():
+    got = _infer_doc(rows(
+        *_chain(E + "ggp", E + "hasParent", E + "hasParent", E + "hasParent"),
+        T(E + "a", E + "hasParent", E + "b"),
+        T(E + "b", E + "hasParent", E + "c"),
+        T(E + "c", E + "hasParent", E + "d"),
+    ))
+    assert (E + "a", E + "ggp", E + "d", False) in got
+
+
+def test_prp_spo2_composes_with_other_rules_in_fixpoint():
+    # the chain consumes facts produced by prp-inv: q = inverse of p,
+    # chain r = q ∘ q fires over INFERRED q edges
+    got = _infer_doc(rows(
+        *_chain(E + "r", E + "q", E + "q"),
+        T(E + "p", V.OWL_INVERSE_OF, E + "q"),
+        T(E + "a", E + "p", E + "b"),
+        T(E + "b", E + "p", E + "c"),
+    ))
+    # inv: c-q-b, b-q-a → chain: c-r-a
+    assert (E + "c", E + "r", E + "a", False) in got
+
+
+def test_prp_spo2_chain_then_transitive():
+    # facts produced by a chain feed a transitive target property
+    got = _infer_doc(rows(
+        *_chain(E + "anc", E + "hasParent", E + "hasParent"),
+        T(E + "anc", V.RDF_TYPE, V.OWL_TRANSITIVE),
+        T(E + "a", E + "hasParent", E + "b"),
+        T(E + "b", E + "hasParent", E + "c"),
+        T(E + "c", E + "hasParent", E + "d"),
+        T(E + "d", E + "hasParent", E + "e"),
+    ))
+    anc = {(s, o) for s, p, o, _ in got if p == E + "anc"}
+    # chain gives a-c, b-d, c-e; transitivity composes a-e
+    assert {(E + "a", E + "c"), (E + "b", E + "d"), (E + "c", E + "e"),
+            (E + "a", E + "e")} <= anc
+
+
+def test_prp_spo2_literals_never_chain():
+    got = _infer_doc(rows(
+        *_chain(E + "r", E + "p", E + "q"),
+        T(E + "a", E + "p", E + "b"),
+        T(E + "b", E + "q", "lit", True),
+    ))
+    assert not {t for t in got if t[1] == E + "r"}
+
+
+def test_cax_sco_lifts_through_inferred_subclass_edge():
+    # domain subsumption infers C ⊑ D (C ≡ ∃p.Thing, domain(p)=D);
+    # an individual typed C must then ALSO be typed D (r4 advice #4:
+    # inferred subclass edges join the closure graph)
+    got = _infer_doc(rows(
+        T(E + "C", OWL + "equivalentClass", "_:r0"),
+        ("_:r0", OWL + "onProperty", E + "p", False),
+        ("_:r0", OWL + "someValuesFrom", OWL + "Thing", False),
+        T(E + "p", V.RDFS_DOMAIN, E + "D"),
+        T(E + "x", V.RDF_TYPE, E + "C"),
+        T(E + "x", V.RDF_TYPE, OWL + "NamedIndividual"),
+    ))
+    assert (E + "C", V.RDFS_SUBCLASSOF, E + "D", False) in got
+    assert (E + "x", V.RDF_TYPE, E + "D", False) in got

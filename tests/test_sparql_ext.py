@@ -670,6 +670,58 @@ def test_filter_not_without_exists_rejected(triples):
 
 
 # ---------------------------------------------------------------------------
+# round 5: DESCRIBE
+# ---------------------------------------------------------------------------
+
+
+def test_describe_constant(triples):
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in make_query(triples, f"DESCRIBE <{E}a>").collect()
+    }
+    assert got == {
+        (E + "a", E + "age", "30"),
+        (E + "a", E + "knows", E + "b"),
+        (E + "a", E + "name", "alice"),
+    }
+
+
+def test_describe_var_where(triples):
+    # every subject that knows someone → all of a's triples
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in _mq(triples, "DESCRIBE ?x WHERE { ?x e:knows ?y }").collect()
+    }
+    assert {s for s, _, _ in got} == {E + "a"}
+    assert len(got) == 3
+
+
+def test_describe_mixed_and_multiple(triples):
+    got = {
+        r["subj"]
+        for r in _mq(
+            triples, f"DESCRIBE <{E}c> ?x WHERE {{ ?x e:likes ?y }}"
+        ).collect()
+    }
+    # b likes c; c has an age triple
+    assert got == {E + "b", E + "c"}
+
+
+def test_describe_var_without_where_rejected(triples):
+    with pytest.raises(SparqlError, match="WHERE pattern"):
+        make_query(triples, "DESCRIBE ?x")
+
+
+def test_describe_unbound_var_rejected(triples):
+    with pytest.raises(SparqlError, match="never bound"):
+        _mq(triples, "DESCRIBE ?z WHERE { ?x e:knows ?y }")
+
+
+def _mq(triples, src):
+    return make_query(triples, f"PREFIX e: <{E}> {src}")
+
+
+# ---------------------------------------------------------------------------
 # round 4e: GRAPH (quad-store semantics over doc_iri)
 # ---------------------------------------------------------------------------
 
@@ -858,6 +910,192 @@ def test_bound_after_optional(triples):
     assert got == {E + "a"}
 
 
-def test_bang_without_bound_rejected(triples):
-    with pytest.raises(SparqlError, match="only !bound"):
-        _q(triples, "?x WHERE { ?x e:age ?a . FILTER(!regex(?a, \"3\")) }")
+def test_bang_negates_any_boolean(triples):
+    # r5: `!` generalized from !bound-only to any boolean sub-expression
+    got = {
+        r[0]
+        for r in _q(
+            triples, "?x WHERE { ?x e:age ?a . FILTER(!regex(?a, \"3\")) }"
+        ).collect()
+    }
+    # ages: a=30, b=7, c=45 — regex "3" matches only "30"
+    assert got == {E + "b", E + "c"}
+
+
+# ---------------------------------------------------------------------------
+# round 5: FILTER expression functions — ||, IN, STR/LANG/DATATYPE,
+# isIRI/isLiteral/isBlank, arithmetic operands
+# ---------------------------------------------------------------------------
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def test_filter_or(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, "?x WHERE { ?x e:age ?a . FILTER(?a < 10 || ?a > 40) }"
+        ).collect()
+    }
+    assert got == {E + "b", E + "c"}
+
+
+def test_filter_or_and_precedence(triples):
+    # && binds tighter than ||: (a<10) || (a>20 && a<40) → b and a
+    got = {
+        r[0]
+        for r in _q(
+            triples,
+            "?x WHERE { ?x e:age ?a . FILTER(?a < 10 || ?a > 20 && ?a < 40) }",
+        ).collect()
+    }
+    assert got == {E + "a", E + "b"}
+
+
+def test_filter_parenthesized_boolean(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples,
+            "?x WHERE { ?x e:age ?a . FILTER((?a < 10 || ?a > 40) && ?a != \"45\") }",
+        ).collect()
+    }
+    assert got == {E + "b"}
+
+
+def test_filter_in(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, '?x WHERE { ?x e:age ?a . FILTER(?a IN ("7", "30")) }'
+        ).collect()
+    }
+    assert got == {E + "a", E + "b"}
+
+
+def test_filter_not_in(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, '?x WHERE { ?x e:age ?a . FILTER(?a NOT IN ("7", "30")) }'
+        ).collect()
+    }
+    assert got == {E + "c"}
+
+
+def test_filter_in_iris(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, "?x WHERE { ?x e:knows ?y . FILTER(?y IN (e:b, e:c)) }"
+        ).collect()
+    }
+    assert got == {E + "a"}
+
+
+def test_filter_str(triples):
+    # STR() is the identity over our term representation — works on IRIs
+    got = {
+        r[0]
+        for r in _q(
+            triples, '?x WHERE { ?x e:knows ?y . FILTER(STR(?y) = "' + E + 'b") }'
+        ).collect()
+    }
+    assert got == {E + "a"}
+
+
+def test_filter_lang_empty(triples):
+    # no language-tagged literals exist in this dialect: LANG() = ""
+    got = {
+        r[0]
+        for r in _q(
+            triples, '?x WHERE { ?x e:name ?n . FILTER(LANG(?n) = "") }'
+        ).collect()
+    }
+    assert got == {E + "a"}
+
+
+def test_filter_datatype_plain_literal_is_xsd_string(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples,
+            f'?x WHERE {{ ?x e:name ?n . FILTER(DATATYPE(?n) = <{XSD}string>) }}',
+        ).collect()
+    }
+    assert got == {E + "a"}
+
+
+def test_filter_datatype_of_iri_is_type_error(triples):
+    # DATATYPE of an IRI is a SPARQL type error: the row drops out
+    got = _q(
+        triples,
+        f'?x WHERE {{ ?x e:knows ?y . FILTER(DATATYPE(?y) = <{XSD}string>) }}',
+    ).collect()
+    assert got == []
+
+
+def test_filter_is_literal_and_is_iri(triples):
+    lits = {
+        tuple(r)
+        for r in _q(
+            triples, "?x ?o WHERE { ?x e:age ?o . FILTER(isLiteral(?o)) }"
+        ).collect()
+    }
+    assert len(lits) == 3
+    iris = {
+        r[0]
+        for r in _q(triples, "?y WHERE { ?x e:knows ?y . FILTER(isIRI(?y)) }").collect()
+    }
+    assert iris == {E + "b"}
+    none = _q(triples, "?o WHERE { ?x e:age ?o . FILTER(isIRI(?o)) }").collect()
+    assert none == []
+
+
+def test_filter_unparenthesized_builtin(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, '?x WHERE { ?x e:name ?n . FILTER regex(?n, "^ali") }'
+        ).collect()
+    }
+    assert got == {E + "a"}
+
+
+def test_filter_arithmetic_operand(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, "?x WHERE { ?x e:age ?a . FILTER(?a * 2 > 80) }"
+        ).collect()
+    }
+    assert got == {E + "c"}
+
+
+def test_filter_arithmetic_parenthesized_lhs(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, "?x WHERE { ?x e:age ?a . FILTER((?a + 5) / 2 > 20) }"
+        ).collect()
+    }
+    assert got == {E + "c"}
+
+
+def test_filter_metadata_needs_object_binding(triples):
+    with pytest.raises(SparqlError, match="object position"):
+        _q(triples, "?x WHERE { ?x e:age ?a . FILTER(isLiteral(?x)) }")
+
+
+def test_filter_metadata_not_a_join_key(triples):
+    # the same variable bound in two object positions must still join
+    # on the term alone — companion metadata stays off the join keys
+    got = {
+        r[0]
+        for r in _q(
+            triples,
+            "?y WHERE { e:a e:knows ?y . ?b e:likes ?c . "
+            "FILTER(isIRI(?y) && isIRI(?c)) }",
+        ).collect()
+    }
+    assert got == {E + "b"}

@@ -81,7 +81,8 @@ UNSUPPORTED_DL_PREDS = frozenset(
         "minQualifiedCardinality",
         "maxQualifiedCardinality",
         "onClass",
-        "propertyChainAxiom",
+        # propertyChainAxiom: handled by owlrl prp-spo2 (r5) — no
+        # longer flagged here
         "hasSelf",
         "disjointWith",
         "propertyDisjointWith",

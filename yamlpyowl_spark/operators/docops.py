@@ -390,11 +390,28 @@ def near_dup_clusters(docs: DataFrame, min_jaccard_x1000: int = 800) -> DataFram
     fall out as their own singleton cluster via the final left join.
 
     doc ids travel through CC zero-padded to 20 digits so the
-    operator's string-ordered min-label equals numeric min."""
+    operator's string-ordered min-label equals numeric min; a doc id
+    that is not a non-negative integer would break that invariant
+    (NULL pad → corrupted CC labels, negative → lexical ≠ numeric
+    min), so such ids raise at execution time instead."""
     from .cc import connected_components
 
     pairs = jaccard_on_pairs(docs, lsh_candidate_pairs(docs), min_jaccard_x1000)
-    pad = lambda c: F.format_string("%020d", F.col(c).cast("bigint"))
+
+    def pad(c):
+        v = F.col(c).cast("bigint")
+        return F.when(
+            v.isNull() | (v < 0),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "near_dup_clusters needs non-negative integer "
+                        "doc ids, got: "
+                    ),
+                    F.col(c).cast("string"),
+                )
+            ),
+        ).otherwise(F.format_string("%020d", v))
     comp = connected_components(
         pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
     ).select(

@@ -15,9 +15,11 @@ TestCore2 observes beyond SWRL chaining and the OneOf CSP
   ``C ⊑ D`` — every member of C has a p-value, hence is in p's
   domain. Or-expressions require EVERY disjunct to yield the same
   domain; And-expressions any conjunct;
-* **property rules** (prp-trp / prp-symp / prp-inv / prp-spo1), run
-  to a joint fixpoint so they compose (e.g. an inverse of a
-  transitive property receives the full transposed closure):
+* **property rules** (prp-trp / prp-symp / prp-inv / prp-spo1 /
+  prp-spo2), run to a joint fixpoint so they compose (e.g. an inverse
+  of a transitive property receives the full transposed closure;
+  ``p owl:propertyChainAxiom (p1 ... pn)`` composes entity facts
+  along the chain — p1(x,u1), ..., pn(u_{n-1},y) ⇒ p(x,y)):
   ``TransitiveProperty(p), p(x,y), p(y,z)`` ⇒ ``p(x,z)``;
   ``SymmetricProperty(p), p(x,y)`` ⇒ ``p(y,x)``;
   ``inverseOf(p,q), p(x,y)`` ⇒ ``q(y,x)`` (both directions);
@@ -112,6 +114,7 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
     individuals: Set[str] = set()
     inv_pairs: List[Tuple[str, str]] = []
     subprop: Dict[str, Set[str]] = {}
+    chains: List[Tuple[str, List[str]]] = []
 
     for (s, p), objs in m.spo.items():
         if p == V.RDF_TYPE:
@@ -148,6 +151,14 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
             for o, il in objs:
                 if not o.startswith("_:"):
                     subprop.setdefault(s, set()).add(o)
+        elif p == OWL + "propertyChainAxiom" and not s.startswith("_:"):
+            for o, il in objs:
+                if o.startswith("_:"):
+                    chain = m.rdf_list(o)
+                    if len(chain) >= 2 and not any(
+                        c.startswith("_:") for c in chain
+                    ):
+                        chains.append((s, chain))
         elif not s.startswith("_:") and not p.startswith("_:"):
             for o, il in objs:
                 facts.setdefault(p, set()).add((s, o))
@@ -285,12 +296,35 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
                     frontier.append(up)
         subprop_closed[p0] = seen
 
-    if trans or sym or inv_pairs or subprop_closed:
+    if trans or sym or inv_pairs or subprop_closed or chains:
         asserted = {p: set(v) for p, v in pf.items()}
         changed, rounds = True, 0
         while changed and rounds < 64:
             rounds += 1
             changed = False
+            # prp-spo2: p1(x,u1) ∧ ... ∧ pn(u_{n-1},y) ⇒ p(x,y) —
+            # object-property chains over entity facts, inside the
+            # joint fixpoint so chains compose with trans/symp/inv/spo1
+            for p0, chain in chains:
+                cur = [(s2, o2) for s2, o2, il2 in pf.get(chain[0], ()) if not il2]
+                for step in chain[1:]:
+                    if not cur:
+                        break
+                    by_src: Dict[str, List[str]] = {}
+                    for s2, o2, il2 in pf.get(step, ()):
+                        if not il2:
+                            by_src.setdefault(s2, []).append(o2)
+                    cur = [
+                        (s1, o3)
+                        for s1, o2 in cur
+                        for o3 in by_src.get(o2, ())
+                    ]
+                if cur:
+                    tgt = pf.setdefault(p0, set())
+                    new = {(s1, o1, False) for s1, o1 in cur} - tgt
+                    if new:
+                        tgt |= new
+                        changed = True
             for p1, sups in subprop_closed.items():
                 for fact in list(pf.get(p1, ())):
                     for p2 in sups:
@@ -364,6 +398,14 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
     for a, b in named_eq:
         eq_adj.setdefault(a, set()).add(b)
         eq_adj.setdefault(b, set()).add(a)
+    # the closure graph must include subClassOf edges inferred EARLIER
+    # in this pass (domain subsumption adds C ⊑ D to `inferred`, not
+    # `sub`) — otherwise members typed C miss D, an incompleteness
+    # relative to Pellet's joint fixpoint (r4 advice #4)
+    sub_all: Dict[str, Set[str]] = {c: set(v) for c, v in sub.items()}
+    for s2, p2, o2, _il in inferred:
+        if p2 == V.RDFS_SUBCLASSOF and not o2.startswith("_:"):
+            sub_all.setdefault(s2, set()).add(o2)
     all_types: Dict[str, Set[str]] = {x: set(ts) for x, ts in types.items()}
     for s2, p2, o2, _il in inferred:
         if p2 == V.RDF_TYPE:
@@ -375,7 +417,7 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
         frontier = [c for c in ts]
         while frontier:
             c = frontier.pop()
-            for up in (*sub.get(c, ()), *eq_adj.get(c, ())):
+            for up in (*sub_all.get(c, ()), *eq_adj.get(c, ())):
                 if up not in closed and up not in ts:
                     closed.add(up)
                     frontier.append(up)

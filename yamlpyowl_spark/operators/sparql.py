@@ -4,15 +4,18 @@ The reference's query surface is ``make_query(sparql)`` evaluated by
 rdflib over its quadstore (core.py:1321-1340); its own tests use
 PREFIX + one/two-pattern SELECT BGPs (tests/test_core.py:124-144).
 This module parses that subset plus the next-most-common SPARQL
-constructs — ``FILTER`` (var-const and var-var comparisons plus
-``regex()``, ``&&``-conjoined), ``UNION``, ``OPTIONAL``, ``MINUS``,
+constructs — ``FILTER`` (boolean expressions over ``||``/``&&``/``!``,
+comparisons with arithmetic operands, ``IN``/``NOT IN``, ``bound()``,
+``regex()``, ``isIRI()``/``isURI()``/``isLiteral()``/``isBlank()``,
+and the ``STR()``/``LANG()``/``DATATYPE()`` accessors), ``UNION``,
+``OPTIONAL``, ``MINUS``,
 ``VALUES`` (single-var and tuple forms), simple ``BIND``, property
 paths (``p+`` one-or-more, ``p*`` zero-or-more, ``p?`` zero-or-one,
 ``^p`` inverse, ``p1|p2`` alternation incl. ``(p1|p2)+``, and ``p1/p2``
 sequences), aggregates (``(COUNT|SUM|MIN|MAX|AVG)(?v)``, ``COUNT(*)``,
 ``COUNT(DISTINCT ?v)``) with ``GROUP BY``, the ``ORDER BY`` /
 ``LIMIT`` / ``OFFSET`` / ``HAVING`` solution modifiers, and the
-``ASK`` / ``CONSTRUCT`` query forms, ``FILTER (NOT) EXISTS``
+``ASK`` / ``CONSTRUCT`` / ``DESCRIBE`` query forms, ``FILTER (NOT) EXISTS``
 (left-semi / left-anti join on the shared variables), and ``GRAPH``
 (the triples table is a quad store keyed by ``doc_iri``: a constant
 graph IRI is a pushdown-friendly filter; ``GRAPH ?g`` binds
@@ -36,7 +39,15 @@ double (non-numeric values become NULL and are skipped, as in SQL);
 ``MIN``/``MAX``/``ORDER BY`` compare lexical forms unless the column
 is already numeric (an aggregate alias). Zero-length paths match the
 identity over all terms of the graph plus any constant endpoint of
-the path, per SPARQL 1.1 §9.3.
+the path, per SPARQL 1.1 §9.3. ``STR()`` is the identity (terms ARE
+their lexical form / IRI string here); ``LANG()`` is ``""`` (the YAML
+dialect has no language-tagged literals); ``DATATYPE()`` is
+``xsd:string`` for plain literals and NULL (a type error — the row
+drops out of any comparison) for IRIs and blank nodes; ``IN``
+compares lexical forms. ``DATATYPE()``/``isIRI()``/``isLiteral()``
+need their variable bound in object position of a triple pattern in
+the same group (term metadata rides on hidden companion columns bound
+at that site; they never become join keys).
 
 Still-unsupported SPARQL (SERVICE, property paths or subqueries
 under ``GRAPH ?var``) raises — loudly, not wrongly.
@@ -58,6 +69,9 @@ _SELECT_RE = re.compile(
 )
 _UNSUPPORTED = re.compile(r"\bSERVICE\b", re.IGNORECASE)
 _ASK_RE = re.compile(r"^ASK\s*\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL)
+_DESCRIBE_RE = re.compile(
+    r"^DESCRIBE\s+(.+?)(?:\s+WHERE\s*\{(.*)\})?\s*$", re.IGNORECASE | re.DOTALL
+)
 _CONSTRUCT_RE = re.compile(
     r"^CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL
 )
@@ -89,6 +103,7 @@ _TOKEN_RE = re.compile(
         \?(?P<var>\w+) | (?P<qmark>\?) | <(?P<iri>[^<>\s]+)> |
         "(?P<lit>(?:[^"\\]|\\.)*)" |
         (?P<num>-?\d+(?:\.\d+)?) |
+        (?P<oror>\|\|) |
         (?P<op>!=|<=|>=|=|<|>|&&) | (?P<bang>!) |
         (?P<arith>[+*/-]) | (?P<comma>,) | (?P<alt>\|) | (?P<caret>\^) |
         (?P<pname>\w*:\w+) |
@@ -195,6 +210,10 @@ class _Parser:
                         "ident"
                     ).upper() in ("EXISTS", "NOT"):
                         items.append(self._filter_exists())
+                    elif nxt is not None and _kind(nxt) == "ident":
+                        # unparenthesized builtin-call form:
+                        # FILTER regex(...) / FILTER isLiteral(?x) / ...
+                        items.append(("filter", self._bool_primary()))
                     else:
                         items.append(("filter", self._filter()))
                 elif kw == "OPTIONAL":
@@ -287,63 +306,158 @@ class _Parser:
         self.expect("rbrace")
         return ("exists", g, positive)
 
-    def _filter(self) -> list:
-        """FILTER ( comp [&& comp ...] ) with comp = ?v op (const|?w)
-        or regex(?v, "pattern")."""
+    def _filter(self):
+        """``FILTER ( expr )`` — a boolean expression AST with ``||``
+        (lowest precedence), ``&&``, ``!``, parenthesized sub-
+        expressions, comparisons, ``IN`` / ``NOT IN``, ``bound()``,
+        ``regex()``, ``isIRI()``/``isURI()``, ``isLiteral()``,
+        ``isBlank()``, and the ``STR()`` / ``LANG()`` / ``DATATYPE()``
+        accessors plus binary arithmetic as comparison operands
+        (rdflib accepts all of these; reference core.py:1321-1340)."""
         self.expect("lparen")
-        comps = []
+        ast = self._bool_or()
+        self.expect("rparen")
+        return ast
+
+    def _bool_or(self):
+        parts = [self._bool_and()]
         while True:
-            tok = self.next()
-            negated = False
-            if _kind(tok) == "bang":
-                negated = True
-                tok = self.next()
-            if _kind(tok) == "ident" and tok.group("ident").lower() == "bound":
+            tok = self.peek()
+            if tok is None or _kind(tok) != "oror":
+                break
+            self.next()
+            parts.append(self._bool_and())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def _bool_and(self):
+        parts = [self._bool_unary()]
+        while True:
+            tok = self.peek()
+            if tok is None or _kind(tok) != "op" or tok.group("op") != "&&":
+                break
+            self.next()
+            parts.append(self._bool_unary())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def _bool_unary(self):
+        tok = self.peek()
+        if tok is not None and _kind(tok) == "bang":
+            self.next()
+            return ("not", self._bool_unary())
+        if tok is not None and _kind(tok) == "lparen":
+            # ambiguous: '(' opens either a boolean sub-expression or a
+            # parenthesized arithmetic operand — try boolean first and
+            # backtrack ((?a + 1) > 2 parses via the operand route)
+            mark = self.i
+            self.next()
+            try:
+                inner = self._bool_or()
+                self.expect("rparen")
+                return inner
+            except SparqlError:
+                self.i = mark
+        return self._bool_primary()
+
+    _BOOL_FNS = {
+        "isiri": "isiri",
+        "isuri": "isiri",
+        "isliteral": "isliteral",
+        "isblank": "isblank",
+    }
+
+    def _bool_primary(self):
+        tok = self.peek()
+        if tok is not None and _kind(tok) == "ident":
+            name = tok.group("ident").lower()
+            if name == "bound":
+                self.next()
                 self.expect("lparen")
                 var_tok = self.expect("var")
                 self.expect("rparen")
-                comps.append(("bound", "?" + var_tok.group("var"), not negated))
-            elif negated:
-                raise SparqlError("`!` supports only !bound(?var)")
-            elif _kind(tok) == "ident" and tok.group("ident").lower() == "regex":
+                return ("bound", "?" + var_tok.group("var"))
+            if name == "regex":
+                self.next()
                 self.expect("lparen")
-                var_tok = self.next()
-                if _kind(var_tok) != "var":
-                    raise SparqlError("regex() first argument must be a variable")
-                # SPARQL uses a comma; the tokenizer has no comma token,
-                # so accept the pattern literal directly after the var
+                arg = self._operand()
                 pat_tok = self.next()
                 if _kind(pat_tok) == "comma":
                     pat_tok = self.next()
                 if _kind(pat_tok) != "lit":
                     raise SparqlError("regex() pattern must be a string literal")
                 self.expect("rparen")
-                comps.append(("regex", "?" + var_tok.group("var"),
-                              pat_tok.group("lit").replace('\\"', '"')))
-            elif _kind(tok) == "var":
-                op = self.expect("op").group("op")
-                if op == "&&":
-                    raise SparqlError("expected comparison operator after FILTER variable")
-                rhs_tok = self.next()
-                rhs_kind = _kind(rhs_tok)
-                if rhs_kind == "var":
-                    comps.append(("cmp", "?" + tok.group("var"), op,
-                                  "?" + rhs_tok.group("var"), "var"))
-                elif rhs_kind in ("lit", "num", "iri", "pname"):
-                    comps.append(("cmp", "?" + tok.group("var"), op,
-                                  _term_of(rhs_tok, self.prefixes),
-                                  "num" if rhs_kind == "num" else "str"))
-                else:
-                    raise SparqlError("FILTER right-hand side must be a constant or ?var")
-            else:
-                raise SparqlError(
-                    "FILTER supports ?var <op> (constant|?var) and regex(?var, \"pat\")"
-                )
-            nxt = self.next()
-            if _kind(nxt) == "rparen":
-                return comps
-            if _kind(nxt) != "op" or nxt.group("op") != "&&":
-                raise SparqlError(f"expected && or ) in FILTER, got {nxt.group(0)!r}")
+                return ("regex", arg, pat_tok.group("lit").replace('\\"', '"'))
+            if name in self._BOOL_FNS:
+                self.next()
+                self.expect("lparen")
+                var_tok = self.expect("var")
+                self.expect("rparen")
+                return (self._BOOL_FNS[name], "?" + var_tok.group("var"))
+        lhs = self._operand()
+        nxt = self.peek()
+        if nxt is not None and _kind(nxt) == "op" and nxt.group("op") != "&&":
+            op = self.next().group("op")
+            return ("cmp", lhs, op, self._operand())
+        if nxt is not None and _kind(nxt) == "ident" and nxt.group("ident").upper() in ("IN", "NOT"):
+            positive = self.next().group("ident").upper() == "IN"
+            if not positive:
+                t = self.next()
+                if _kind(t) != "ident" or t.group("ident").upper() != "IN":
+                    raise SparqlError("expected IN after NOT in FILTER")
+            self.expect("lparen")
+            consts = []
+            while True:
+                t = self.next()
+                if _kind(t) == "rparen":
+                    break
+                if _kind(t) == "comma":
+                    continue
+                consts.append(_term_of(t, self.prefixes))
+            return ("in", lhs, consts, positive)
+        raise SparqlError(
+            "expected comparison operator after FILTER variable "
+            "(or IN / a boolean function)"
+        )
+
+    _OPERAND_FNS = ("str", "lang", "datatype")
+
+    def _operand(self):
+        node = self._mul_operand()
+        while True:
+            tok = self.peek()
+            if tok is None or _kind(tok) != "arith" or tok.group("arith") not in "+-":
+                return node
+            op = self.next().group("arith")
+            node = ("arith", node, op, self._mul_operand())
+
+    def _mul_operand(self):
+        node = self._operand_atom()
+        while True:
+            tok = self.peek()
+            if tok is None or _kind(tok) != "arith" or tok.group("arith") not in "*/":
+                return node
+            op = self.next().group("arith")
+            node = ("arith", node, op, self._operand_atom())
+
+    def _operand_atom(self):
+        tok = self.next()
+        k = _kind(tok)
+        if k == "var":
+            return ("var", "?" + tok.group("var"))
+        if k == "num":
+            return ("num", tok.group("num"))
+        if k in ("lit", "iri", "pname"):
+            return ("str", _term_of(tok, self.prefixes))
+        if k == "lparen":
+            node = self._operand()
+            self.expect("rparen")
+            return node
+        if k == "ident" and tok.group("ident").lower() in self._OPERAND_FNS:
+            fn = tok.group("ident").lower()
+            self.expect("lparen")
+            var_tok = self.expect("var")
+            self.expect("rparen")
+            return ("fn", fn, "?" + var_tok.group("var"))
+        raise SparqlError(f"expected a FILTER operand, got {tok.group(0)!r}")
 
     def _path_atom(self):
         """``p`` or ``^p`` — (pred_term, inverse)."""
@@ -614,12 +728,31 @@ def parse_sparql(src: str) -> Tuple[List[str], List[Tuple[str, str, str]]]:
 _POS = ("subj", "pred", "obj")
 
 
-def _pattern_frame(triples: DataFrame, pat, idx: int, graph_var: str | None = None) -> DataFrame:
+def _pattern_frame(
+    triples: DataFrame,
+    pat,
+    idx: int,
+    graph_var: str | None = None,
+    meta_remaining: set | None = None,
+) -> DataFrame:
     t = triples
     cols = []
     for pos, term in zip(_POS, pat):
         if term.startswith("?"):
             cols.append(F.col(pos).alias(term[1:]))
+            # a FILTER in this group needs term metadata
+            # (DATATYPE()/isIRI()/isLiteral()): bind hidden companion
+            # columns at the variable's FIRST object-position binding
+            # site only — they must never become join keys (NULL
+            # datatypes would silently drop rows in a NULL = NULL join)
+            if (
+                meta_remaining
+                and pos == "obj"
+                and term[1:] in meta_remaining
+            ):
+                meta_remaining.discard(term[1:])
+                cols.append(F.col("obj_datatype").alias(f"__dt_{term[1:]}"))
+                cols.append(F.col("obj_is_literal").alias(f"__lit_{term[1:]}"))
         else:
             t = t.filter(F.col(pos) == term)
     if graph_var is not None:
@@ -711,6 +844,141 @@ _CMP = {
 
 _ORDERING = {"<", ">", "<=", ">="}
 
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+# filter-AST nodes that read term metadata (datatype / literal-ness)
+# and therefore need companion columns bound at pattern time
+def _collect_meta_vars(ast, out: set) -> None:
+    kind = ast[0]
+    if kind in ("or", "and"):
+        for part in ast[1]:
+            _collect_meta_vars(part, out)
+    elif kind == "not":
+        _collect_meta_vars(ast[1], out)
+    elif kind in ("isiri", "isliteral"):
+        out.add(ast[1][1:])
+    elif kind == "cmp":
+        for side in (ast[1], ast[3]):
+            _collect_operand_meta(side, out)
+    elif kind in ("regex", "in"):
+        _collect_operand_meta(ast[1], out)
+
+
+def _collect_operand_meta(node, out: set) -> None:
+    if node[0] == "fn" and node[1] == "datatype":
+        out.add(node[2][1:])
+    elif node[0] == "arith":
+        _collect_operand_meta(node[1], out)
+        _collect_operand_meta(node[3], out)
+
+
+def _require_bound(df: DataFrame, var: str) -> None:
+    if var[1:] not in df.columns:
+        raise SparqlError(f"FILTER on unbound variable {var}")
+
+
+def _require_meta(df: DataFrame, var: str, what: str) -> None:
+    if f"__lit_{var[1:]}" not in df.columns:
+        raise SparqlError(
+            f"{what} needs {var} bound in object position of a triple "
+            f"pattern in the same group"
+        )
+
+
+def _is_numeric_node(node) -> bool:
+    return node[0] in ("num", "arith")
+
+
+def _operand_col(df: DataFrame, node):
+    kind = node[0]
+    if kind == "var":
+        _require_bound(df, node[1])
+        return F.col(node[1][1:])
+    if kind == "num":
+        return F.lit(float(node[1]))
+    if kind == "str":
+        return F.lit(node[1])
+    if kind == "arith":
+        a = _operand_col(df, node[1]).cast("double")
+        b = _operand_col(df, node[3]).cast("double")
+        return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[node[2]]
+    # ("fn", name, var)
+    _, fn, var = node
+    _require_bound(df, var)
+    if fn == "str":
+        # terms ARE their lexical form / IRI string in this engine
+        return F.col(var[1:])
+    if fn == "lang":
+        # the YAML dialect has no language-tagged literals (module doc):
+        # LANG() is "" for every plain literal, as SPARQL specifies
+        return F.lit("")
+    # DATATYPE: xsd:string for plain literals (RDF 1.1), NULL (=type
+    # error, row drops out of any comparison) for IRIs/blank nodes
+    _require_meta(df, var, "DATATYPE()")
+    name = var[1:]
+    return F.when(
+        F.col(f"__lit_{name}"),
+        F.coalesce(F.col(f"__dt_{name}"), F.lit(_XSD_STRING)),
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def _filter_col(df: DataFrame, ast):
+    """Compile a FILTER expression AST to a boolean Column."""
+    kind = ast[0]
+    if kind == "or":
+        cond = _filter_col(df, ast[1][0])
+        for part in ast[1][1:]:
+            cond = cond | _filter_col(df, part)
+        return cond
+    if kind == "and":
+        cond = _filter_col(df, ast[1][0])
+        for part in ast[1][1:]:
+            cond = cond & _filter_col(df, part)
+        return cond
+    if kind == "not":
+        inner = ast[1]
+        # (!)bound keeps its NULL-aware semantics instead of three-valued
+        # negation: !bound(?y) must be TRUE for OPTIONAL's NULLs
+        if inner[0] == "bound":
+            if inner[1][1:] not in df.columns:
+                raise SparqlError(
+                    f"FILTER bound() on never-bound variable {inner[1]}"
+                )
+            return F.col(inner[1][1:]).isNull()
+        return ~_filter_col(df, inner)
+    if kind == "bound":
+        if ast[1][1:] not in df.columns:
+            raise SparqlError(f"FILTER bound() on never-bound variable {ast[1]}")
+        return F.col(ast[1][1:]).isNotNull()
+    if kind == "regex":
+        return _operand_col(df, ast[1]).rlike(ast[2])
+    if kind == "in":
+        col = _operand_col(df, ast[1])
+        cond = col.isin(ast[2])
+        return cond if ast[3] else ~cond
+    if kind == "isblank":
+        _require_bound(df, ast[1])
+        return F.col(ast[1][1:]).startswith("_:")
+    if kind == "isiri":
+        _require_meta(df, ast[1], "isIRI()")
+        name = ast[1][1:]
+        return (~F.col(f"__lit_{name}")) & ~F.col(name).startswith("_:")
+    if kind == "isliteral":
+        _require_meta(df, ast[1], "isLiteral()")
+        return F.col(f"__lit_{ast[1][1:]}")
+    # ("cmp", lhs, op, rhs)
+    _, lhs, op, rhs = ast
+    a = _operand_col(df, lhs)
+    b = _operand_col(df, rhs)
+    numeric = (
+        _is_numeric_node(lhs)
+        or _is_numeric_node(rhs)
+        or (op in _ORDERING and lhs[0] == "var" and rhs[0] == "var")
+    )
+    if numeric:
+        a, b = a.cast("double"), b.cast("double")
+    return _CMP[op](a, b)
+
 
 def _bind_col(df: DataFrame, expr):
     """Compile a BIND expression AST to a Column."""
@@ -732,10 +1000,16 @@ def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> D
     df = None
     filters = []
     exists_filters = []
+    # which variables need term metadata (datatype/literal-ness)
+    # companions bound at their first object-position pattern
+    meta_remaining: set = set()
+    for item in items:
+        if item[0] == "filter":
+            _collect_meta_vars(item[1], meta_remaining)
     for n, item in enumerate(items):
         kind = item[0]
         if kind == "t":
-            frame = _pattern_frame(triples, item[1], n, graph_var)
+            frame = _pattern_frame(triples, item[1], n, graph_var, meta_remaining)
             df = frame if df is None else _merge(df, frame)
         elif kind == "path":
             if graph_var is not None:
@@ -799,7 +1073,7 @@ def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> D
             sub = _select_frame(triples, item[1])
             df = sub if df is None else _merge(df, sub)
         elif kind == "filter":
-            filters.extend(item[1])
+            filters.append(item[1])
         elif kind == "exists":
             exists_filters.append((item[1], item[2]))
     if df is None:
@@ -824,37 +1098,13 @@ def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> D
             nonempty = bool(sub.limit(1).count())
             if positive != nonempty:
                 df = df.limit(0)
-    for comp in filters:
-        if comp[0] == "bound":
-            _, var, positive = comp
-            if var[1:] not in df.columns:
-                raise SparqlError(f"FILTER bound() on never-bound variable {var}")
-            col = F.col(var[1:])
-            df = df.filter(col.isNotNull() if positive else col.isNull())
-            continue
-        if comp[0] == "regex":
-            _, var, pat = comp
-            if var[1:] not in df.columns:
-                raise SparqlError(f"FILTER on unbound variable {var}")
-            df = df.filter(F.col(var[1:]).rlike(pat))
-            continue
-        _, var, op, rhs, rhs_kind = comp
-        name = var[1:]
-        if name not in df.columns:
-            raise SparqlError(f"FILTER on unbound variable {var}")
-        if rhs_kind == "var":
-            if rhs[1:] not in df.columns:
-                raise SparqlError(f"FILTER on unbound variable {rhs}")
-            if op in _ORDERING:
-                # var-var ordering is numeric (dialect note in module doc)
-                cond = _CMP[op](F.col(name).cast("double"), F.col(rhs[1:]).cast("double"))
-            else:
-                cond = _CMP[op](F.col(name), F.col(rhs[1:]))
-        elif rhs_kind == "num":
-            cond = _CMP[op](F.col(name).cast("double"), F.lit(float(rhs)))
-        else:
-            cond = _CMP[op](F.col(name), F.lit(rhs))
-        df = df.filter(cond)
+    for ast in filters:
+        df = df.filter(_filter_col(df, ast))
+    # companion metadata columns are filter-internal — they must never
+    # leak into projections, shared-variable joins, or UNION arity
+    hidden = [c for c in df.columns if c.startswith("__")]
+    if hidden:
+        df = df.drop(*hidden)
     return df
 
 
@@ -910,6 +1160,55 @@ def construct_query(triples: DataFrame, sparql_src: str) -> DataFrame:
     return out.distinct()
 
 
+def describe_query(triples: DataFrame, sparql_src: str) -> DataFrame:
+    """``DESCRIBE <r> ... [WHERE { ... }]`` / ``DESCRIBE ?x WHERE
+    { ... }`` — every triple whose subject is one of the described
+    resources (constants, plus each DESCRIBE variable's bindings over
+    the WHERE solutions). One distinct resource set + one left-semi
+    join against the triples table: the big side never shuffles more
+    than the semi-join requires, and the resource side is small (it
+    broadcasts). Returns (subj, pred, obj, obj_is_literal,
+    obj_datatype) rows with set semantics."""
+    body, prefixes = _strip_prefixes(sparql_src)
+    m = _DESCRIBE_RE.match(body)
+    if not m:
+        raise SparqlError("expected `DESCRIBE <r>|?var ... [WHERE { ... }]`")
+    head_src, where_src = m.group(1), m.group(2)
+    head_vars, head_consts = [], []
+    for tok in _TOKEN_RE.finditer(head_src):
+        k = _kind(tok)
+        if k == "var":
+            head_vars.append(tok.group("var"))
+        elif k in ("iri", "pname"):
+            head_consts.append(_term_of(tok, prefixes))
+        else:
+            raise SparqlError(
+                f"DESCRIBE accepts IRIs and variables, got {tok.group(0)!r}"
+            )
+    if not head_vars and not head_consts:
+        raise SparqlError("DESCRIBE needs at least one resource or variable")
+    if head_vars and where_src is None:
+        raise SparqlError("DESCRIBE ?var needs a WHERE pattern binding it")
+    spark = triples.sparkSession
+    res = None
+    if where_src is not None:
+        df = _compile(triples, _parse_group(where_src, prefixes))
+        for v in head_vars:
+            if v not in df.columns:
+                raise SparqlError(f"DESCRIBE variable never bound: ?{v}")
+            one = df.select(F.col(v).alias("r"))
+            res = one if res is None else res.unionByName(one)
+    if head_consts:
+        one = spark.createDataFrame([(c,) for c in head_consts], ["r"])
+        res = one if res is None else res.unionByName(one)
+    res = res.distinct()
+    return (
+        triples.join(res, triples["subj"] == res["r"], "left_semi")
+        .select("subj", "pred", "obj", "obj_is_literal", "obj_datatype")
+        .distinct()
+    )
+
+
 def make_query(triples: DataFrame, sparql_src: str) -> DataFrame:
     """Evaluate a SPARQL-subset query over the triples table; DISTINCT
     semantics like the reference's set() (core.py:1340). SELECT
@@ -925,6 +1224,8 @@ def make_query(triples: DataFrame, sparql_src: str) -> DataFrame:
         return spark.createDataFrame([(ask_query(triples, sparql_src),)], "ask boolean")
     if _CONSTRUCT_RE.match(head):
         return construct_query(triples, sparql_src)
+    if _DESCRIBE_RE.match(head):
+        return describe_query(triples, sparql_src)
     return _select_frame(triples, _parse(sparql_src))
 
 
