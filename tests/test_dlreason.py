@@ -329,17 +329,23 @@ def test_alldifferent_restores_injectivity():
 
 
 def test_unsupported_construct_is_loud(spark):
+    # r5: unqualified cardinality is now IN the fragment; the loud
+    # boundary moved to the qualified variants
     from yamlpyowl_spark.operators.dlreason import (
         OWL,
+        UNSUPPORTED_DL_PREDS,
         UnsupportedDLError,
         YPO_DL_UNSUPPORTED,
     )
 
+    assert OWL + "minCardinality" not in UNSUPPORTED_DL_PREDS
+    assert OWL + "cardinality" not in UNSUPPORTED_DL_PREDS
     E = "http://ex.org/card#"
     rows = [
         (E + "C", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "_:r", False, None, E),
         ("_:r", OWL + "onProperty", E + "p", False, None, E),
-        ("_:r", OWL + "minCardinality", "2", False, None, E),
+        ("_:r", OWL + "minQualifiedCardinality", "2", False, None, E),
+        ("_:r", OWL + "onClass", E + "D", False, None, E),
     ]
     schema = ("subj string, pred string, obj string, obj_is_literal boolean, "
               "obj_datatype string, doc_iri string")
@@ -347,13 +353,135 @@ def test_unsupported_construct_is_loud(spark):
     # warn (default): a diagnostic row names the construct
     got = dl_model_search(triples).collect()
     diags = {(r["subj"], r["pred"], r["obj"]) for r in got}
-    assert (E, YPO_DL_UNSUPPORTED, OWL + "minCardinality") in diags
+    assert (E, YPO_DL_UNSUPPORTED, OWL + "minQualifiedCardinality") in diags
     # raise: fails loudly naming the document
     with pytest.raises(Exception) as ei:
         dl_model_search(triples, on_unsupported="raise").collect()
-    assert "minCardinality" in str(ei.value)
+    assert "minQualifiedCardinality" in str(ei.value)
     # ignore: the silent legacy behavior
     assert dl_model_search(triples, on_unsupported="ignore").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round 5: unqualified cardinality restrictions inside the CSP
+# ---------------------------------------------------------------------------
+
+CE = "http://ex.org/card#"
+
+
+def _enum(cls, *members):
+    """RDF-encode `cls ≡ OneOf{members}`."""
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL_EQUIVALENT_CLASS, OWL_ONE_OF, RDF_FIRST, RDF_REST, RDF_NIL,
+    )
+
+    e, l0 = f"_:e_{cls.rsplit('#', 1)[-1]}", f"_:l_{cls.rsplit('#', 1)[-1]}0"
+    out = [(cls, OWL_EQUIVALENT_CLASS, e), (e, OWL_ONE_OF, l0)]
+    for i, mem in enumerate(members):
+        cur = f"_:l_{cls.rsplit('#', 1)[-1]}{i}"
+        nxt = (
+            f"_:l_{cls.rsplit('#', 1)[-1]}{i + 1}"
+            if i + 1 < len(members)
+            else RDF_NIL
+        )
+        out += [(cur, RDF_FIRST, mem), (cur, RDF_REST, nxt)]
+    return out
+
+
+def test_cardinality_exactly_one_forces_unique_value():
+    # `q exactly 1` on m with a one-member range: q(m) = h1 holds in
+    # every model — entailed (min side prunes the Nothing branch)
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, OWL_ON_PROPERTY, RDFS_RANGE,
+    )
+
+    rows = [
+        *_enum(CE + "Man", CE + "m"),
+        *_enum(CE + "House", CE + "h1"),
+        (CE + "q", RDFS_RANGE, CE + "House"),
+        (CE + "m", RDF_TYPE, "_:r"),
+        ("_:r", OWL_ON_PROPERTY, CE + "q"),
+        ("_:r", OWL + "cardinality", "1"),
+    ]
+    inferred = _solve_doc(rows)
+    assert (CE + "m", CE + "q", CE + "h1") in inferred
+
+
+def test_max_cardinality_alone_does_not_force_existence():
+    # `q max 1` admits the no-value model: with two range candidates
+    # plus Nothing, models disagree — nothing entailed
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, OWL_ON_PROPERTY, RDFS_RANGE,
+    )
+
+    rows = [
+        *_enum(CE + "Man", CE + "m"),
+        *_enum(CE + "House", CE + "h1", CE + "h2"),
+        (CE + "q", RDFS_RANGE, CE + "House"),
+        (CE + "m", RDF_TYPE, "_:r"),
+        ("_:r", OWL_ON_PROPERTY, CE + "q"),
+        ("_:r", OWL + "maxCardinality", "1"),
+    ]
+    inferred = _solve_doc(rows)
+    assert not {t for t in inferred if t[1] == CE + "q"}
+
+
+def test_max_cardinality_violation_prunes_models():
+    # two asserted q-successors DECLARED different + `q max 1` is a
+    # certain violation: no model exists (non-UNA: without the
+    # AllDifferent axiom the two names could merge and satisfy max 1)
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, OWL_ALL_DIFFERENT, OWL_DISTINCT_MEMBERS, OWL_ON_PROPERTY,
+        RDFS_RANGE, RDF_FIRST, RDF_REST, RDF_NIL,
+    )
+
+    base = [
+        *_enum(CE + "Man", CE + "m"),
+        *_enum(CE + "House", CE + "h1", CE + "h2"),
+        (CE + "q", RDFS_RANGE, CE + "House"),
+        (CE + "m", CE + "q", CE + "h1"),
+        (CE + "m", CE + "q", CE + "h2"),
+        (CE + "m", RDF_TYPE, "_:r"),
+        ("_:r", OWL_ON_PROPERTY, CE + "q"),
+        ("_:r", OWL + "maxCardinality", "1"),
+    ]
+    ad = [
+        ("_:ad", RDF_TYPE, OWL_ALL_DIFFERENT),
+        ("_:ad", OWL_DISTINCT_MEMBERS, "_:adl0"),
+        ("_:adl0", RDF_FIRST, CE + "h1"), ("_:adl0", RDF_REST, "_:adl1"),
+        ("_:adl1", RDF_FIRST, CE + "h2"), ("_:adl1", RDF_REST, RDF_NIL),
+    ]
+    stats = {}
+    _solve_doc(base + ad, stats=stats)
+    assert stats.get("n_models", -1) == 0
+    # without AllDifferent the names may merge: models exist
+    stats2 = {}
+    _solve_doc(base, stats=stats2)
+    assert stats2.get("n_models", 0) > 0
+
+
+def test_min_cardinality_two_on_single_valued_prop_unsat():
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, OWL_ON_PROPERTY, RDFS_RANGE,
+    )
+
+    rows = [
+        *_enum(CE + "Man", CE + "m"),
+        *_enum(CE + "House", CE + "h1", CE + "h2"),
+        (CE + "q", RDFS_RANGE, CE + "House"),
+        (CE + "m", CE + "q", CE + "h1"),
+        (CE + "m", RDF_TYPE, "_:r"),
+        ("_:r", OWL_ON_PROPERTY, CE + "q"),
+        ("_:r", OWL + "cardinality", "1"),
+        (CE + "m", RDF_TYPE, "_:r2"),
+        ("_:r2", OWL_ON_PROPERTY, CE + "q"),
+        ("_:r2", OWL + "minCardinality", "2"),
+    ]
+    stats = {}
+    _solve_doc(rows, stats=stats)
+    # min 2 can never hold for the single-valued representation with
+    # one asserted successor: every model is pruned, nothing entailed
+    assert stats.get("n_models", -1) == 0
 
 
 def test_allvaluesfrom_supported():

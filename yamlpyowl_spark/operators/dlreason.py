@@ -31,11 +31,19 @@ Per document:
    plus the deterministic part (OneOf memberships, inverse-property
    images of functional assignments).
 
+Unqualified cardinality restrictions are inside the fragment (r5):
+``p exactly 1`` / ``p max 1`` give the restricted subject a CSP
+variable (the functional logic generalized per subject), and min /
+max / exactly become three-valued checkers — the lower bound counts
+distinct names present in the model (closed over the enumerated
+fragment, like some-restrictions), the upper bound is violated only
+by successors pairwise DECLARED different (non-UNA).
+
 Documents outside the fragment contribute no variables, and the
-boundary is LOUD: constructs the fragment ignores (cardinality,
-property chains, allValuesFrom, ...) yield per-document diagnostic
-rows or an :class:`UnsupportedDLError` (``on_unsupported=``), never a
-silent no-op. This operator composes with :mod:`swrl`'s forward chain
+boundary is LOUD: constructs the fragment ignores (qualified
+cardinality, hasSelf, disjointness, ...) yield per-document
+diagnostic rows or an :class:`UnsupportedDLError`
+(``on_unsupported=``), never a silent no-op. This operator composes with :mod:`swrl`'s forward chain
 in ``api.OntologyManager.sync_reasoner``.
 """
 
@@ -74,9 +82,9 @@ RDFS_RANGE = V.RDFS + "range"
 UNSUPPORTED_DL_PREDS = frozenset(
     OWL + p
     for p in (
-        "cardinality",
-        "minCardinality",
-        "maxCardinality",
+        # unqualified cardinality / minCardinality / maxCardinality:
+        # inside the CSP fragment since r5 (three-valued checkers +
+        # per-subject variables for card-1 restrictions)
         "qualifiedCardinality",
         "minQualifiedCardinality",
         "maxQualifiedCardinality",
@@ -88,6 +96,20 @@ UNSUPPORTED_DL_PREDS = frozenset(
         "propertyDisjointWith",
     )
 )
+
+OWL_CARDINALITY = OWL + "cardinality"
+OWL_MIN_CARDINALITY = OWL + "minCardinality"
+OWL_MAX_CARDINALITY = OWL + "maxCardinality"
+
+
+def _card_int(m: "_DocModel", node: str, key: str) -> Optional[int]:
+    v = m.obj(node, key)
+    if v is None:
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        return None
 YPO_DL_UNSUPPORTED = V.YPO + "dlUnsupportedConstruct"
 
 
@@ -160,14 +182,6 @@ def _decode(rows):
     domains = {s: m.obj(s, RDFS_DOMAIN) for s in functional | invfunctional}
     ranges = {s: m.obj(s, RDFS_RANGE) for s in functional | invfunctional}
 
-    # asserted entity facts for the declared properties
-    props = functional | invfunctional | set(inverse_of)
-    facts: Dict[Tuple[str, str], str] = {}
-    for (s, p), objs in m.spo.items():
-        if p in props:
-            for o in objs:
-                facts[(p, s)] = o
-
     # restriction trees: individual rdf:type _:r  /  class subClassOf _:r
     restrictions: List[Tuple[str, str]] = []  # (subject entity/class-member, blank root)
     members_of: Dict[str, List[str]] = {}
@@ -183,6 +197,20 @@ def _decode(rows):
                 if o.startswith("_:") and m.obj(o, OWL_ON_PROPERTY):
                     for member in members_of.get(s, []):
                         restrictions.append((member, o))
+
+    # asserted entity facts for the declared properties — including the
+    # (named) properties of restriction trees, so cardinality-created
+    # variables get pinned by asserted facts like functional ones do
+    props = functional | invfunctional | set(inverse_of)
+    for _s, rnode in restrictions:
+        on_p = m.obj(rnode, OWL_ON_PROPERTY)
+        if on_p and not on_p.startswith("_:"):
+            props.add(on_p)
+    facts: Dict[Tuple[str, str], str] = {}
+    for (s, p), objs in m.spo.items():
+        if p in props:
+            for o in objs:
+                facts[(p, s)] = o
 
     all_different: List[List[str]] = []
     for ad in m.subjects(V.RDF_TYPE, OWL_ALL_DIFFERENT):
@@ -235,6 +263,25 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
             for s in enums[dom_cls]:
                 variables[(p, s)] = list(enums[rng_cls])
 
+    # r5: a subject under a cardinality-1 / maxCardinality-1
+    # restriction gets a variable for that property too — the
+    # functional logic generalized PER SUBJECT (max-1 is exactly the
+    # single-valued representation; the min side of `exactly 1` is
+    # enforced by the cardinality checker pruning the Nothing branch)
+    for s, rnode in sorted(restrictions):
+        on_p = m.obj(rnode, OWL_ON_PROPERTY)
+        if not on_p or on_p.startswith("_:") or (on_p, s) in variables:
+            continue
+        card = _card_int(m, rnode, OWL_CARDINALITY)
+        maxc = _card_int(m, rnode, OWL_MAX_CARDINALITY)
+        eff_max = card if card is not None else maxc
+        if eff_max != 1 or inverse_of.get(on_p) in var_props:
+            continue
+        rng_cls = m.obj(on_p, RDFS_RANGE)
+        if rng_cls in enums:
+            var_props.add(on_p)
+            variables[(on_p, s)] = list(enums[rng_cls])
+
     if not variables:
         return inferred
 
@@ -281,6 +328,27 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
         out = [s for (pp, s) in variables if pp == p]
         out += [s for (pp, s) in ground if pp == p and s not in out]
         return out
+
+    def _max_distinct(names) -> int:
+        """Size of the largest successor subset that is PAIRWISE
+        declared different (non-UNA: only such a subset certainly
+        violates an upper cardinality bound). Successor sets are tiny
+        per doc; exact search with a size guard."""
+        items = sorted(names)
+        if len(items) <= 1:
+            return len(items)
+        if len(items) > 10:  # degenerate doc: be conservative upward
+            return len(items)
+        from itertools import combinations
+
+        for k in range(len(items), 1, -1):
+            for subset in combinations(items, k):
+                if all(
+                    declared_different(a, b)
+                    for a, b in combinations(subset, 2)
+                ):
+                    return k
+        return 1
 
     # compile restriction trees into three-valued checkers
     def holds(entity: str, node: str):
@@ -367,6 +435,40 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
             if got == OWL_NOTHING:
                 return False
             return holds(got, sv)
+        minc = _card_int(m, node, OWL_MIN_CARDINALITY)
+        maxc = _card_int(m, node, OWL_MAX_CARDINALITY)
+        card = _card_int(m, node, OWL_CARDINALITY)
+        if card is not None or minc is not None or maxc is not None:
+            # dialect (conservative both ways, documented): the lower
+            # bound counts DISTINCT NAMES present in the model (closed
+            # over the enumerated fragment, like some-restrictions);
+            # the upper bound is violated only by successors pairwise
+            # DECLARED different (non-UNA: undeclared names may merge)
+            if inv_q:
+                return None  # inverse cardinality: undecidable here
+            lo = card if card is not None else minc
+            hi = card if card is not None else maxc
+            names = set(m.objs(entity, on_p))
+            unknown = False
+            if (on_p, entity) in variables:
+                a = assignment[(on_p, entity)]
+                if a is None:
+                    unknown = True
+                elif a != OWL_NOTHING:
+                    names.add(a)
+            elif inverse_of.get(on_p) is not None:
+                got = val(on_p, entity)
+                if got is None:
+                    unknown = True
+                elif got != OWL_NOTHING:
+                    names.add(got)
+            if hi is not None and _max_distinct(names) > hi:
+                return False
+            if unknown:
+                return None
+            if lo is not None and len(names) < lo:
+                return False
+            return True
         return None
 
     constraints = [(s, r) for s, r in restrictions]
@@ -471,7 +573,7 @@ def dl_model_search(
 
     The supported-fragment boundary is OBSERVABLE, never silent
     (r2 verdict #4): a document using a construct the fragment ignores
-    (cardinality, property chains, ... —
+    (qualified cardinality, hasSelf, disjointness, ... —
     ``UNSUPPORTED_DL_PREDS``) yields, per distinct construct, one
     diagnostic row ``(doc_iri, ypo:dlUnsupportedConstruct,
     <construct>)`` in the output (``on_unsupported="warn"``, default);
