@@ -358,6 +358,20 @@ def write_bench_md(timings: dict, scaling: dict, total: float):
         "  measured 0.65 while both sides got faster; a 100-TB cluster job",
         "  runs minutes-to-hours, so amortizing startup is the faithful model.",
         "",
+        "## Per-query notes (r5)",
+        "",
+        "- `kg_owlrl_prop_rules` grew ~0.3-0.5 s vs r4 BY DESIGN: the gate",
+        "  now additionally injects an owl:propertyChainAxiom and verifies",
+        "  prp-spo2 chain composition (containsDirective =",
+        "  closure(hasPart) ∘ hasDirective) on top of the r4 trp/inv rows.",
+        "- `kg_swrl_forward_chain` returned to the r3 level (~6.6-6.8 s,",
+        "  was 8.06 in r4) after folding the per-round delta jobs into one",
+        "  collect_set action and skipping dead templates outright.",
+        "- External sandbox load matters: a run with host load-avg ~5-6",
+        "  (other tenants) inflated EVERY row ~uniformly by ~25%; check",
+        "  `uptime` and re-run on a quiet box before root-causing uniform",
+        "  shifts.",
+        "",
         "## Streaming drain floor (r5 root-cause, verdict #8)",
         "",
         "`stream_hourly_event_counts` schedules exactly ONE availableNow",

@@ -270,3 +270,54 @@ def test_cax_sco_lifts_through_inferred_subclass_edge():
     ))
     assert (E + "C", V.RDFS_SUBCLASSOF, E + "D", False) in got
     assert (E + "x", V.RDF_TYPE, E + "D", False) in got
+
+
+def test_prp_eqp_facts_flow_both_ways():
+    got = _infer_doc(rows(
+        T(E + "p", OWL + "equivalentProperty", E + "q"),
+        T(E + "a", E + "p", E + "b"),
+        T(E + "x", E + "q", E + "y"),
+    ))
+    assert (E + "a", E + "q", E + "b", False) in got
+    assert (E + "x", E + "p", E + "y", False) in got
+
+
+def test_prp_eqp_chains_with_subproperty():
+    # p ≡ q, q ⊑ r: p-facts reach r through the mixed chain
+    got = _infer_doc(rows(
+        T(E + "p", OWL + "equivalentProperty", E + "q"),
+        T(E + "q", V.RDFS_SUBPROPERTYOF, E + "r"),
+        T(E + "a", E + "p", E + "b"),
+    ))
+    assert (E + "a", E + "r", E + "b", False) in got
+
+
+def test_prp_eqp_propagates_literals():
+    got = _infer_doc(rows(
+        T(E + "nick", OWL + "equivalentProperty", E + "alias"),
+        T(E + "a", E + "nick", "Al", True),
+    ))
+    assert (E + "a", E + "alias", "Al", True) in got
+
+
+def test_cax_dw_disjoint_violation_diagnostics():
+    # x typed both C and D with C disjointWith D: loud diagnostics,
+    # checked over the final (post-inheritance) type set
+    got = _infer_doc(rows(
+        T(E + "C", OWL + "disjointWith", E + "D"),
+        T(E + "SubC", V.RDFS_SUBCLASSOF, E + "C"),
+        T(E + "x", V.RDF_TYPE, E + "SubC"),
+        T(E + "x", V.RDF_TYPE, E + "D"),
+        T(E + "x", V.RDF_TYPE, OWL + "NamedIndividual"),
+    ))
+    assert (E + "x", V.YPO + "disjointViolation", E + "C", False) in got
+    assert (E + "x", V.YPO + "disjointViolation", E + "D", False) in got
+
+
+def test_cax_dw_no_violation_no_diagnostics():
+    got = _infer_doc(rows(
+        T(E + "C", OWL + "disjointWith", E + "D"),
+        T(E + "x", V.RDF_TYPE, E + "C"),
+        T(E + "y", V.RDF_TYPE, E + "D"),
+    ))
+    assert not {t for t in got if t[1] == V.YPO + "disjointViolation"}

@@ -1082,6 +1082,59 @@ def test_filter_arithmetic_parenthesized_lhs(triples):
     assert got == {E + "c"}
 
 
+def test_filter_string_functions(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, '?x WHERE { ?x e:name ?n . FILTER(STRSTARTS(?n, "ali")) }'
+        ).collect()
+    }
+    assert got == {E + "a"}
+    got = {
+        r[0]
+        for r in _q(
+            triples, '?x WHERE { ?x e:name ?n . FILTER(STRENDS(?n, "ice")) }'
+        ).collect()
+    }
+    assert got == {E + "a"}
+    got = {
+        r[0]
+        for r in _q(
+            triples, '?x WHERE { ?x e:name ?n . FILTER(CONTAINS(?n, "lic")) }'
+        ).collect()
+    }
+    assert got == {E + "a"}
+    # no match
+    got = _q(
+        triples, '?x WHERE { ?x e:name ?n . FILTER(CONTAINS(?n, "zzz")) }'
+    ).collect()
+    assert got == []
+
+
+def test_filter_strlen_ucase_lcase(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, "?x WHERE { ?x e:name ?n . FILTER(STRLEN(?n) = 5) }"
+        ).collect()
+    }
+    assert got == {E + "a"}
+    got = {
+        r[0]
+        for r in _q(
+            triples, '?x WHERE { ?x e:name ?n . FILTER(UCASE(?n) = "ALICE") }'
+        ).collect()
+    }
+    assert got == {E + "a"}
+    got = {
+        r[0]
+        for r in _q(
+            triples, '?x WHERE { ?x e:name ?n . FILTER(LCASE(?n) = "alice") }'
+        ).collect()
+    }
+    assert got == {E + "a"}
+
+
 def test_filter_metadata_needs_object_binding(triples):
     with pytest.raises(SparqlError, match="object position"):
         _q(triples, "?x WHERE { ?x e:age ?a . FILTER(isLiteral(?x)) }")

@@ -641,8 +641,20 @@ class OntologyManager:
             .distinct()
         )
         # diagnostic rows must not masquerade as ontology facts in
-        # self.triples / save(): surface them as a warning instead
-        n_diag = inferred.filter(F.col("pred") == YPO_DL_UNSUPPORTED).count()
+        # self.triples / save(): surface them as warnings instead
+        from .vocab import YPO
+
+        YPO_DISJOINT_VIOLATION = YPO + "disjointViolation"
+        diag_counts = {
+            r["pred"]: r["n"]
+            for r in inferred.filter(
+                F.col("pred").isin(YPO_DL_UNSUPPORTED, YPO_DISJOINT_VIOLATION)
+            )
+            .groupBy("pred")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_diag = diag_counts.get(YPO_DL_UNSUPPORTED, 0)
         if n_diag:
             warnings.warn(
                 f"sync_reasoner: {n_diag} DL construct(s) outside the "
@@ -650,7 +662,21 @@ class OntologyManager:
                 "(ypo:dlUnsupportedConstruct); inferences may be incomplete",
                 stacklevel=2,
             )
-            inferred = inferred.filter(F.col("pred") != YPO_DL_UNSUPPORTED)
+        n_dw = diag_counts.get(YPO_DISJOINT_VIOLATION, 0)
+        if n_dw:
+            # cax-dw: Pellet raises OwlReadyInconsistentOntologyError
+            # here; this engine is a materializer, so the inconsistency
+            # is LOUD but non-fatal (ypo:disjointViolation diagnostics)
+            warnings.warn(
+                f"sync_reasoner: ontology is INCONSISTENT — {n_dw} "
+                "disjointness violation(s) (ypo:disjointViolation); "
+                "an OWL-DL reasoner would reject this ontology",
+                stacklevel=2,
+            )
+        if diag_counts:
+            inferred = inferred.filter(
+                ~F.col("pred").isin(YPO_DL_UNSUPPORTED, YPO_DISJOINT_VIOLATION)
+            )
         lineage = self.triples.select(
             "src_repo", "src_path", "src_commit", "src_sha256"
         ).limit(1)

@@ -26,8 +26,10 @@ TestCore2 observes beyond SWRL chaining and the OneOf CSP
   ``subPropertyOf(p,q), p(x,y)`` ⇒ ``q(x,y)`` (propagated over the
   transitively-closed sub-property graph; literal-valued facts
   propagate for data sub-properties, while symmetric / transitive /
-  inverse steps apply to entity facts only). The reference gets
-  these from Pellet (core.py:1342; transitive ``hasPart`` is
+  inverse steps apply to entity facts only);
+  ``equivalentProperty(p,q)`` (prp-eqp1/eqp2) folds into that graph
+  as ⊑ both ways, closing through mixed ⊑/≡ chains. The reference
+  gets these from Pellet (core.py:1342; transitive ``hasPart`` is
   observed post-reasoner by tests/test_core.py:90-117);
 * **domain / range typing** (prp-dom / prp-rng): ``domain(p) = D,
   p(x, y)`` ⇒ ``type(x, D)``; ``range(p) = R, p(x, y)`` ⇒
@@ -41,7 +43,13 @@ TestCore2 observes beyond SWRL chaining and the OneOf CSP
   — last, over asserted plus every type fact this pass inferred
   (defined-class memberships and domain/range typings inherit
   upward, as Pellet materializes them). ``owl:*`` vocabulary
-  classes (NamedIndividual etc.) are excluded.
+  classes (NamedIndividual etc.) are excluded;
+* **consistency** (cax-dw): ``type(x,C), type(x,D), disjointWith(C,
+  D)`` — where Pellet raises OwlReadyInconsistentOntologyError, this
+  materializer emits loud ``ypo:disjointViolation`` diagnostic rows
+  (checked over the final, post-inheritance type set);
+  ``sync_reasoner`` surfaces them as an INCONSISTENT warning and
+  keeps them out of the ontology facts.
 
 Scale architecture: identical to :mod:`dlreason` — the rules are
 document-local, so the distributed dimension is ``doc_iri`` (one
@@ -115,6 +123,7 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
     inv_pairs: List[Tuple[str, str]] = []
     subprop: Dict[str, Set[str]] = {}
     chains: List[Tuple[str, List[str]]] = []
+    disjoint: List[Tuple[str, str]] = []
 
     for (s, p), objs in m.spo.items():
         if p == V.RDF_TYPE:
@@ -151,6 +160,18 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
             for o, il in objs:
                 if not o.startswith("_:"):
                     subprop.setdefault(s, set()).add(o)
+        elif p == OWL + "equivalentProperty" and not s.startswith("_:"):
+            # prp-eqp1/eqp2: p ≡ q ⇔ p ⊑ q and q ⊑ p — fold into the
+            # sub-property propagation graph (facts flow both ways,
+            # closing transitively through mixed ⊑/≡ chains)
+            for o, il in objs:
+                if not o.startswith("_:"):
+                    subprop.setdefault(s, set()).add(o)
+                    subprop.setdefault(o, set()).add(s)
+        elif p == OWL + "disjointWith" and not s.startswith("_:"):
+            for o, il in objs:
+                if not o.startswith("_:"):
+                    disjoint.append((s, o))
         elif p == OWL + "propertyChainAxiom" and not s.startswith("_:"):
             for o, il in objs:
                 if o.startswith("_:"):
@@ -424,6 +445,24 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
         for up in closed:
             if up != V.OWL_THING and not up.startswith(V.OWL) and not up.startswith(V.RDF):
                 inferred.add((x, V.RDF_TYPE, up, False))
+
+    # ---- consistency: cax-dw --------------------------------------
+    # type(x, C), type(x, D), disjointWith(C, D) is an inconsistency
+    # Pellet would RAISE on; this engine stays a materializer, so the
+    # violation surfaces as loud diagnostic triples
+    # (x ypo:disjointViolation C) + (x ypo:disjointViolation D) —
+    # never a silent pass. Checked over the FINAL type set (asserted +
+    # everything this pass inferred, post-inheritance).
+    if disjoint:
+        final_types: Dict[str, Set[str]] = {x: set(ts) for x, ts in types.items()}
+        for s2, p2, o2, _il in inferred:
+            if p2 == V.RDF_TYPE:
+                final_types.setdefault(s2, set()).add(o2)
+        for x, ts in final_types.items():
+            for c, d in disjoint:
+                if c in ts and d in ts:
+                    inferred.add((x, V.YPO + "disjointViolation", c, False))
+                    inferred.add((x, V.YPO + "disjointViolation", d, False))
 
     return inferred
 

@@ -6,9 +6,10 @@ PREFIX + one/two-pattern SELECT BGPs (tests/test_core.py:124-144).
 This module parses that subset plus the next-most-common SPARQL
 constructs — ``FILTER`` (boolean expressions over ``||``/``&&``/``!``,
 comparisons with arithmetic operands, ``IN``/``NOT IN``, ``bound()``,
-``regex()``, ``isIRI()``/``isURI()``/``isLiteral()``/``isBlank()``,
-and the ``STR()``/``LANG()``/``DATATYPE()`` accessors), ``UNION``,
-``OPTIONAL``, ``MINUS``,
+``regex()``, ``STRSTARTS()``/``STRENDS()``/``CONTAINS()``,
+``isIRI()``/``isURI()``/``isLiteral()``/``isBlank()``, and the
+``STR()``/``LANG()``/``DATATYPE()``/``STRLEN()``/``UCASE()``/
+``LCASE()`` accessors), ``UNION``, ``OPTIONAL``, ``MINUS``,
 ``VALUES`` (single-var and tuple forms), simple ``BIND``, property
 paths (``p+`` one-or-more, ``p*`` zero-or-more, ``p?`` zero-or-one,
 ``^p`` inverse, ``p1|p2`` alternation incl. ``(p1|p2)+``, and ``p1/p2``
@@ -392,6 +393,19 @@ class _Parser:
                 var_tok = self.expect("var")
                 self.expect("rparen")
                 return (self._BOOL_FNS[name], "?" + var_tok.group("var"))
+            if name in ("strstarts", "strends", "contains"):
+                self.next()
+                self.expect("lparen")
+                arg = self._operand()
+                t = self.next()
+                if _kind(t) == "comma":
+                    t = self.next()
+                if _kind(t) != "lit":
+                    raise SparqlError(
+                        f"{name}() second argument must be a string literal"
+                    )
+                self.expect("rparen")
+                return (name, arg, t.group("lit").replace('\\"', '"'))
         lhs = self._operand()
         nxt = self.peek()
         if nxt is not None and _kind(nxt) == "op" and nxt.group("op") != "&&":
@@ -418,7 +432,7 @@ class _Parser:
             "(or IN / a boolean function)"
         )
 
-    _OPERAND_FNS = ("str", "lang", "datatype")
+    _OPERAND_FNS = ("str", "lang", "datatype", "strlen", "ucase", "lcase")
 
     def _operand(self):
         node = self._mul_operand()
@@ -860,7 +874,7 @@ def _collect_meta_vars(ast, out: set) -> None:
     elif kind == "cmp":
         for side in (ast[1], ast[3]):
             _collect_operand_meta(side, out)
-    elif kind in ("regex", "in"):
+    elif kind in ("regex", "in", "strstarts", "strends", "contains"):
         _collect_operand_meta(ast[1], out)
 
 
@@ -908,6 +922,12 @@ def _operand_col(df: DataFrame, node):
     if fn == "str":
         # terms ARE their lexical form / IRI string in this engine
         return F.col(var[1:])
+    if fn == "strlen":
+        return F.length(F.col(var[1:]))
+    if fn == "ucase":
+        return F.upper(F.col(var[1:]))
+    if fn == "lcase":
+        return F.lower(F.col(var[1:]))
     if fn == "lang":
         # the YAML dialect has no language-tagged literals (module doc):
         # LANG() is "" for every plain literal, as SPARQL specifies
@@ -952,6 +972,12 @@ def _filter_col(df: DataFrame, ast):
         return F.col(ast[1][1:]).isNotNull()
     if kind == "regex":
         return _operand_col(df, ast[1]).rlike(ast[2])
+    if kind == "strstarts":
+        return _operand_col(df, ast[1]).startswith(ast[2])
+    if kind == "strends":
+        return _operand_col(df, ast[1]).endswith(ast[2])
+    if kind == "contains":
+        return _operand_col(df, ast[1]).contains(ast[2])
     if kind == "in":
         col = _operand_col(df, ast[1])
         cond = col.isin(ast[2])
