@@ -76,3 +76,36 @@ def test_determinism_across_partitionings(spark):
 def test_keystream_deterministic():
     assert _keystream("x", 100) == _keystream("x", 100)
     assert _keystream("x", 16) == hashlib.md5(b"x:0").digest()
+
+
+def test_audio_features_match_sequential(spark):
+    """Distributed mapInPandas audio features == sequential numpy over
+    the same deterministic clips (the r5 audio twin of the image gate)."""
+    import numpy as np
+
+    from yamlpyowl_spark.operators.multimodal import (
+        _keystream, audio_features, synthesize_media,
+    )
+
+    got = {
+        r["media_id"]: (r["n_samples"], r["duration_sec"], r["mean_x100"], r["rms_x100"])
+        for r in audio_features(synthesize_media(spark, n=12)).collect()
+    }
+    assert set(got) == {1, 4, 7, 10}  # i % 3 == 1
+    for i in got:
+        sr, secs = 8000, 1 + (i % 2)
+        x = np.frombuffer(_keystream(f"42:aud:{i}", sr * secs), dtype=np.uint8).astype(float)
+        assert got[i] == (
+            x.size, x.size // sr,
+            int(np.floor(x.mean() * 100)),
+            int(np.floor(np.sqrt(np.mean(x * x)) * 100)),
+        )
+
+
+def test_decode_audio_rejects_non_synthetic(spark):
+    import pytest
+
+    from yamlpyowl_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError, match="fake-pcm8"):
+        decode_audio(b"\x00\x01\x02", 8000)

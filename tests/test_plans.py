@@ -146,3 +146,60 @@ def test_minhash_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     # and the one aggregate is partial (map-side combine) then final
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_describe_broadcasts_resource_side(spark):
+    """DESCRIBE = distinct resource set + left-semi join: the small
+    resource side must BROADCAST (never shuffle the triples table by
+    subj just to probe a handful of described resources)."""
+    from pyspark.sql import types as T
+
+    from yamlpyowl_spark.operators.sparql import make_query
+
+    schema = T.StructType([
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("obj_is_literal", T.BooleanType()),
+        T.StructField("obj_datatype", T.StringType()),
+        T.StructField("doc_iri", T.StringType()),
+    ])
+    E = "http://ex.org/"
+    t = spark.createDataFrame(
+        [(E + "a", E + "p", E + "b", False, None, E)], schema
+    )
+    df = make_query(t, f"PREFIX e: <{E}> DESCRIBE ?x WHERE {{ ?x e:p ?o }}")
+    df.collect()  # let AQE finalize the physical plan
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_filter_companion_columns_never_leak(spark):
+    """DATATYPE()/isLiteral() metadata rides hidden __-columns bound at
+    pattern time — they must be dropped before the frame surfaces
+    (never in the output schema, never UNION-arity-breaking)."""
+    from pyspark.sql import types as T
+
+    from yamlpyowl_spark.operators.sparql import make_query
+
+    schema = T.StructType([
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("obj_is_literal", T.BooleanType()),
+        T.StructField("obj_datatype", T.StringType()),
+        T.StructField("doc_iri", T.StringType()),
+    ])
+    E = "http://ex.org/"
+    t = spark.createDataFrame(
+        [(E + "a", E + "p", "5", True,
+          "http://www.w3.org/2001/XMLSchema#integer", E)], schema
+    )
+    df = make_query(
+        t,
+        f"PREFIX e: <{E}> SELECT ?x ?v WHERE "
+        f"{{ ?x e:p ?v . FILTER(isLiteral(?v)) }}",
+    )
+    assert df.columns == ["x", "v"]
+    assert not [c for c in df.columns if c.startswith("__")]

@@ -36,6 +36,7 @@ MUST_BE_IN_WINDOW = [
     "emb_cosine_topk",
     "emb_ivf_topk",
     "mm_image_features",
+    "mm_audio_features",
     "mm_frame_sample_counts",
     "stream_hourly_event_counts",
     "stream_dedup_counts",

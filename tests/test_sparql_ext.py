@@ -218,7 +218,12 @@ _SOUP = st.lists(
          "?x", "?y", "<http://e#p>", '"lit"', "42", "e:name", ".", "&&", ">", "=",
          "PREFIX e: <http://e#>",
          "GROUP", "BY", "ORDER", "LIMIT", "DESC(?x)", "ASC(?y)", "?",
-         "(COUNT(?x) AS ?n)", "(SUM(?y) AS ?s)", "COUNT", "AS"]
+         "(COUNT(?x) AS ?n)", "(SUM(?y) AS ?s)", "COUNT", "AS",
+         # r5 FILTER grammar surface
+         "||", "!", "IN", "NOT", "bound", "isIRI", "isLiteral", "isBlank",
+         "STR", "LANG", "DATATYPE", "STRLEN", "UCASE", "LCASE",
+         "STRSTARTS", "STRENDS", "CONTAINS", "EXISTS",
+         "DESCRIBE", "ASK", "CONSTRUCT", "GRAPH", "HAVING", "OFFSET"]
     ),
     max_size=25,
 )

@@ -169,6 +169,60 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame
     return src.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_sec", T.LongType(), False),
+        T.StructField("mean_x100", T.LongType(), False),
+        T.StructField("rms_x100", T.LongType(), False),
+    ]
+)
+
+
+def decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
+    """STUB CODEC: interpret the binary payload as raw uint8 PCM.
+
+    A real deployment replaces this body with e.g.
+    ``soundfile.read(io.BytesIO(data))``. Payloads that are not the
+    synthetic 'fake-pcm8' shape raise, loudly."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if not sample_rate or arr.size % int(sample_rate) != 0:
+        raise NotImplementedError(
+            "real audio codecs are not available in this environment; "
+            "only the deterministic 'fake-pcm8' payload is decodable"
+        )
+    return arr
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip sample count / duration / mean / RMS via one
+    ``mapInPandas`` stage — the audio twin of :func:`image_features`
+    (decode-then-reduce: PCM samples never cross back to the JVM)."""
+    src = media.filter(F.col("kind") == "audio").select("media_id", "data", "meta.*")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, data, sr in zip(pdf["media_id"], pdf["data"], pdf["sample_rate"]):
+                x = decode_audio(bytes(data), int(sr)).astype(np.float64)
+                out.append(
+                    (
+                        int(mid),
+                        int(x.size),
+                        int(x.size // int(sr)),
+                        int(np.floor(x.mean() * 100)),
+                        int(np.floor(np.sqrt(np.mean(x * x)) * 100)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_samples", "duration_sec", "mean_x100", "rms_x100"],
+            )
+
+    return src.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Video → one row per sampled frame (frame explode pattern)."""
     src = media.filter(F.col("kind") == "video").select("media_id", "data", "meta.*")

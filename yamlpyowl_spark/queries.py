@@ -1463,7 +1463,7 @@ def _register_multimodal():
     # deterministic synthetic media, materialized as a parquet artifact
     # (distributed == sequential, the triples.parquet gate philosophy);
     # semantics additionally pinned by tests/test_multimodal.py
-    from .sources.artifacts import mm_features_path
+    from .sources.artifacts import mm_audio_features_path, mm_features_path
 
     @_q(
         "mm_image_features",
@@ -1474,6 +1474,19 @@ def _register_multimodal():
 
         ensure_artifacts()
         return image_features(synthesize_media(spark, n=64))
+
+    @_q(
+        "mm_audio_features",
+        f"SELECT media_id, n_samples, duration_sec, mean_x100, rms_x100 "
+        f"FROM read_parquet('{mm_audio_features_path()}')",
+    )
+    def mm_audio_features(spark, sf_dir):
+        # audio twin of mm_image_features: decode-then-reduce via one
+        # mapInPandas stage; oracle = sequential numpy artifact
+        from .operators.multimodal import audio_features, synthesize_media
+
+        ensure_artifacts()
+        return audio_features(synthesize_media(spark, n=64))
 
     # frame sampling over videos i≡2 (mod 3) with n_frames = 4+(i%5),
     # every 2nd frame → ceil(n/2): directly expressible from the

@@ -31,7 +31,7 @@ from ..functions.udfs import parse_rows_to_records
 from .corpus import corpus_rows, write_corpus_parquet
 from .fixtures import build_default_import_map
 
-_VERSION = 5
+_VERSION = 6  # r5: + mm_audio_features oracle artifact
 ARTIFACT_DIR = os.environ.get(
     "YPO_ARTIFACT_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".artifacts", "kg"),
@@ -72,6 +72,50 @@ def inferred_path() -> str:
 
 def mm_features_path() -> str:
     return os.path.join(ARTIFACT_DIR, "mm_image_features.parquet")
+
+
+def mm_audio_features_path() -> str:
+    return os.path.join(ARTIFACT_DIR, "mm_audio_features.parquet")
+
+
+def _build_mm_audio_features() -> None:
+    """Sequential audio-feature oracle (audio twin of
+    :func:`_build_mm_features`): same deterministic synthetic clips,
+    single-process numpy — distributed == sequential."""
+    import numpy as np
+
+    from ..operators.multimodal import _keystream
+
+    rows = []
+    for i in range(64):
+        if i % 3 != 1:  # audio only
+            continue
+        sr, secs = 8000, 1 + (i % 2)
+        x = np.frombuffer(_keystream(f"42:aud:{i}", sr * secs), dtype=np.uint8).astype(
+            np.float64
+        )
+        rows.append(
+            (
+                i,
+                x.size,
+                x.size // sr,
+                int(np.floor(x.mean() * 100)),
+                int(np.floor(np.sqrt(np.mean(x * x)) * 100)),
+            )
+        )
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                name: pa.array(list(col), type=pa.int64())
+                for name, col in zip(
+                    ("media_id", "n_samples", "duration_sec", "mean_x100", "rms_x100"),
+                    cols,
+                )
+            }
+        ),
+        mm_audio_features_path(),
+    )
 
 
 def _build_mm_features() -> None:
@@ -401,6 +445,7 @@ def ensure_artifacts() -> dict:
     )
 
     _build_mm_features()
+    _build_mm_audio_features()
 
     with open(_marker_path(), "w") as fh:
         json.dump(manifest, fh)
