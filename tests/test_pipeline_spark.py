@@ -405,3 +405,49 @@ def test_corpus_import_map_skips_malformed_and_bounds(spark, source):
     assert "broken.owl" not in m
     with pytest.raises(ValueError, match="more than"):
         build_import_map_from_corpus(source.unionByName(bad), max_files=0)
+
+
+def test_by_iri_import_map_with_injected_fetcher(spark, source, import_map, parsed):
+    """The reference fetches imports by IRI at parse time
+    (core.py:1197-1216); our shape is a ONE-TIME driver-side prefetch
+    through an injected fetcher (no implicit network), broadcast like
+    every other import map — the pipeline parses identically to the
+    prebuilt default map."""
+    from yamlpyowl_spark.parser.imports import build_import_map_from_iris
+    from yamlpyowl_spark.sources.fixtures import load_bfo_text
+
+    bfo = load_bfo_text()
+    if bfo is None:
+        pytest.skip("reference bfo.owl not mounted")
+    BFO_IRI = "http://purl.obolibrary.org/obo/bfo.owl"
+    fetched = []
+
+    def fetcher(iri):
+        fetched.append(iri)
+        assert iri == BFO_IRI
+        return bfo
+
+    m = build_import_map_from_iris([BFO_IRI], fetcher=fetcher)
+    assert fetched == [BFO_IRI]  # exactly one driver-side fetch
+    assert m["bfo.owl"] == import_map["bfo.owl"]
+    assert m[BFO_IRI] == m["bfo.owl"]
+    pipe2 = KGPipeline(spark, import_map=m, parse_partitions=8)
+    t1 = parsed.filter(F.col("rec") == "t")
+    t2 = pipe2.parsed(source).filter(F.col("rec") == "t")
+    assert t1.count() == t2.count()
+    assert t1.exceptAll(t2).count() == 0 and t2.exceptAll(t1).count() == 0
+
+
+def test_by_iri_import_map_is_loud():
+    from yamlpyowl_spark.parser.imports import build_import_map_from_iris
+
+    with pytest.raises(ValueError, match="explicit fetcher"):
+        build_import_map_from_iris(["http://x/y.owl"])
+    with pytest.raises(ValueError, match="fetch failed"):
+        build_import_map_from_iris(
+            ["http://x/y.owl"], fetcher=lambda i: (_ for _ in ()).throw(OSError("nope"))
+        )
+    with pytest.raises(ValueError, match="oversized"):
+        build_import_map_from_iris(
+            ["http://x/y.owl"], fetcher=lambda i: "x" * 10, max_bytes=5
+        )

@@ -1,4 +1,8 @@
-from ..parser.imports import build_import_map, build_import_map_from_corpus
+from ..parser.imports import (
+    build_import_map,
+    build_import_map_from_corpus,
+    build_import_map_from_iris,
+)
 from .fixtures import (
     DEMO_ONTOLOGY,
     FIXTURE_SPECS,
@@ -11,6 +15,7 @@ __all__ = [
     "DEMO_ONTOLOGY",
     "build_import_map",
     "build_import_map_from_corpus",
+    "build_import_map_from_iris",
     "FIXTURE_SPECS",
     "build_default_import_map",
     "load_fixture_texts",
