@@ -337,8 +337,17 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
         items = sorted(names)
         if len(items) <= 1:
             return len(items)
-        if len(items) > 10:  # degenerate doc: be conservative upward
-            return len(items)
+        if len(items) > 10:
+            # degenerate doc: greedy clique — a certain LOWER bound.
+            # (An overestimate would falsely prune satisfiable models,
+            # SHRINKING the model set and inflating the entailment
+            # intersection — the unsafe direction. An underestimate only
+            # lets more models survive → fewer entailments.)
+            clique: list = []
+            for x in items:
+                if all(declared_different(x, y) for y in clique):
+                    clique.append(x)
+            return len(clique)
         from itertools import combinations
 
         for k in range(len(items), 1, -1):
