@@ -370,7 +370,10 @@ def write_bench_md(timings: dict, scaling: dict, total: float):
         "- External sandbox load matters: a run with host load-avg ~5-6",
         "  (other tenants) inflated EVERY row ~uniformly by ~25%; check",
         "  `uptime` and re-run on a quiet box before root-causing uniform",
-        "  shifts.",
+        "  shifts. The r5 QUIET-box reference run measured headline",
+        "  43.67 s — comparable set 43.0 s = r4 x 0.976 (the r4",
+        "  regression recovered); regens under residual load read a few",
+        "  seconds higher.",
         "",
         "## Streaming drain floor (r5 root-cause, verdict #8)",
         "",
