@@ -1,0 +1,115 @@
+"""Differential gate for the r5 FILTER expression compiler: every
+expression in a deterministic grid is evaluated BOTH by make_query
+(Spark) and by DuckDB SQL over the same rows — the two engines must
+agree on the surviving subjects. This pins the compiler's comparison
+typing (numeric vs lexical), three-valued NULL behavior under
+OPTIONAL, boolean precedence, and the string/metadata functions
+against an independent implementation.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import types as T
+
+from yamlpyowl_spark.operators.sparql import make_query
+
+E = "http://ex.org/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("obj_is_literal", T.BooleanType()),
+        T.StructField("obj_datatype", T.StringType()),
+        T.StructField("doc_iri", T.StringType()),
+    ]
+)
+
+ROWS = [
+    (E + "a", E + "v", "30", True, XSD + "integer", E),
+    (E + "b", E + "v", "7", True, XSD + "integer", E),
+    (E + "c", E + "v", "45.5", True, XSD + "double", E),
+    (E + "d", E + "v", "apple", True, XSD + "string", E),
+    (E + "e", E + "v", E + "iri-object", False, None, E),
+]
+
+# (sparql_filter, duckdb_where) — ?x binds subj, ?v binds obj.
+# DuckDB side mirrors the documented dialect: ordering comparisons with
+# a numeric side cast to DOUBLE (non-numeric drop out via NULL), =/!=
+# lexical, STR identity, DATATYPE via the metadata columns.
+_V = "t.obj"
+_DT = f"(CASE WHEN t.obj_is_literal THEN coalesce(t.obj_datatype, '{XSD}string') END)"
+GRID = [
+    ("?v > 10", f"TRY_CAST({_V} AS DOUBLE) > 10"),
+    ("?v <= 30", f"TRY_CAST({_V} AS DOUBLE) <= 30"),
+    ('?v = "apple"', f"{_V} = 'apple'"),
+    ('?v != "7"', f"{_V} <> '7'"),
+    ("?v > 10 && ?v < 40", f"TRY_CAST({_V} AS DOUBLE) > 10 AND TRY_CAST({_V} AS DOUBLE) < 40"),
+    ("?v < 10 || ?v > 40", f"TRY_CAST({_V} AS DOUBLE) < 10 OR TRY_CAST({_V} AS DOUBLE) > 40"),
+    (
+        "?v < 10 || ?v > 20 && ?v < 40",
+        f"TRY_CAST({_V} AS DOUBLE) < 10 OR (TRY_CAST({_V} AS DOUBLE) > 20 AND TRY_CAST({_V} AS DOUBLE) < 40)",
+    ),
+    (
+        '(?v < 10 || ?v > 40) && ?v != "45.5"',
+        f"(TRY_CAST({_V} AS DOUBLE) < 10 OR TRY_CAST({_V} AS DOUBLE) > 40) AND {_V} <> '45.5'",
+    ),
+    ("!(?v > 10)", f"NOT (TRY_CAST({_V} AS DOUBLE) > 10)"),
+    ('?v IN ("7", "apple")', f"{_V} IN ('7', 'apple')"),
+    ('?v NOT IN ("7", "apple")', f"{_V} NOT IN ('7', 'apple')"),
+    ("?v * 2 > 60", f"TRY_CAST({_V} AS DOUBLE) * 2 > 60"),
+    ("(?v + 5) / 2 > 20", f"(TRY_CAST({_V} AS DOUBLE) + 5) / 2 > 20"),
+    ('regex(?v, "^a")', f"regexp_matches({_V}, '^a')"),
+    ('STRSTARTS(?v, "a")', f"starts_with({_V}, 'a')"),
+    ('STRENDS(?v, "e")', f"{_V} LIKE '%e'"),
+    ('CONTAINS(?v, "ppl")', f"contains({_V}, 'ppl')"),
+    ("STRLEN(?v) = 2", f"length({_V}) = 2"),
+    ('UCASE(?v) = "APPLE"', f"upper({_V}) = 'APPLE'"),
+    ('STR(?v) != ""', f"{_V} <> ''"),
+    ("isLiteral(?v)", "t.obj_is_literal"),
+    ("isIRI(?v)", "NOT t.obj_is_literal AND substr(t.obj,1,2) <> '_:'"),
+    (f"DATATYPE(?v) = <{XSD}integer>", f"{_DT} = '{XSD}integer'"),
+    (f"DATATYPE(?v) != <{XSD}integer>", f"{_DT} <> '{XSD}integer'"),
+    (
+        f'isLiteral(?v) && (DATATYPE(?v) = <{XSD}double> || ?v IN ("7"))',
+        f"t.obj_is_literal AND ({_DT} = '{XSD}double' OR {_V} IN ('7'))",
+    ),
+    (
+        '!(?v IN ("apple")) && STRLEN(?v) >= 2',
+        f"NOT ({_V} IN ('apple')) AND length({_V}) >= 2",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(subj VARCHAR, pred VARCHAR, obj VARCHAR, "
+        "obj_is_literal BOOLEAN, obj_datatype VARCHAR, doc_iri VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?,?)", ROWS)
+    return con
+
+
+@pytest.mark.parametrize("sparql_filter,sql_where", GRID, ids=[g[0] for g in GRID])
+def test_filter_matches_duckdb(tdf, ddb, sparql_filter, sql_where):
+    q = (
+        f"PREFIX e: <{E}> SELECT ?x WHERE "
+        f"{{ ?x e:v ?v . FILTER({sparql_filter}) }}"
+    )
+    spark_got = {r[0] for r in make_query(tdf, q).collect()}
+    duck_got = {
+        r[0]
+        for r in ddb.execute(
+            f"SELECT DISTINCT subj FROM t WHERE pred = '{E}v' AND ({sql_where})"
+        ).fetchall()
+    }
+    assert spark_got == duck_got, f"FILTER({sparql_filter})"

@@ -913,8 +913,8 @@ def _operand_col(df: DataFrame, node):
     if kind == "str":
         return F.lit(node[1])
     if kind == "arith":
-        a = _operand_col(df, node[1]).cast("double")
-        b = _operand_col(df, node[3]).cast("double")
+        a = _operand_col(df, node[1]).try_cast("double")
+        b = _operand_col(df, node[3]).try_cast("double")
         return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[node[2]]
     # ("fn", name, var)
     _, fn, var = node
@@ -1002,7 +1002,7 @@ def _filter_col(df: DataFrame, ast):
         or (op in _ORDERING and lhs[0] == "var" and rhs[0] == "var")
     )
     if numeric:
-        a, b = a.cast("double"), b.cast("double")
+        a, b = a.try_cast("double"), b.try_cast("double")
     return _CMP[op](a, b)
 
 
@@ -1017,8 +1017,8 @@ def _bind_col(df: DataFrame, expr):
     if kind in ("num", "str"):
         return F.lit(expr[1])
     _, lhs, op, rhs = expr  # ("arith", lhs, op, rhs)
-    a = _bind_col(df, lhs).cast("double")
-    b = _bind_col(df, rhs).cast("double")
+    a = _bind_col(df, lhs).try_cast("double")
+    b = _bind_col(df, rhs).try_cast("double")
     return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[op]
 
 
@@ -1135,8 +1135,8 @@ def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> D
 
 
 _AGG_FNS = {
-    "SUM": lambda c: F.sum(c.cast("double")),
-    "AVG": lambda c: F.avg(c.cast("double")),
+    "SUM": lambda c: F.sum(c.try_cast("double")),
+    "AVG": lambda c: F.avg(c.try_cast("double")),
     "MIN": F.min,
     "MAX": F.max,
 }
@@ -1319,7 +1319,7 @@ def _select_frame(triples: DataFrame, parsed) -> DataFrame:
         df = df.groupBy(*group_by).agg(*cols) if group_by else df.agg(*cols)
         if having is not None:
             df = df.filter(
-                _CMP[having[4]](F.col(h_ref).cast("double"), F.lit(having[5]))
+                _CMP[having[4]](F.col(h_ref).try_cast("double"), F.lit(having[5]))
             )
         # project in SELECT order (vars ⊆ group_by keys, agg aliases)
         df = df.select(*[it[1] if it[0] == "var" else it[4] for it in select_items])
