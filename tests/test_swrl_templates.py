@@ -269,3 +269,29 @@ def test_same_key_means_same_shape(r1, r2):
     k2, s2 = encode_rule("http://b#", *r2)
     if k1 == k2:
         assert len(s1) == len(s2)
+
+
+def test_builtin_comparison_skips_non_numeric_bindings(spark):
+    """A greaterThan builtin over a property that ALSO has non-numeric
+    values must drop those bindings (the sequential oracle skips them
+    on ValueError) — ANSI mode's throwing cast would kill the job."""
+    from yamlpyowl_spark.operators.swrl import forward_chain
+
+    E = "http://ex.org/bi#"
+    SWRL = "http://www.w3.org/2003/11/swrl#"
+    rows = [
+        # rule: hasV(?x, ?v) ^ greaterThan(?v, 10) -> Big(?x)
+        (E, "https://w3id.org/yamlpyowl-spark/vocab#ruleSrc",
+         "hasV(?x, ?v), greaterThan(?v, 10) -> Big(?x)", True, None, E),
+        (E + "a", E + "hasV", "30", True,
+         "http://www.w3.org/2001/XMLSchema#integer", E),
+        (E + "b", E + "hasV", "not-a-number", True,
+         "http://www.w3.org/2001/XMLSchema#string", E),
+    ]
+    schema = ("subj string, pred string, obj string, obj_is_literal boolean, "
+              "obj_datatype string, doc_iri string")
+    t = spark.createDataFrame(rows, schema)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in forward_chain(t).collect()}
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert (E + "a", RDF_TYPE, E + "Big") in got
+    assert not any(s == E + "b" for s, _, _ in got)

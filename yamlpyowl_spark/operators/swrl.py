@@ -441,7 +441,11 @@ def _eval_template_once(
         if atom[0] == "bi":
             _, op, vi, cs = atom
             sign = ">" if op == "gt" else "<"
-            b = b.filter(f"cast(v{vi} as double) {sign} cast(_s{cs} as double)")
+            # try_cast: a non-numeric binding DROPS OUT of the builtin
+            # comparison (matching the sequential oracle's
+            # skip-on-ValueError) — ANSI mode's plain cast would kill
+            # the whole fixpoint job instead
+            b = b.filter(f"try_cast(v{vi} as double) {sign} try_cast(_s{cs} as double)")
             continue
         if atom[0] == "cls":
             _, cls_slot, inst = atom
