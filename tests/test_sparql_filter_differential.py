@@ -113,3 +113,61 @@ def test_filter_matches_duckdb(tdf, ddb, sparql_filter, sql_where):
         ).fetchall()
     }
     assert spark_got == duck_got, f"FILTER({sparql_filter})"
+
+
+# ---------------------------------------------------------------------------
+# three-valued logic under OPTIONAL: NULL-bound variables vs DuckDB
+# LEFT JOIN semantics
+# ---------------------------------------------------------------------------
+
+KNOWS = [
+    (E + "a", E + "knows", E + "b", False, None, E),
+]
+
+OPT_GRID = [
+    # comparison on a NULL-bound optional var: NULL -> dropped
+    ("?y > 0", "TRY_CAST(k.obj AS DOUBLE) > 0"),
+    ('?y = "zzz"', "k.obj = 'zzz'"),
+    # bound() / !bound() are NULL tests, not comparisons
+    ("bound(?y)", "k.obj IS NOT NULL"),
+    ("!bound(?y)", "k.obj IS NULL"),
+    # negation of a NULL comparison stays NULL (row dropped), unlike
+    # !bound(); DuckDB NOT(NULL) is NULL too -> same survivors
+    ("!(?y > 0)", "NOT (TRY_CAST(k.obj AS DOUBLE) > 0)"),
+    # disjunction where one side is a NULL comparison
+    ('?v = "30" || ?y > 0', "t.obj = '30' OR TRY_CAST(k.obj AS DOUBLE) > 0"),
+]
+
+
+@pytest.fixture(scope="module")
+def tdf2(spark):
+    return spark.createDataFrame(ROWS + KNOWS, SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def ddb2():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(subj VARCHAR, pred VARCHAR, obj VARCHAR, "
+        "obj_is_literal BOOLEAN, obj_datatype VARCHAR, doc_iri VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?,?)", ROWS + KNOWS)
+    return con
+
+
+@pytest.mark.parametrize("sparql_filter,sql_where", OPT_GRID, ids=[g[0] for g in OPT_GRID])
+def test_optional_filter_matches_duckdb(tdf2, ddb2, sparql_filter, sql_where):
+    q = (
+        f"PREFIX e: <{E}> SELECT ?x WHERE "
+        f"{{ ?x e:v ?v . OPTIONAL {{ ?x e:knows ?y }} . FILTER({sparql_filter}) }}"
+    )
+    spark_got = {r[0] for r in make_query(tdf2, q).collect()}
+    duck_got = {
+        r[0]
+        for r in ddb2.execute(
+            f"SELECT DISTINCT t.subj FROM t "
+            f"LEFT JOIN (SELECT subj, obj FROM t WHERE pred = '{E}knows') k "
+            f"ON t.subj = k.subj WHERE t.pred = '{E}v' AND ({sql_where})"
+        ).fetchall()
+    }
+    assert spark_got == duck_got, f"FILTER({sparql_filter})"
