@@ -1140,6 +1140,23 @@ def test_filter_strlen_ucase_lcase(triples):
     assert got == {E + "a"}
 
 
+def test_filter_sameterm(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples,
+            "?x WHERE { ?x e:knows ?y . ?z e:likes ?w . FILTER(sameTerm(?y, ?z)) }",
+        ).collect()
+    }
+    # a knows b; b likes c — sameTerm(?y,?z) keeps the b-b pairing
+    assert got == {E + "a"}
+    neg = _q(
+        triples,
+        '?x WHERE { ?x e:name ?n . FILTER(sameTerm(?n, "bob")) }',
+    ).collect()
+    assert neg == []
+
+
 def test_filter_metadata_needs_object_binding(triples):
     with pytest.raises(SparqlError, match="object position"):
         _q(triples, "?x WHERE { ?x e:age ?a . FILTER(isLiteral(?x)) }")

@@ -393,6 +393,18 @@ class _Parser:
                 var_tok = self.expect("var")
                 self.expect("rparen")
                 return (self._BOOL_FNS[name], "?" + var_tok.group("var"))
+            if name == "sameterm":
+                # terms are identified by their string in this engine:
+                # sameTerm == lexical equality of the two operands
+                self.next()
+                self.expect("lparen")
+                a = self._operand()
+                t = self.peek()
+                if t is not None and _kind(t) == "comma":
+                    self.next()
+                b = self._operand()
+                self.expect("rparen")
+                return ("cmp", a, "=", b)
             if name in ("strstarts", "strends", "contains"):
                 self.next()
                 self.expect("lparen")
