@@ -7,6 +7,7 @@ This module parses that subset plus the next-most-common SPARQL
 constructs — ``FILTER`` (boolean expressions over ``||``/``&&``/``!``,
 comparisons with arithmetic operands, ``IN``/``NOT IN``, ``bound()``,
 ``regex()``, ``STRSTARTS()``/``STRENDS()``/``CONTAINS()``,
+``sameTerm()``,
 ``isIRI()``/``isURI()``/``isLiteral()``/``isBlank()``, and the
 ``STR()``/``LANG()``/``DATATYPE()``/``STRLEN()``/``UCASE()``/
 ``LCASE()`` accessors), ``UNION``, ``OPTIONAL``, ``MINUS``,
