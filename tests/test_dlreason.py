@@ -329,8 +329,8 @@ def test_alldifferent_restores_injectivity():
 
 
 def test_unsupported_construct_is_loud(spark):
-    # r5: unqualified cardinality is now IN the fragment; the loud
-    # boundary moved to the qualified variants
+    # r6: qualified cardinality is now IN the fragment; the loud
+    # boundary moved to hasSelf / disjointness
     from yamlpyowl_spark.operators.dlreason import (
         OWL,
         UNSUPPORTED_DL_PREDS,
@@ -340,12 +340,14 @@ def test_unsupported_construct_is_loud(spark):
 
     assert OWL + "minCardinality" not in UNSUPPORTED_DL_PREDS
     assert OWL + "cardinality" not in UNSUPPORTED_DL_PREDS
+    assert OWL + "qualifiedCardinality" not in UNSUPPORTED_DL_PREDS
+    assert OWL + "minQualifiedCardinality" not in UNSUPPORTED_DL_PREDS
+    assert OWL + "onClass" not in UNSUPPORTED_DL_PREDS
     E = "http://ex.org/card#"
     rows = [
         (E + "C", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "_:r", False, None, E),
         ("_:r", OWL + "onProperty", E + "p", False, None, E),
-        ("_:r", OWL + "minQualifiedCardinality", "2", False, None, E),
-        ("_:r", OWL + "onClass", E + "D", False, None, E),
+        ("_:r", OWL + "hasSelf", "true", False, None, E),
     ]
     schema = ("subj string, pred string, obj string, obj_is_literal boolean, "
               "obj_datatype string, doc_iri string")
@@ -353,11 +355,11 @@ def test_unsupported_construct_is_loud(spark):
     # warn (default): a diagnostic row names the construct
     got = dl_model_search(triples).collect()
     diags = {(r["subj"], r["pred"], r["obj"]) for r in got}
-    assert (E, YPO_DL_UNSUPPORTED, OWL + "minQualifiedCardinality") in diags
+    assert (E, YPO_DL_UNSUPPORTED, OWL + "hasSelf") in diags
     # raise: fails loudly naming the document
     with pytest.raises(Exception) as ei:
         dl_model_search(triples, on_unsupported="raise").collect()
-    assert "minQualifiedCardinality" in str(ei.value)
+    assert "hasSelf" in str(ei.value)
     # ignore: the silent legacy behavior
     assert dl_model_search(triples, on_unsupported="ignore").count() == 0
 
@@ -481,6 +483,119 @@ def test_min_cardinality_two_on_single_valued_prop_unsat():
     _solve_doc(rows, stats=stats)
     # min 2 can never hold for the single-valued representation with
     # one asserted successor: every model is pruned, nothing entailed
+    assert stats.get("n_models", -1) == 0
+
+
+# ---------------------------------------------------------------------------
+# round 6: onClass-QUALIFIED cardinality inside the CSP
+# ---------------------------------------------------------------------------
+
+
+def test_qualified_exactly_one_entails_the_single_c_member():
+    # `q exactly 1 Warm` where Warm = OneOf{h1}: every model must give
+    # m exactly one Warm successor — with a single candidate, q(m)=h1
+    # is entailed (the Nothing branch fails the lower bound)
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, OWL_ON_PROPERTY, RDFS_RANGE,
+    )
+
+    rows = [
+        *_enum(CE + "Man", CE + "m"),
+        *_enum(CE + "House", CE + "h1", CE + "h2"),
+        *_enum(CE + "Warm", CE + "h1"),
+        (CE + "q", RDFS_RANGE, CE + "House"),
+        (CE + "m", RDF_TYPE, "_:r"),
+        ("_:r", OWL_ON_PROPERTY, CE + "q"),
+        ("_:r", OWL + "qualifiedCardinality", "1"),
+        ("_:r", OWL + "onClass", CE + "Warm"),
+    ]
+    inferred = _solve_doc(rows)
+    assert (CE + "m", CE + "q", CE + "h1") in inferred
+
+
+def test_qualified_exactly_one_with_two_members_entails_nothing():
+    # two Warm candidates: models disagree on which — no entailment,
+    # but models DO exist (the restriction is satisfiable)
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, OWL_ON_PROPERTY, RDFS_RANGE,
+    )
+
+    rows = [
+        *_enum(CE + "Man", CE + "m"),
+        *_enum(CE + "House", CE + "h1", CE + "h2"),
+        *_enum(CE + "Warm", CE + "h1", CE + "h2"),
+        (CE + "q", RDFS_RANGE, CE + "House"),
+        (CE + "m", RDF_TYPE, "_:r"),
+        ("_:r", OWL_ON_PROPERTY, CE + "q"),
+        ("_:r", OWL + "qualifiedCardinality", "1"),
+        ("_:r", OWL + "onClass", CE + "Warm"),
+    ]
+    stats = {}
+    inferred = _solve_doc(rows, stats=stats)
+    assert stats.get("n_models", 0) == 2
+    assert not {t for t in inferred if t[1] == CE + "q"}
+
+
+def test_max_qualified_counts_only_c_successors():
+    # two asserted successors declared different, but only ONE is in
+    # Cold: `q max 1 Cold` is satisfied (the unqualified max 1 would
+    # be violated) — models exist
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, OWL_ALL_DIFFERENT, OWL_DISTINCT_MEMBERS, OWL_ON_PROPERTY,
+        RDFS_RANGE, RDF_FIRST, RDF_REST, RDF_NIL,
+    )
+
+    def with_onclass(members):
+        return [
+            *_enum(CE + "Man", CE + "m"),
+            *_enum(CE + "House", CE + "h1", CE + "h2"),
+            *_enum(CE + "Cold", *members),
+            (CE + "q", RDFS_RANGE, CE + "House"),
+            (CE + "m", CE + "q", CE + "h1"),
+            (CE + "m", CE + "q", CE + "h2"),
+            (CE + "m", RDF_TYPE, "_:r"),
+            ("_:r", OWL_ON_PROPERTY, CE + "q"),
+            ("_:r", OWL + "maxQualifiedCardinality", "1"),
+            ("_:r", OWL + "onClass", CE + "Cold"),
+            ("_:ad", RDF_TYPE, OWL_ALL_DIFFERENT),
+            ("_:ad", OWL_DISTINCT_MEMBERS, "_:adl0"),
+            ("_:adl0", RDF_FIRST, CE + "h1"), ("_:adl0", RDF_REST, "_:adl1"),
+            ("_:adl1", RDF_FIRST, CE + "h2"), ("_:adl1", RDF_REST, RDF_NIL),
+        ]
+
+    # only h1 is Cold: max 1 Cold holds — satisfiable
+    stats = {}
+    _solve_doc(with_onclass([CE + "h1"]), stats=stats)
+    assert stats.get("n_models", 0) > 0
+    # both are Cold AND declared different: certain violation — unsat
+    stats2 = {}
+    _solve_doc(with_onclass([CE + "h1", CE + "h2"]), stats=stats2)
+    assert stats2.get("n_models", -1) == 0
+
+
+def test_min_qualified_two_prunes_single_valued_models():
+    # `q min 2 Warm` can never hold in the single-valued
+    # representation with one asserted successor: unsat
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, OWL_ON_PROPERTY, RDFS_RANGE,
+    )
+
+    rows = [
+        *_enum(CE + "Man", CE + "m"),
+        *_enum(CE + "House", CE + "h1", CE + "h2"),
+        *_enum(CE + "Warm", CE + "h1", CE + "h2"),
+        (CE + "q", RDFS_RANGE, CE + "House"),
+        (CE + "m", CE + "q", CE + "h1"),
+        (CE + "m", RDF_TYPE, "_:r"),
+        ("_:r", OWL_ON_PROPERTY, CE + "q"),
+        ("_:r", OWL + "minQualifiedCardinality", "2"),
+        ("_:r", OWL + "onClass", CE + "Warm"),
+        (CE + "m", RDF_TYPE, "_:r2"),
+        ("_:r2", OWL_ON_PROPERTY, CE + "q"),
+        ("_:r2", OWL + "cardinality", "1"),
+    ]
+    stats = {}
+    _solve_doc(rows, stats=stats)
     assert stats.get("n_models", -1) == 0
 
 

@@ -19,21 +19,20 @@ MUST_BE_IN_WINDOW = [
     "kg_connected_components",
     "kg_bucketed_linking",
     "kg_sparql_combined",     # UNION+FILTER+VALUES+OPTIONAL+MINUS in one row
-    "kg_sparql_agg",
     "kg_sparql_path_star",
     "kg_owlrl_prop_rules",
-    "kg_sparql_construct",
     "kg_sparql_having_offset",
     "kg_sparql_graph",
     "kg_sparql_filter_fns",
     "kg_sparql_describe",
+    "kg_sparql_exprs",        # r6 value-expression layer
+    "kg_dl_qualified",        # r6 qualified-cardinality CSP
     "doc_exact_dedup",
     "doc_minhash_signatures",
     "doc_lsh_candidates",
     "doc_dedup_survivors",
     "doc_dup_clusters",
     "doc_stratified_sample",
-    "emb_cosine_topk",
     "emb_ivf_topk",
     "mm_image_features",
     "mm_audio_features",

@@ -1174,3 +1174,178 @@ def test_filter_metadata_not_a_join_key(triples):
         ).collect()
     }
     assert got == {E + "b"}
+
+
+# ---------------------------------------------------------------------------
+# r6: value expressions in SELECT, GROUP_CONCAT/SAMPLE, negated
+# property sets
+# ---------------------------------------------------------------------------
+
+
+def test_select_expression_plain(triples):
+    rows = {
+        tuple(r)
+        for r in _q(
+            triples,
+            '?x (CONCAT(?n, "!") AS ?shout) WHERE { ?x e:name ?n }',
+        ).collect()
+    }
+    assert rows == {(E + "a", "alice!")}
+
+
+def test_select_expression_arithmetic(triples):
+    rows = {
+        (r[0], r[1])
+        for r in _q(
+            triples, "?x (?a * 2 AS ?double_age) WHERE { ?x e:age ?a }"
+        ).collect()
+    }
+    assert rows == {(E + "a", 60.0), (E + "b", 14.0), (E + "c", 90.0)}
+
+
+def test_select_expression_chains_aliases(triples):
+    # a later expression may reference an earlier alias
+    rows = {
+        (r[0], r[1], r[2])
+        for r in _q(
+            triples,
+            "?x (?a + 1 AS ?b1) (?b1 * 10 AS ?b10) WHERE { ?x e:age ?a }",
+        ).collect()
+    }
+    assert (E + "b", 8.0, 80.0) in rows
+
+
+def test_select_expression_post_aggregation(triples):
+    rows = {
+        (r[0], r[1])
+        for r in _q(
+            triples,
+            "?x (COUNT(?p) AS ?n) (?n * 100 AS ?pct) WHERE { ?x ?p ?o } GROUP BY ?x",
+        ).collect()
+    }
+    # a has age+knows+name = 3 patterns
+    assert (E + "a", 300.0) in {(r[0], r[2]) for r in _q(
+        triples,
+        "?x (COUNT(?p) AS ?n) (?n * 100 AS ?pct) WHERE { ?x ?p ?o } GROUP BY ?x",
+    ).collect()}
+
+
+def test_select_expression_alias_collision_rejected(triples):
+    with pytest.raises(SparqlError, match="already bound"):
+        _q(triples, "?x (?a * 2 AS ?a) WHERE { ?x e:age ?a }")
+
+
+def test_select_expression_without_as_rejected(triples):
+    with pytest.raises(SparqlError, match="AS"):
+        _q(triples, "?x (?a * 2) WHERE { ?x e:age ?a }")
+
+
+def test_group_concat(triples):
+    rows = {
+        tuple(r)
+        for r in _q(
+            triples,
+            '(GROUP_CONCAT(?n; SEPARATOR=",") AS ?all) WHERE { ?x e:age ?n }',
+        ).collect()
+    }
+    # deterministic dialect: sorted lexical order
+    assert rows == {("30,45,7",)}
+
+
+def test_group_concat_default_separator_and_groups(triples):
+    rows = {
+        tuple(r)
+        for r in _q(
+            triples,
+            "?x (GROUP_CONCAT(?o) AS ?vals) WHERE { ?x e:knows ?o } GROUP BY ?x",
+        ).collect()
+    }
+    assert rows == {(E + "a", E + "b")}
+
+
+def test_group_concat_distinct(spark):
+    rows_in = [
+        (E + "a", E + "tag", "x", True, None, E),
+        (E + "a", E + "tag", "x", True, None, E),
+        (E + "a", E + "tag", "y", True, None, E),
+    ]
+    tdf = spark.createDataFrame(rows_in, SCHEMA)
+    got = make_query(
+        tdf,
+        f"PREFIX e: <{E}> SELECT ?s (GROUP_CONCAT(DISTINCT ?t) AS ?ts) "
+        f"WHERE {{ ?s e:tag ?t }} GROUP BY ?s",
+    ).collect()
+    assert [(r[0], r[1]) for r in got] == [(E + "a", "x y")]
+
+
+def test_sample_aggregate(triples):
+    rows = {
+        tuple(r)
+        for r in _q(
+            triples, "(SAMPLE(?n) AS ?one) WHERE { ?x e:age ?n }"
+        ).collect()
+    }
+    # deterministic dialect: SAMPLE = min
+    assert rows == {("30",)}
+
+
+def test_negated_property_set_single(triples):
+    got = {
+        tuple(r)
+        for r in _q(triples, "?s ?o WHERE { ?s !e:age ?o }").collect()
+    }
+    assert got == {(E + "a", E + "b"), (E + "b", E + "c"), (E + "a", "alice")}
+
+
+def test_negated_property_set_multi(triples):
+    got = {
+        tuple(r)
+        for r in _q(
+            triples, "?s ?o WHERE { ?s !(e:age|e:name) ?o }"
+        ).collect()
+    }
+    assert got == {(E + "a", E + "b"), (E + "b", E + "c")}
+
+
+def test_negated_property_set_in_sequence(triples):
+    # a !(...)/p sequence composes with plain segments
+    got = {
+        r[0]
+        for r in _q(
+            triples, "?s WHERE { ?s !(e:age|e:name)/e:likes ?o }"
+        ).collect()
+    }
+    assert got == {E + "a"}
+
+
+def test_negated_property_set_inverse_member_rejected(triples):
+    with pytest.raises(SparqlError, match="forward members"):
+        _q(triples, "?s ?o WHERE { ?s !(^e:age) ?o }")
+
+
+def test_negated_property_set_variable_rejected(triples):
+    with pytest.raises(SparqlError, match="concrete"):
+        _q(triples, "?s ?o WHERE { ?s !?p ?o }")
+
+
+def test_filter_in_variable_rejected(triples):
+    with pytest.raises(SparqlError, match="IN list members must be constant"):
+        _q(triples, "?x WHERE { ?x e:age ?a . FILTER(?a IN (?x)) }")
+
+
+def test_sameterm_no_numeric_coercion(spark):
+    rows_in = [
+        (E + "a", E + "v", "30", True, None, E),
+        (E + "b", E + "v", "30.0", True, None, E),
+    ]
+    tdf = spark.createDataFrame(rows_in, SCHEMA)
+    got = {
+        r[0]
+        for r in make_query(
+            tdf,
+            f"PREFIX e: <{E}> SELECT ?x WHERE "
+            f"{{ ?x e:v ?v . FILTER(sameTerm(?v, 30)) }}",
+        ).collect()
+    }
+    # lexical comparison: "30.0" is NOT the same term as 30
+    assert got == {E + "a"}

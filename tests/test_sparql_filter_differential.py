@@ -33,6 +33,11 @@ ROWS = [
     (E + "c", E + "v", "45.5", True, XSD + "double", E),
     (E + "d", E + "v", "apple", True, XSD + "string", E),
     (E + "e", E + "v", E + "iri-object", False, None, E),
+    # f: a LITERAL whose lexical form equals e's IRI — sameTerm() must
+    # tell them apart via the literal-ness companion (r5 verdict #2)
+    (E + "f", E + "v", E + "iri-object", True, XSD + "string", E),
+    # g: "30.0" — numerically equal to a's "30" but not the same term
+    (E + "g", E + "v", "30.0", True, XSD + "double", E),
 ]
 
 # (sparql_filter, duckdb_where) — ?x binds subj, ?v binds obj.
@@ -80,6 +85,33 @@ GRID = [
         '!(?v IN ("apple")) && STRLEN(?v) >= 2',
         f"NOT ({_V} IN ('apple')) AND length({_V}) >= 2",
     ),
+    # --- r6 value-expression layer ---
+    ('SUBSTR(?v, 1, 3) = "app"', f"substr({_V}, 1, 3) = 'app'"),
+    ('SUBSTR(?v, 2) = "pple"', f"substr({_V}, 2) = 'pple'"),
+    # SPARQL REPLACE is regex-based and replaces EVERY match
+    ('REPLACE(?v, "p", "b") = "abble"', f"regexp_replace({_V}, 'p', 'b', 'g') = 'abble'"),
+    ('REPLACE(?v, "[05]", "x") = "3x.x"', f"regexp_replace({_V}, '[05]', 'x', 'g') = '3x.x'"),
+    ('CONCAT(?v, "!") = "apple!"', f"concat({_V}, '!') = 'apple!'"),
+    ('CONCAT("x", ?v, "y") = "x7y"', f"concat('x', {_V}, 'y') = 'x7y'"),
+    ("ABS(?v - 40) < 6", f"abs(TRY_CAST({_V} AS DOUBLE) - 40) < 6"),
+    ("CEIL(?v) = 46", f"ceil(TRY_CAST({_V} AS DOUBLE)) = 46"),
+    ("FLOOR(?v) = 45", f"floor(TRY_CAST({_V} AS DOUBLE)) = 45"),
+    ("ROUND(?v) = 46", f"round(TRY_CAST({_V} AS DOUBLE)) = 46"),
+    ('COALESCE(?v, "z") = "7"', f"coalesce({_V}, 'z') = '7'"),
+    (
+        'IF(?v > 10, "big", "small") = "small"',
+        # two-branch CASE: a NULL condition yields NULL (error
+        # propagation), matching the Spark compile
+        f"(CASE WHEN TRY_CAST({_V} AS DOUBLE) > 10 THEN 'big' "
+        f"WHEN NOT (TRY_CAST({_V} AS DOUBLE) > 10) THEN 'small' END) = 'small'",
+    ),
+    # --- sameTerm(): lexical form + literal-vs-IRI agreement, never
+    # numeric coercion (r5 verdict #2 / advice #2) ---
+    (f"sameTerm(?v, <{E}iri-object>)", f"{_V} = '{E}iri-object' AND NOT t.obj_is_literal"),
+    (f'sameTerm(?v, "{E}iri-object")', f"{_V} = '{E}iri-object' AND t.obj_is_literal"),
+    ("sameTerm(?v, 30)", f"{_V} = '30' AND t.obj_is_literal"),
+    ('!sameTerm(?v, "apple") && STRLEN(?v) > 1',
+     f"NOT ({_V} = 'apple' AND t.obj_is_literal) AND length({_V}) > 1"),
 ]
 
 
@@ -136,6 +168,13 @@ OPT_GRID = [
     ("!(?y > 0)", "NOT (TRY_CAST(k.obj AS DOUBLE) > 0)"),
     # disjunction where one side is a NULL comparison
     ('?v = "30" || ?y > 0', "t.obj = '30' OR TRY_CAST(k.obj AS DOUBLE) > 0"),
+    # COALESCE falls through a NULL-bound optional var
+    ('COALESCE(?y, "none") = "none"', "coalesce(k.obj, 'none') = 'none'"),
+    # IF over bound(): decidable for every row, NULL-bound included
+    (
+        'IF(bound(?y), "y", "n") = "n"',
+        "(CASE WHEN k.obj IS NOT NULL THEN 'y' ELSE 'n' END) = 'n'",
+    ),
 ]
 
 

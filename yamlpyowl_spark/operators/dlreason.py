@@ -31,17 +31,20 @@ Per document:
    plus the deterministic part (OneOf memberships, inverse-property
    images of functional assignments).
 
-Unqualified cardinality restrictions are inside the fragment (r5):
-``p exactly 1`` / ``p max 1`` give the restricted subject a CSP
-variable (the functional logic generalized per subject), and min /
-max / exactly become three-valued checkers — the lower bound counts
-distinct names present in the model (closed over the enumerated
-fragment, like some-restrictions), the upper bound is violated only
-by successors pairwise DECLARED different (non-UNA).
+Cardinality restrictions are inside the fragment — unqualified (r5)
+and ``onClass``-qualified (r6): ``p exactly 1`` / ``p max 1`` /
+``p exactly 1 C`` give the restricted subject a CSP variable (the
+functional logic generalized per subject; the qualified variable's
+domain is C's enumeration), and min / max / exactly become
+three-valued checkers — the lower bound counts distinct names present
+in the model (closed over the enumerated fragment, like
+some-restrictions; qualified: only successors PROVABLY in C), the
+upper bound is violated only by successors pairwise DECLARED
+different (non-UNA; qualified: and provably in C).
 
 Documents outside the fragment contribute no variables, and the
-boundary is LOUD: constructs the fragment ignores (qualified
-cardinality, hasSelf, disjointness, ...) yield per-document
+boundary is LOUD: constructs the fragment ignores (hasSelf,
+disjointness, ...) yield per-document
 diagnostic rows or an :class:`UnsupportedDLError`
 (``on_unsupported=``), never a silent no-op. This operator composes with :mod:`swrl`'s forward chain
 in ``api.OntologyManager.sync_reasoner``.
@@ -82,13 +85,10 @@ RDFS_RANGE = V.RDFS + "range"
 UNSUPPORTED_DL_PREDS = frozenset(
     OWL + p
     for p in (
-        # unqualified cardinality / minCardinality / maxCardinality:
-        # inside the CSP fragment since r5 (three-valued checkers +
-        # per-subject variables for card-1 restrictions)
-        "qualifiedCardinality",
-        "minQualifiedCardinality",
-        "maxQualifiedCardinality",
-        "onClass",
+        # unqualified cardinality (r5) AND onClass-QUALIFIED
+        # cardinality (r6) are inside the CSP fragment: three-valued
+        # checkers + per-subject variables for (qualified) card-1
+        # restrictions.
         # propertyChainAxiom: handled by owlrl prp-spo2 (r5) — no
         # longer flagged here
         "hasSelf",
@@ -100,6 +100,10 @@ UNSUPPORTED_DL_PREDS = frozenset(
 OWL_CARDINALITY = OWL + "cardinality"
 OWL_MIN_CARDINALITY = OWL + "minCardinality"
 OWL_MAX_CARDINALITY = OWL + "maxCardinality"
+OWL_QUALIFIED_CARDINALITY = OWL + "qualifiedCardinality"
+OWL_MIN_QUALIFIED_CARDINALITY = OWL + "minQualifiedCardinality"
+OWL_MAX_QUALIFIED_CARDINALITY = OWL + "maxQualifiedCardinality"
+OWL_ON_CLASS = OWL + "onClass"
 
 
 def _card_int(m: "_DocModel", node: str, key: str) -> Optional[int]:
@@ -272,15 +276,28 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
         on_p = m.obj(rnode, OWL_ON_PROPERTY)
         if not on_p or on_p.startswith("_:") or (on_p, s) in variables:
             continue
+        if inverse_of.get(on_p) in var_props:
+            continue
         card = _card_int(m, rnode, OWL_CARDINALITY)
         maxc = _card_int(m, rnode, OWL_MAX_CARDINALITY)
+        qmaxc = _card_int(m, rnode, OWL_MAX_QUALIFIED_CARDINALITY)
+        on_c = m.obj(rnode, OWL_ON_CLASS)
         eff_max = card if card is not None else maxc
-        if eff_max != 1 or inverse_of.get(on_p) in var_props:
+        if eff_max == 1 or (qmaxc == 1 and on_c is not None):
+            # (qualified) max-1: the single-valued representation over
+            # the property's enumerated range
+            rng_cls = m.obj(on_p, RDFS_RANGE)
+            if rng_cls in enums:
+                var_props.add(on_p)
+                variables[(on_p, s)] = list(enums[rng_cls])
             continue
-        rng_cls = m.obj(on_p, RDFS_RANGE)
-        if rng_cls in enums:
+        # r6: `p exactly 1 C` (onClass-qualified) — in the
+        # single-valued representation the subject's one p-value IS the
+        # required C-member, so the variable's domain is C's enumeration
+        qcard = _card_int(m, rnode, OWL_QUALIFIED_CARDINALITY)
+        if qcard == 1 and on_c in enums:
             var_props.add(on_p)
-            variables[(on_p, s)] = list(enums[rng_cls])
+            variables[(on_p, s)] = list(enums[on_c])
 
     if not variables:
         return inferred
@@ -478,6 +495,45 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
             if lo is not None and len(names) < lo:
                 return False
             return True
+        qcard = _card_int(m, node, OWL_QUALIFIED_CARDINALITY)
+        qmin = _card_int(m, node, OWL_MIN_QUALIFIED_CARDINALITY)
+        qmax = _card_int(m, node, OWL_MAX_QUALIFIED_CARDINALITY)
+        if qcard is not None or qmin is not None or qmax is not None:
+            # r6 qualified cardinality: count only successors IN the
+            # onClass — lower bound over successors PROVABLY in C,
+            # upper bound violated only by a pairwise-declared-
+            # different subset provably in C (non-UNA both ways, the
+            # unqualified checkers' logic relativized to C membership)
+            if inv_q:
+                return None  # inverse qualified cardinality: undecidable here
+            on_c = m.obj(node, OWL_ON_CLASS)
+            if on_c is None:
+                return None
+            lo = qcard if qcard is not None else qmin
+            hi = qcard if qcard is not None else qmax
+            names = set(m.objs(entity, on_p))
+            unknown = False
+            if (on_p, entity) in variables:
+                a = assignment[(on_p, entity)]
+                if a is None:
+                    unknown = True
+                elif a != OWL_NOTHING:
+                    names.add(a)
+            elif inverse_of.get(on_p) is not None:
+                got = val(on_p, entity)
+                if got is None:
+                    unknown = True
+                elif got != OWL_NOTHING:
+                    names.add(got)
+            member = {y: holds(y, on_c) for y in names}
+            provably = [y for y, h in member.items() if h is True]
+            if hi is not None and _max_distinct(provably) > hi:
+                return False
+            if unknown or any(h is None for h in member.values()):
+                return None
+            if lo is not None and len(provably) < lo:
+                return False
+            return True
         return None
 
     constraints = [(s, r) for s, r in restrictions]
@@ -582,7 +638,7 @@ def dl_model_search(
 
     The supported-fragment boundary is OBSERVABLE, never silent
     (r2 verdict #4): a document using a construct the fragment ignores
-    (qualified cardinality, hasSelf, disjointness, ... —
+    (hasSelf, disjointness, ... —
     ``UNSUPPORTED_DL_PREDS``) yields, per distinct construct, one
     diagnostic row ``(doc_iri, ypo:dlUnsupportedConstruct,
     <construct>)`` in the output (``on_unsupported="warn"``, default);

@@ -8,14 +8,21 @@ constructs — ``FILTER`` (boolean expressions over ``||``/``&&``/``!``,
 comparisons with arithmetic operands, ``IN``/``NOT IN``, ``bound()``,
 ``regex()``, ``STRSTARTS()``/``STRENDS()``/``CONTAINS()``,
 ``sameTerm()``,
-``isIRI()``/``isURI()``/``isLiteral()``/``isBlank()``, and the
+``isIRI()``/``isURI()``/``isLiteral()``/``isBlank()``, the
 ``STR()``/``LANG()``/``DATATYPE()``/``STRLEN()``/``UCASE()``/
-``LCASE()`` accessors), ``UNION``, ``OPTIONAL``, ``MINUS``,
+``LCASE()`` accessors, and the r6 value-expression layer:
+``SUBSTR()``/``REPLACE()``/``CONCAT()``, numeric
+``ABS()``/``CEIL()``/``FLOOR()``/``ROUND()``, ``COALESCE()`` and
+``IF()``), ``UNION``, ``OPTIONAL``, ``MINUS``,
 ``VALUES`` (single-var and tuple forms), simple ``BIND``, property
 paths (``p+`` one-or-more, ``p*`` zero-or-more, ``p?`` zero-or-one,
-``^p`` inverse, ``p1|p2`` alternation incl. ``(p1|p2)+``, and ``p1/p2``
-sequences), aggregates (``(COUNT|SUM|MIN|MAX|AVG)(?v)``, ``COUNT(*)``,
-``COUNT(DISTINCT ?v)``) with ``GROUP BY``, the ``ORDER BY`` /
+``^p`` inverse, ``p1|p2`` alternation incl. ``(p1|p2)+``, negated
+property sets ``!p`` / ``!(p1|p2)``, and ``p1/p2``
+sequences), aggregates (``(COUNT|SUM|MIN|MAX|AVG|SAMPLE)(?v)``,
+``COUNT(*)``, ``COUNT(DISTINCT ?v)``, ``GROUP_CONCAT(?v; SEPARATOR
+"...")``) with ``GROUP BY``, value expressions in the projection
+(``(expr AS ?alias)`` — post-aggregation when aggregates are
+present), the ``ORDER BY`` /
 ``LIMIT`` / ``OFFSET`` / ``HAVING`` solution modifiers, and the
 ``ASK`` / ``CONSTRUCT`` / ``DESCRIBE`` query forms, ``FILTER (NOT) EXISTS``
 (left-semi / left-anti join on the shared variables), and ``GRAPH``
@@ -49,7 +56,14 @@ drops out of any comparison) for IRIs and blank nodes; ``IN``
 compares lexical forms. ``DATATYPE()``/``isIRI()``/``isLiteral()``
 need their variable bound in object position of a triple pattern in
 the same group (term metadata rides on hidden companion columns bound
-at that site; they never become join keys).
+at that site; they never become join keys). ``sameTerm()`` compares
+lexical forms (no numeric coercion) AND, when both operands carry a
+literal-ness flag (a constant, or a variable with an object-position
+companion), requires literal-vs-IRI agreement, per spec.
+``GROUP_CONCAT`` concatenates in sorted lexical order and ``SAMPLE``
+picks the minimum (deterministic dialect — the spec leaves both
+unspecified); ``CEIL``/``FLOOR``/``ROUND`` stay double-typed, with
+``ROUND`` rounding ties away from zero.
 
 Still-unsupported SPARQL (SERVICE, property paths or subqueries
 under ``GRAPH ?var``) raises — loudly, not wrongly.
@@ -78,7 +92,8 @@ _CONSTRUCT_RE = re.compile(
     r"^CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL
 )
 _AGG_ITEM_RE = re.compile(
-    r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)\s+AS\s+\?(\w+)\s*\)",
+    r"\(\s*(COUNT|SUM|MIN|MAX|AVG|SAMPLE|GROUP_CONCAT)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*"
+    r'(?:;\s*SEPARATOR\s*=\s*"((?:[^"\\]|\\.)*)")?\s*\)\s+AS\s+\?(\w+)\s*\)',
     re.IGNORECASE,
 )
 _VAR_ITEM_RE = re.compile(r"\?(\w+)")
@@ -263,7 +278,12 @@ class _Parser:
             s = _term_of(self.next(), self.prefixes)
             segs = self._path()
             o = _term_of(self.next(), self.prefixes)
-            if len(segs) == 1 and not segs[0][1] and len(segs[0][0]) == 1:
+            if (
+                len(segs) == 1
+                and not segs[0][1]
+                and not segs[0][2]
+                and len(segs[0][0]) == 1
+            ):
                 pred, inv = segs[0][0][0]
                 # single plain atom = a BGP pattern; ^p just swaps ends
                 items.append(("t", (o, pred, s) if inv else (s, pred, o)))
@@ -395,8 +415,11 @@ class _Parser:
                 self.expect("rparen")
                 return (self._BOOL_FNS[name], "?" + var_tok.group("var"))
             if name == "sameterm":
-                # terms are identified by their string in this engine:
-                # sameTerm == lexical equality of the two operands
+                # dedicated node (NOT a plain cmp): sameTerm compares
+                # lexical forms — never the numeric try_cast coercion —
+                # and folds in the literal-vs-IRI companion flag when
+                # both operands carry one (spec: a literal is never
+                # sameTerm-equal to an IRI, whatever its string)
                 self.next()
                 self.expect("lparen")
                 a = self._operand()
@@ -405,7 +428,13 @@ class _Parser:
                     self.next()
                 b = self._operand()
                 self.expect("rparen")
-                return ("cmp", a, "=", b)
+                for side in (a, b):
+                    if side[0] not in ("var", "num", "str", "iri"):
+                        raise SparqlError(
+                            "sameTerm() operands must be variables or "
+                            "constant terms"
+                        )
+                return ("sameterm", a, b)
             if name in ("strstarts", "strends", "contains"):
                 self.next()
                 self.expect("lparen")
@@ -438,6 +467,14 @@ class _Parser:
                     break
                 if _kind(t) == "comma":
                     continue
+                if _kind(t) == "var":
+                    # a variable in the list would otherwise be treated
+                    # as the literal string "?w" (always-false filter) —
+                    # loud-failure principle: raise instead
+                    raise SparqlError(
+                        "IN list members must be constant terms, got "
+                        f"?{t.group('var')} (compare variables with =)"
+                    )
                 consts.append(_term_of(t, self.prefixes))
             return ("in", lhs, consts, positive)
         raise SparqlError(
@@ -445,7 +482,10 @@ class _Parser:
             "(or IN / a boolean function)"
         )
 
+    # single-argument term accessors (generalized to expression args
+    # except lang/datatype, which read per-variable term metadata)
     _OPERAND_FNS = ("str", "lang", "datatype", "strlen", "ucase", "lcase")
+    _NUM_FNS = ("abs", "ceil", "floor", "round")
 
     def _operand(self):
         node = self._mul_operand()
@@ -465,6 +505,11 @@ class _Parser:
             op = self.next().group("arith")
             node = ("arith", node, op, self._operand_atom())
 
+    def _skip_comma(self):
+        t = self.peek()
+        if t is not None and _kind(t) == "comma":
+            self.next()
+
     def _operand_atom(self):
         tok = self.next()
         k = _kind(tok)
@@ -472,18 +517,92 @@ class _Parser:
             return ("var", "?" + tok.group("var"))
         if k == "num":
             return ("num", tok.group("num"))
-        if k in ("lit", "iri", "pname"):
-            return ("str", _term_of(tok, self.prefixes))
+        if k == "lit":
+            return ("str", tok.group("lit").replace('\\"', '"'))
+        if k in ("iri", "pname"):
+            # distinct kind: sameTerm() needs literal-vs-IRI to be
+            # distinguishable for constant operands
+            return ("iri", _term_of(tok, self.prefixes))
         if k == "lparen":
             node = self._operand()
             self.expect("rparen")
             return node
-        if k == "ident" and tok.group("ident").lower() in self._OPERAND_FNS:
-            fn = tok.group("ident").lower()
-            self.expect("lparen")
-            var_tok = self.expect("var")
-            self.expect("rparen")
-            return ("fn", fn, "?" + var_tok.group("var"))
+        if k == "ident":
+            name = tok.group("ident").lower()
+            if name in self._OPERAND_FNS:
+                self.expect("lparen")
+                if name in ("lang", "datatype"):
+                    # metadata accessors ride on per-variable companion
+                    # columns — the argument must be a plain variable
+                    var_tok = self.expect("var")
+                    arg = ("var", "?" + var_tok.group("var"))
+                else:
+                    arg = self._operand()
+                self.expect("rparen")
+                return ("fn", name, arg)
+            if name in self._NUM_FNS:
+                self.expect("lparen")
+                arg = self._operand()
+                self.expect("rparen")
+                return ("numfn", name, arg)
+            if name == "substr":
+                self.expect("lparen")
+                arg = self._operand()
+                self._skip_comma()
+                start_tok = self.expect("num")
+                length = None
+                nxt = self.peek()
+                if nxt is not None and _kind(nxt) in ("comma", "num"):
+                    self._skip_comma()
+                    length = int(self.expect("num").group("num"))
+                self.expect("rparen")
+                return ("substr", arg, int(start_tok.group("num")), length)
+            if name == "replace":
+                # SPARQL REPLACE is regex-based and replaces every match
+                self.expect("lparen")
+                arg = self._operand()
+                self._skip_comma()
+                pat = self.expect("lit").group("lit").replace('\\"', '"')
+                self._skip_comma()
+                rep = self.expect("lit").group("lit").replace('\\"', '"')
+                self.expect("rparen")
+                return ("replace", arg, pat, rep)
+            if name == "concat":
+                self.expect("lparen")
+                args = [self._operand()]
+                while True:
+                    t = self.peek()
+                    if t is not None and _kind(t) == "comma":
+                        self.next()
+                        args.append(self._operand())
+                    else:
+                        break
+                self.expect("rparen")
+                return ("concat", args)
+            if name == "coalesce":
+                self.expect("lparen")
+                args = [self._operand()]
+                while True:
+                    t = self.peek()
+                    if t is not None and _kind(t) == "comma":
+                        self.next()
+                        args.append(self._operand())
+                    else:
+                        break
+                self.expect("rparen")
+                return ("coalesce", args)
+            if name == "if":
+                # IF(boolean-expr, then, else) — the condition is a full
+                # FILTER boolean expression; a NULL (type-error)
+                # condition yields NULL, per SPARQL's error propagation
+                self.expect("lparen")
+                cond = self._bool_or()
+                self._skip_comma()
+                a = self._operand()
+                self._skip_comma()
+                b = self._operand()
+                self.expect("rparen")
+                return ("ifexpr", cond, a, b)
         raise SparqlError(f"expected a FILTER operand, got {tok.group(0)!r}")
 
     def _path_atom(self):
@@ -510,20 +629,37 @@ class _Parser:
 
     def _path(self) -> list:
         """Property path in predicate position: ``p``, ``^p``, ``p+``,
-        ``p*``, ``p?``, ``p1|p2``, ``(p1|p2)+``, and ``/``-sequences of
-        those. Returns ``[(alts, mod), ...]`` with alts = [(pred,
-        inverse)] and mod in (None, '+', '*', '?'). A variable
-        predicate is allowed only as a single plain segment (plain
-        BGP)."""
+        ``p*``, ``p?``, ``p1|p2``, ``(p1|p2)+``, negated property sets
+        ``!p`` / ``!(p1|p2)`` (SPARQL 1.1 §9.1 — any edge whose
+        predicate is NOT in the set; forward members only), and
+        ``/``-sequences of those. Returns ``[(alts, mod, neg), ...]``
+        with alts = [(pred, inverse)], mod in (None, '+', '*', '?')
+        and neg a bool. A variable predicate is allowed only as a
+        single plain segment (plain BGP)."""
         segs = []
         while True:
+            neg = False
             nxt = self.peek()
+            if nxt is not None and _kind(nxt) == "bang":
+                self.next()
+                neg = True
+                nxt = self.peek()
             if nxt is not None and _kind(nxt) == "lparen":
                 self.next()
                 alts = self._path_alts()
                 self.expect("rparen")
             else:
                 alts = self._path_alts()
+            if neg:
+                if any(inv for _, inv in alts):
+                    raise SparqlError(
+                        "negated property sets support forward members "
+                        "only (no ^p inside !(...))"
+                    )
+                if any(t.startswith("?") for t, _ in alts):
+                    raise SparqlError(
+                        "negated property sets need concrete predicates"
+                    )
             mod = None
             nxt = self.peek()
             if nxt is not None and (
@@ -534,14 +670,14 @@ class _Parser:
                     raise SparqlError("path modifiers need a concrete predicate")
                 mod = "?" if _kind(nxt) == "qmark" else nxt.group("arith")
                 self.next()
-            segs.append((alts, mod))
+            segs.append((alts, mod, neg))
             nxt = self.peek()
             if nxt is not None and _kind(nxt) == "arith" and nxt.group("arith") == "/":
                 self.next()
                 continue
-            n_atoms = sum(len(a) for a, _ in segs)
+            n_atoms = sum(len(a) for a, _, _ in segs)
             if n_atoms > 1 and any(
-                t.startswith("?") for alts2, _ in segs for t, _ in alts2
+                t.startswith("?") for alts2, _, _ in segs for t, _ in alts2
             ):
                 raise SparqlError("variable predicates not allowed in property paths")
             return segs
@@ -623,9 +759,13 @@ class _Parser:
         return ("bind", "?" + var_tok.group("var"), expr)
 
 
-def _parse_projection(proj: str):
-    """SELECT items: plain ``?var`` or ``(AGG(...) AS ?alias)``.
-    Returns [("var", name) | ("agg", fn, distinct, arg, alias), ...]."""
+def _parse_projection(proj: str, prefixes: dict | None = None):
+    """SELECT items: plain ``?var``, ``(AGG(...) AS ?alias)``, or a
+    value expression ``(expr AS ?alias)`` (SPARQL 1.1 §18.2.4.4 —
+    computed over the bound variables; with aggregates present, over
+    the group keys and aggregate aliases). Returns [("var", name) |
+    ("agg", fn, distinct, arg, alias, sep) | ("expr", ast, alias),
+    ...]."""
     items, pos = [], 0
     proj = proj.strip()
     while pos < len(proj):
@@ -634,9 +774,45 @@ def _parse_projection(proj: str):
             continue
         m = _AGG_ITEM_RE.match(proj, pos)
         if m:
-            fn, dist, arg, alias = m.groups()
-            items.append(("agg", fn.upper(), bool(dist), arg, alias))
+            fn, dist, arg, sep, alias = m.groups()
+            items.append(
+                ("agg", fn.upper(), bool(dist), arg, alias,
+                 sep.replace('\\"', '"') if sep is not None else None)
+            )
             pos = m.end()
+            continue
+        if proj[pos] == "(":
+            # (expr AS ?alias): slice the balanced-paren span, re-parse
+            # its inside with the operand grammar
+            depth, j = 0, pos
+            while j < len(proj):
+                if proj[j] == "(":
+                    depth += 1
+                elif proj[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise SparqlError(f"unbalanced parens in SELECT item: {proj[pos:]!r}")
+            span = proj[pos + 1 : j]
+            p = _Parser(_tokenize(span), prefixes or {}, span)
+            ast = p._operand()
+            as_tok = p.peek()
+            if (
+                as_tok is None
+                or _kind(as_tok) != "kw"
+                or as_tok.group("kw").upper() != "AS"
+            ):
+                raise SparqlError(
+                    f"SELECT expression needs `AS ?alias`: ({span})"
+                )
+            p.next()
+            alias = p.expect("var").group("var")
+            if p.peek() is not None:
+                raise SparqlError(f"trailing tokens in SELECT item: ({span})")
+            items.append(("expr", ast, alias))
+            pos = j + 1
             continue
         m = _VAR_ITEM_RE.match(proj, pos)
         if m:
@@ -729,7 +905,7 @@ def _parse(src: str, outer_prefixes: dict | None = None):
     m = _SELECT_RE.search(src.strip())
     if not m:
         raise SparqlError("expected `SELECT ... WHERE { ... }`")
-    select_items = _parse_projection(m.group(2))
+    select_items = _parse_projection(m.group(2), prefixes)
     group_by, order_by, limit, offset, having = _parse_modifiers(m.group(4) or "")
     items = _parse_group(m.group(3), prefixes)
     return select_items, items, group_by, order_by, limit, offset, having
@@ -742,7 +918,7 @@ def parse_sparql(src: str) -> Tuple[List[str], List[Tuple[str, str, str]]]:
     if any(k[0] != "t" for k in items):
         raise SparqlError("query uses FILTER/UNION/OPTIONAL — evaluate via make_query")
     if group_by or order_by or limit is not None or offset is not None or having or any(
-        it[0] == "agg" for it in select_items
+        it[0] != "var" for it in select_items
     ):
         raise SparqlError("query uses aggregates/modifiers — evaluate via make_query")
     return ["?" + it[1] for it in select_items], [it[1] for it in items]
@@ -817,14 +993,22 @@ def _path_frame(triples: DataFrame, s: str, segs: list, o: str, idx: int) -> Dat
     from .closure import transitive_closure
 
     cur = None
-    for i, (alts, mod) in enumerate(segs):
-        e = None
-        for p, inv in alts:
-            src_col, dst_col = ("obj", "subj") if inv else ("subj", "obj")
-            f = triples.filter(F.col("pred") == p).select(
-                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-            )
-            e = f if e is None else e.unionByName(f)
+    for i, (alts, mod, neg) in enumerate(segs):
+        if neg:
+            # negated property set: every edge whose predicate is NOT a
+            # set member — ONE filtered scan (isin pushes down), never
+            # an anti-join of the edge frame against itself
+            e = triples.filter(
+                ~F.col("pred").isin([p for p, _ in alts])
+            ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        else:
+            e = None
+            for p, inv in alts:
+                src_col, dst_col = ("obj", "subj") if inv else ("subj", "obj")
+                f = triples.filter(F.col("pred") == p).select(
+                    F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                )
+                e = f if e is None else e.unionByName(f)
         if mod == "+":
             e = transitive_closure(e)
         elif mod == "*":
@@ -887,15 +1071,33 @@ def _collect_meta_vars(ast, out: set) -> None:
     elif kind == "cmp":
         for side in (ast[1], ast[3]):
             _collect_operand_meta(side, out)
+    elif kind == "sameterm":
+        # companion literal-flags fold into the term equality when bound
+        for side in (ast[1], ast[2]):
+            if side[0] == "var":
+                out.add(side[1][1:])
     elif kind in ("regex", "in", "strstarts", "strends", "contains"):
         _collect_operand_meta(ast[1], out)
 
 
 def _collect_operand_meta(node, out: set) -> None:
-    if node[0] == "fn" and node[1] == "datatype":
-        out.add(node[2][1:])
-    elif node[0] == "arith":
+    kind = node[0]
+    if kind == "fn":
+        if node[1] == "datatype":
+            out.add(node[2][1][1:])  # arg is ("var", "?x")
+        else:
+            _collect_operand_meta(node[2], out)
+    elif kind == "arith":
         _collect_operand_meta(node[1], out)
+        _collect_operand_meta(node[3], out)
+    elif kind in ("substr", "replace", "numfn"):
+        _collect_operand_meta(node[1] if kind != "numfn" else node[2], out)
+    elif kind in ("concat", "coalesce"):
+        for a in node[1]:
+            _collect_operand_meta(a, out)
+    elif kind == "ifexpr":
+        _collect_meta_vars(node[1], out)
+        _collect_operand_meta(node[2], out)
         _collect_operand_meta(node[3], out)
 
 
@@ -913,7 +1115,16 @@ def _require_meta(df: DataFrame, var: str, what: str) -> None:
 
 
 def _is_numeric_node(node) -> bool:
-    return node[0] in ("num", "arith")
+    return node[0] in ("num", "arith", "numfn")
+
+
+def _str_col(df: DataFrame, node):
+    """Operand compiled to its LEXICAL string form: numeric literals
+    keep their typed-in text (``30`` stays "30", never "30.0"), other
+    operands are already strings or cast to string."""
+    if node[0] == "num":
+        return F.lit(node[1])
+    return _operand_col(df, node).cast("string")
 
 
 def _operand_col(df: DataFrame, node):
@@ -923,24 +1134,55 @@ def _operand_col(df: DataFrame, node):
         return F.col(node[1][1:])
     if kind == "num":
         return F.lit(float(node[1]))
-    if kind == "str":
+    if kind in ("str", "iri"):
         return F.lit(node[1])
     if kind == "arith":
         a = _operand_col(df, node[1]).try_cast("double")
         b = _operand_col(df, node[3]).try_cast("double")
         return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[node[2]]
-    # ("fn", name, var)
-    _, fn, var = node
-    _require_bound(df, var)
+    if kind == "substr":
+        _, arg, start, length = node
+        base = _str_col(df, arg)
+        # SPARQL SUBSTR is 1-based like SQL substring
+        return F.substring(base, start, length if length is not None else 2147483647)
+    if kind == "replace":
+        # SPARQL REPLACE is regex-based and replaces every match
+        return F.regexp_replace(_str_col(df, node[1]), node[2], node[3])
+    if kind == "concat":
+        return F.concat(*[_str_col(df, a) for a in node[1]])
+    if kind == "coalesce":
+        return F.coalesce(*[_operand_col(df, a) for a in node[1]])
+    if kind == "numfn":
+        _, fn, arg = node
+        x = _operand_col(df, arg).try_cast("double")
+        # dialect: numeric functions stay double-typed (CEIL/FLOOR
+        # return whole-valued doubles; ROUND rounds half away from zero)
+        if fn == "abs":
+            return F.abs(x)
+        if fn == "ceil":
+            return F.ceil(x).cast("double")
+        if fn == "floor":
+            return F.floor(x).cast("double")
+        return F.round(x, 0)
+    if kind == "ifexpr":
+        _, cond, a, b = node
+        c = _filter_col(df, cond)
+        # two-branch when (no otherwise): a NULL condition yields NULL
+        # — SPARQL error propagation, not the else branch
+        return F.when(c, _operand_col(df, a)).when(~c, _operand_col(df, b))
+    # ("fn", name, arg_node)
+    _, fn, arg = node
     if fn == "str":
         # terms ARE their lexical form / IRI string in this engine
-        return F.col(var[1:])
+        return _str_col(df, arg)
     if fn == "strlen":
-        return F.length(F.col(var[1:]))
+        return F.length(_str_col(df, arg))
     if fn == "ucase":
-        return F.upper(F.col(var[1:]))
+        return F.upper(_str_col(df, arg))
     if fn == "lcase":
-        return F.lower(F.col(var[1:]))
+        return F.lower(_str_col(df, arg))
+    var = arg[1]  # lang/datatype: parse-time guaranteed ("var", "?x")
+    _require_bound(df, var)
     if fn == "lang":
         # the YAML dialect has no language-tagged literals (module doc):
         # LANG() is "" for every plain literal, as SPARQL specifies
@@ -1005,6 +1247,27 @@ def _filter_col(df: DataFrame, ast):
     if kind == "isliteral":
         _require_meta(df, ast[1], "isLiteral()")
         return F.col(f"__lit_{ast[1][1:]}")
+    if kind == "sameterm":
+        # lexical-form equality — no numeric coercion, ever — plus the
+        # literal-vs-IRI companion flag when both operands carry one
+        # (spec: a literal is never sameTerm-equal to an IRI even if
+        # their strings match); a var without a companion (subject/
+        # predicate position) falls back to lexical equality alone
+        _, lhs, rhs = ast
+        cond = _str_col(df, lhs) == _str_col(df, rhs)
+        flags = []
+        for side in (lhs, rhs):
+            if side[0] == "var" and f"__lit_{side[1][1:]}" in df.columns:
+                flags.append(F.col(f"__lit_{side[1][1:]}"))
+            elif side[0] in ("str", "num"):
+                flags.append(F.lit(True))
+            elif side[0] == "iri":
+                flags.append(F.lit(False))
+            else:
+                flags.append(None)
+        if flags[0] is not None and flags[1] is not None:
+            cond = cond & (flags[0] == flags[1])
+        return cond
     # ("cmp", lhs, op, rhs)
     _, lhs, op, rhs = ast
     a = _operand_col(df, lhs)
@@ -1275,9 +1538,20 @@ def _select_frame(triples: DataFrame, parsed) -> DataFrame:
     df = _compile(triples, items)
     plain = [it[1] for it in select_items if it[0] == "var"]
     aggs = [it for it in select_items if it[0] == "agg"]
+    exprs = [it for it in select_items if it[0] == "expr"]
     missing = [v for v in plain + group_by if v not in df.columns]
     if missing:
         raise SparqlError(f"SELECT/GROUP BY variables never bound: {missing}")
+
+    def _apply_exprs(frame: DataFrame) -> DataFrame:
+        # (expr AS ?alias) items compute sequentially — a later
+        # expression may reference an earlier alias
+        for _, ast, alias in exprs:
+            if alias in frame.columns:
+                raise SparqlError(f"SELECT expression alias ?{alias} already bound")
+            frame = frame.withColumn(alias, _operand_col(frame, ast))
+        return frame
+
     if aggs:
         extra = [v for v in plain if v not in group_by]
         if extra:
@@ -1285,7 +1559,7 @@ def _select_frame(triples: DataFrame, parsed) -> DataFrame:
                 f"non-aggregate SELECT variables must appear in GROUP BY: {extra}"
             )
         cols = []
-        for _, fn, dist, arg, alias in aggs:
+        for _, fn, dist, arg, alias, sep in aggs:
             if fn == "COUNT":
                 if arg == "*":
                     col = F.count(F.lit(1))
@@ -1293,6 +1567,29 @@ def _select_frame(triples: DataFrame, parsed) -> DataFrame:
                     col = F.countDistinct(F.col(arg[1:]))
                 else:
                     col = F.count(F.col(arg[1:]))
+            elif fn == "GROUP_CONCAT":
+                # dialect (deterministic — SPARQL leaves the order
+                # undefined): values concatenate in sorted lexical
+                # order; default separator " " per spec
+                if arg == "*":
+                    raise SparqlError("GROUP_CONCAT(*) is not valid SPARQL")
+                if arg[1:] not in df.columns:
+                    raise SparqlError(f"aggregate over unbound variable {arg}")
+                base = (
+                    F.collect_set(F.col(arg[1:]))
+                    if dist
+                    else F.collect_list(F.col(arg[1:]))
+                )
+                col = F.array_join(
+                    F.array_sort(base), sep if sep is not None else " "
+                )
+            elif fn == "SAMPLE":
+                # dialect (deterministic): SAMPLE picks the minimum
+                if arg == "*":
+                    raise SparqlError("SAMPLE(*) is not valid SPARQL")
+                if arg[1:] not in df.columns:
+                    raise SparqlError(f"aggregate over unbound variable {arg}")
+                col = F.min(F.col(arg[1:]))
             else:
                 if arg == "*":
                     raise SparqlError(f"{fn}(*) is not valid SPARQL")
@@ -1334,15 +1631,24 @@ def _select_frame(triples: DataFrame, parsed) -> DataFrame:
             df = df.filter(
                 _CMP[having[4]](F.col(h_ref).try_cast("double"), F.lit(having[5]))
             )
-        # project in SELECT order (vars ⊆ group_by keys, agg aliases)
-        df = df.select(*[it[1] if it[0] == "var" else it[4] for it in select_items])
+        # SELECT expressions compute post-aggregation, over the group
+        # keys and aggregate aliases; then project in SELECT order
+        df = _apply_exprs(df)
+        df = df.select(
+            *[it[1] if it[0] == "var" else it[4] if it[0] == "agg" else it[2]
+              for it in select_items]
+        )
     elif having is not None:
         raise SparqlError("HAVING requires aggregates in the SELECT clause")
     elif group_by:
         # GROUP BY with no aggregates = projection to the keys, distinct
-        df = df.select(*group_by).distinct().select(*plain)
+        df = _apply_exprs(df.select(*group_by).distinct())
+        df = df.select(*[it[1] if it[0] == "var" else it[2] for it in select_items])
     else:
-        df = df.select(*plain).distinct()
+        df = _apply_exprs(df)
+        df = df.select(
+            *[it[1] if it[0] == "var" else it[2] for it in select_items]
+        ).distinct()
     for name, _ in order_by:
         if name not in df.columns:
             raise SparqlError(f"ORDER BY references unprojected variable ?{name}")

@@ -589,6 +589,60 @@ def _register_kg():
         return make_query(kg_triples(spark), q)
 
     @_q(
+        "kg_sparql_exprs",
+        f"""WITH g AS (
+              SELECT subj AS x,
+                     string_agg(obj, ',' ORDER BY obj) AS parts,
+                     count(obj) AS n,
+                     min(obj) AS first
+              FROM {_t()}
+              WHERE pred = '{RR}hasPart'
+                AND (contains(regexp_replace(substr(obj, 1), '-', '_', 'g'), '_')
+                     OR length(obj) > 10)
+              GROUP BY subj
+            )
+            SELECT x, parts, n, first,
+                   CASE WHEN n > 1 THEN 'multi'
+                        WHEN NOT (n > 1) THEN 'single' END AS kind
+            FROM g""",
+    )
+    def kg_sparql_exprs(spark, sf_dir):
+        # r6 value-expression layer in one in-window gate: GROUP_CONCAT
+        # (sorted-lexical dialect) + SAMPLE (min dialect) aggregates,
+        # SUBSTR/REPLACE/CONTAINS/STRLEN in FILTER, and a post-
+        # aggregation (IF(...) AS ?alias) SELECT expression
+        from .operators.sparql import make_query
+
+        q = (
+            f"PREFIX P: <{RR}> SELECT ?x "
+            f'(GROUP_CONCAT(?part; SEPARATOR=",") AS ?parts) '
+            f"(COUNT(?part) AS ?n) (SAMPLE(?part) AS ?first) "
+            f'(IF(?n > 1, "multi", "single") AS ?kind) WHERE {{\n'
+            f"  ?x P:hasPart ?part .\n"
+            f'  FILTER( CONTAINS(REPLACE(SUBSTR(?part, 1), "-", "_"), "_")\n'
+            f"          || STRLEN(?part) > 10 )\n"
+            f"}} GROUP BY ?x"
+        )
+        return make_query(kg_triples(spark), q)
+
+    @_q(
+        "kg_sparql_path_negated",
+        f"""SELECT DISTINCT subj AS s, obj AS o FROM {_t()}
+            WHERE pred NOT IN ('{V.RDF_TYPE}', '{V.RDFS_SUBCLASSOF}',
+                               '{RR}hasPart')""",
+    )
+    def kg_sparql_path_negated(spark, sf_dir):
+        # negated property set !(p1|p2|p3) — one filtered scan of the
+        # edge frame (pred NOT IN pushes down), never an anti-join
+        from .operators.sparql import make_query
+
+        q = (
+            f"PREFIX P: <{RR}> PREFIX rdf: <{V.RDF}> PREFIX rdfs: <{V.RDFS}> "
+            f"SELECT ?s ?o WHERE {{ ?s !(rdf:type|rdfs:subClassOf|P:hasPart) ?o }}"
+        )
+        return make_query(kg_triples(spark), q)
+
+    @_q(
         "kg_sparql_describe",
         f"""SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
             FROM {_t()}
@@ -1575,6 +1629,82 @@ def _register_dlreason():
         t = kg_triples(spark).filter(F.col("src_repo") == "org/zebra")
         return dl_model_search(t)
 
+    # r6: onClass-QUALIFIED cardinality — a deterministic synthetic
+    # document (no reference fixture uses qualified cardinality), the
+    # oracle is the hand-derived entailment set spelled out as VALUES.
+    # alice: `q exactly 1 Warm` with Warm = OneOf{h1}  => q(alice)=h1
+    # bob:   `q exactly 1 Cold` with Cold = OneOf{h2}  => q(bob)=h2
+    # carol: `q max 1 Cold` + asserted q(carol)=h1     => consistent,
+    #        nothing new entailed (checker-only path)
+    Q = "https://example.org/qualified-cardinality-fixture#"
+    _QUAL_EXPECTED = [
+        ("alice", V.RDF_TYPE, "Man"), ("bob", V.RDF_TYPE, "Man"),
+        ("carol", V.RDF_TYPE, "Man"),
+        ("h1", V.RDF_TYPE, "House"), ("h2", V.RDF_TYPE, "House"),
+        ("h1", V.RDF_TYPE, "Warm"), ("h2", V.RDF_TYPE, "Cold"),
+        ("alice", "q", "h1"), ("bob", "q", "h2"),
+    ]
+    qual_values = ",\n".join(
+        f"('{Q}{s}', '{p if p.startswith('http') else Q + p}', '{Q}{o}', "
+        f"false, CAST(NULL AS VARCHAR), '{Q}')"
+        for s, p, o in _QUAL_EXPECTED
+    )
+    qual_sql = (
+        "SELECT subj, pred, obj, obj_is_literal, obj_datatype, doc_iri FROM "
+        f"(VALUES {qual_values}) AS t(subj, pred, obj, obj_is_literal, "
+        "obj_datatype, doc_iri)"
+    )
+
+    @_q("kg_dl_qualified", qual_sql)
+    def kg_dl_qualified(spark, sf_dir):
+        from .operators.dlreason import (
+            OWL,
+            OWL_ON_CLASS,
+            OWL_ON_PROPERTY,
+            RDF_FIRST,
+            RDF_NIL,
+            RDF_REST,
+            RDFS_RANGE,
+            dl_model_search,
+        )
+
+        def enum(cls, *members):
+            tag = cls
+            e, rows = f"_:e_{tag}", []
+            rows.append((Q + cls, V.OWL_EQUIVALENT_CLASS, e))
+            rows.append((e, OWL + "oneOf", f"_:l_{tag}0"))
+            for i, mbr in enumerate(members):
+                nxt = f"_:l_{tag}{i + 1}" if i + 1 < len(members) else RDF_NIL
+                rows.append((f"_:l_{tag}{i}", RDF_FIRST, Q + mbr))
+                rows.append((f"_:l_{tag}{i}", RDF_REST, nxt))
+            return rows
+
+        def restr(subj, rnode, key, n, on_c):
+            return [
+                (Q + subj, V.RDF_TYPE, rnode),
+                (rnode, OWL_ON_PROPERTY, Q + "q"),
+                (rnode, OWL + key, str(n)),
+                (rnode, OWL_ON_CLASS, Q + on_c),
+            ]
+
+        rows = (
+            enum("Man", "alice", "bob", "carol")
+            + enum("House", "h1", "h2")
+            + enum("Warm", "h1")
+            + enum("Cold", "h2")
+            + [(Q + "q", RDFS_RANGE, Q + "House")]
+            + restr("alice", "_:r1", "qualifiedCardinality", 1, "Warm")
+            + restr("bob", "_:r2", "qualifiedCardinality", 1, "Cold")
+            + restr("carol", "_:r3", "maxQualifiedCardinality", 1, "Cold")
+            + [(Q + "carol", Q + "q", Q + "h1")]
+        )
+        t = spark.createDataFrame(
+            [(s, p, o, False, None, Q) for s, p, o in rows],
+            "subj string, pred string, obj string, obj_is_literal boolean, "
+            "obj_datatype string, doc_iri string",
+        )
+        return dl_model_search(t)
+
 
 def _register_owlrl():
     """OWL-RL materialization over the basic-feature document, gated by
@@ -1726,6 +1856,21 @@ _TAIL = [
     # kg_triples_full hash-matches EVERY column of the full parse, so a
     # groupBy over pred and a lineage projection add no unique signal
     "kg_pred_counts",
+    # r6 demotions for window headroom (r5 verdict wrong #1):
+    # CONSTRUCT is template-projection + the same pattern machinery the
+    # in-window combined/graph/describe rows gate; pytest-gated in
+    # test_sparql_ext.py
+    "kg_sparql_construct",
+    # COUNT+GROUP BY strictly subsumed by kg_sparql_having_offset
+    # (adds HAVING/ORDER/OFFSET/LIMIT) and kg_sparql_exprs (adds
+    # GROUP_CONCAT/SAMPLE/expr-AS on the same groupBy path)
+    "kg_sparql_agg",
+    # brute-force cosine top-k is recomputed as emb_ivf_topk's exact
+    # verify side (in-window), same broadcast-query-side plan
+    "emb_cosine_topk",
+    # negated property set = one filtered scan; the path machinery is
+    # gated in-window by kg_sparql_path_star
+    "kg_sparql_path_negated",
     # closure op stays gated in-window by kg_sparql_path{,_star}
     "kg_subclass_closure",
     # whitespace-normalized md5 fingerprint: the winnowing gate (in-window)
