@@ -24,6 +24,10 @@ sys.path.insert(0, REPO)
 
 def main():
     n_forks = int(sys.argv[1]) if len(sys.argv) > 1 else 25_600
+    # the 10x reasoning fixpoint (SWRL semi-naive rounds with
+    # localCheckpoint lineage cuts over ~8.7M triples) OOMs the default
+    # 8g single-JVM heap; the soak box has 128 GiB
+    os.environ.setdefault("YPO_DRIVER_MEM", "32g")
     from pyspark.sql import functions as F
 
     from yamlpyowl_spark.operators.linking import canonical_nodes
@@ -60,6 +64,14 @@ def main():
     n_mentions = canon.count()
     link_sec = time.time() - t0
 
+    # r6 (r5 verdict #6): soak the REASONING path too — SWRL forward
+    # chain + DL CSP + OWL-RL over the full 10x corpus (doc-scoped, so
+    # this exercises the per-document fan-out at ~100k groups), not
+    # just parse+link
+    t0 = time.time()
+    n_inferred = pipe.reasoned(triples).count()
+    reason_sec = time.time() - t0
+
     rss_gb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
     result = {
         "n_docs": n_docs,
@@ -68,6 +80,11 @@ def main():
         "triples_per_sec": round(n_triples / mat_sec),
         "linking_sec": round(link_sec, 1),
         "n_canonical_mentions": n_mentions,
+        "reason_sec": round(reason_sec, 1),
+        "n_inferred": n_inferred,
+        "inferred_triples_per_sec": round(n_inferred / reason_sec)
+        if reason_sec
+        else None,
         "driver_rss_gb": rss_gb,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -324,15 +324,14 @@ def test_sync_reasoner_filters_dl_diagnostics(spark):
     om = OntologyManager(
         os.path.join(REFERENCE_DIR, "examples/regional-rules.owl.yml"), spark
     )
-    # graft a QUALIFIED cardinality restriction — still outside the
-    # fragment (unqualified min/max/exactly joined the CSP in r5)
+    # graft a class-disjointness axiom — still outside the CSP
+    # fragment (unqualified cardinality joined in r5, qualified +
+    # hasSelf in r6; disjointWith stays flagged because the model
+    # enumeration does not prune on it)
     grafted = spark.createDataFrame(
         [
-            ("_:r", OWL + "onProperty", om.iri + "hasPart", False, None),
-            ("_:r", OWL + "minQualifiedCardinality", "2", False, None),
-            ("_:r", OWL + "onClass", om.iri + "GeographicEntity", False, None),
-            (om.iri + "GeographicEntity",
-             "http://www.w3.org/2000/01/rdf-schema#subClassOf", "_:r", False, None),
+            (om.iri + "GeographicEntity", OWL + "disjointWith",
+             om.iri + "Directive", False, None),
         ],
         "subj string, pred string, obj string, obj_is_literal boolean, obj_datatype string",
     )

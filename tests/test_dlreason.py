@@ -343,11 +343,12 @@ def test_unsupported_construct_is_loud(spark):
     assert OWL + "qualifiedCardinality" not in UNSUPPORTED_DL_PREDS
     assert OWL + "minQualifiedCardinality" not in UNSUPPORTED_DL_PREDS
     assert OWL + "onClass" not in UNSUPPORTED_DL_PREDS
+    assert OWL + "hasSelf" not in UNSUPPORTED_DL_PREDS
     E = "http://ex.org/card#"
     rows = [
-        (E + "C", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "_:r", False, None, E),
-        ("_:r", OWL + "onProperty", E + "p", False, None, E),
-        ("_:r", OWL + "hasSelf", "true", False, None, E),
+        # disjointWith stays flagged in THIS engine: the CSP does not
+        # prune on class disjointness (owlrl's cax-dw diagnoses it)
+        (E + "C", OWL + "disjointWith", E + "D", False, None, E),
     ]
     schema = ("subj string, pred string, obj string, obj_is_literal boolean, "
               "obj_datatype string, doc_iri string")
@@ -355,11 +356,11 @@ def test_unsupported_construct_is_loud(spark):
     # warn (default): a diagnostic row names the construct
     got = dl_model_search(triples).collect()
     diags = {(r["subj"], r["pred"], r["obj"]) for r in got}
-    assert (E, YPO_DL_UNSUPPORTED, OWL + "hasSelf") in diags
+    assert (E, YPO_DL_UNSUPPORTED, OWL + "disjointWith") in diags
     # raise: fails loudly naming the document
     with pytest.raises(Exception) as ei:
         dl_model_search(triples, on_unsupported="raise").collect()
-    assert "hasSelf" in str(ei.value)
+    assert "disjointWith" in str(ei.value)
     # ignore: the silent legacy behavior
     assert dl_model_search(triples, on_unsupported="ignore").count() == 0
 
@@ -659,3 +660,89 @@ def test_allvaluesfrom_supported():
     ]
     inferred2 = _solve_doc(rows_no_some)
     assert (U + "a", U + "lives_in", U + "h1") not in inferred2
+
+
+# ---------------------------------------------------------------------------
+# round 6: hasSelf checker + irreflexive/asymmetric characteristics
+# ---------------------------------------------------------------------------
+
+
+def test_has_self_entails_self_loop():
+    # `p hasSelf` on n with p functional over Person={n}: every model
+    # must set p(n) = n (NOTHING and non-self branches fail) — entailed
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, OWL_ON_PROPERTY, RDFS_DOMAIN, RDFS_RANGE,
+    )
+
+    rows = [
+        *_enum(CE + "Person", CE + "n"),
+        (CE + "p", RDF_TYPE, OWL + "FunctionalProperty"),
+        (CE + "p", RDFS_DOMAIN, CE + "Person"),
+        (CE + "p", RDFS_RANGE, CE + "Person"),
+        (CE + "n", RDF_TYPE, "_:r"),
+        ("_:r", OWL_ON_PROPERTY, CE + "p"),
+        ("_:r", OWL + "hasSelf", "true"),
+    ]
+    inferred = _solve_doc(rows)
+    assert (CE + "n", CE + "p", CE + "n") in inferred
+
+
+def test_irreflexive_asserted_self_loop_is_unsat():
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, RDFS_DOMAIN, RDFS_RANGE,
+    )
+
+    rows = [
+        *_enum(CE + "Person", CE + "a", CE + "b"),
+        (CE + "p", RDF_TYPE, OWL + "FunctionalProperty"),
+        (CE + "p", RDF_TYPE, OWL + "IrreflexiveProperty"),
+        (CE + "p", RDFS_DOMAIN, CE + "Person"),
+        (CE + "p", RDFS_RANGE, CE + "Person"),
+        (CE + "a", CE + "p", CE + "a"),
+    ]
+    stats = {}
+    _solve_doc(rows, stats=stats)
+    assert stats.get("n_models", -1) == 0
+
+
+def test_irreflexive_prunes_self_assignments():
+    # no assertion: the CSP may still assign p(x) — but never x itself
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, RDFS_DOMAIN, RDFS_RANGE,
+    )
+
+    rows = [
+        *_enum(CE + "Person", CE + "a", CE + "b"),
+        (CE + "p", RDF_TYPE, OWL + "FunctionalProperty"),
+        (CE + "p", RDF_TYPE, OWL + "IrreflexiveProperty"),
+        (CE + "p", RDFS_DOMAIN, CE + "Person"),
+        (CE + "p", RDFS_RANGE, CE + "Person"),
+    ]
+    stats = {}
+    _solve_doc(rows, stats=stats)
+    for model in stats.get("models", []):
+        for (p, s), o in model.items():
+            assert o != s, "irreflexive property assigned a self-loop"
+
+
+def test_asymmetric_prunes_reverse_assignment():
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, RDFS_DOMAIN, RDFS_RANGE,
+    )
+
+    rows = [
+        *_enum(CE + "Person", CE + "a", CE + "b"),
+        (CE + "p", RDF_TYPE, OWL + "FunctionalProperty"),
+        (CE + "p", RDF_TYPE, OWL + "AsymmetricProperty"),
+        (CE + "p", RDFS_DOMAIN, CE + "Person"),
+        (CE + "p", RDFS_RANGE, CE + "Person"),
+        (CE + "a", CE + "p", CE + "b"),
+    ]
+    stats = {}
+    inferred = _solve_doc(rows, stats=stats)
+    assert (CE + "b", CE + "p", CE + "a") not in inferred
+    for model in stats.get("models", []):
+        assert model.get((CE + "p", CE + "b")) != CE + "a", (
+            "asymmetric property assigned the reverse edge"
+        )
+    assert stats.get("n_models", 0) > 0

@@ -107,5 +107,79 @@ def test_decode_audio_rejects_non_synthetic(spark):
 
     from yamlpyowl_spark.operators.multimodal import decode_audio
 
-    with pytest.raises(NotImplementedError, match="fake-pcm8"):
+    with pytest.raises(NotImplementedError, match="cannot decode format"):
         decode_audio(b"\x00\x01\x02", 8000)
+
+
+def test_decode_audio_rejects_untagged_lucky_length(spark):
+    # r5 advice #4: a NON-synthetic payload whose byte length happens
+    # to divide the sample rate must not decode as garbage — the codec
+    # TAG dispatches, not the length heuristic
+    import pytest
+
+    from yamlpyowl_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError, match="'mp3'"):
+        decode_audio(b"\xff" * 8000, 8000, fmt="mp3")
+
+
+def _make_wav(samples, framerate=8000, nch=1, sampwidth=2):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(framerate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_decode_audio_real_wav_pcm16():
+    from yamlpyowl_spark.operators.multimodal import decode_audio
+
+    x = (np.arange(16000, dtype=np.int64) * 37 % 20001 - 10000).astype(np.int16)
+    got = decode_audio(_make_wav(x), 8000, fmt="wav")
+    assert got.dtype == np.int16
+    np.testing.assert_array_equal(got, x)
+
+
+def test_decode_audio_real_wav_stereo_averages_to_mono():
+    from yamlpyowl_spark.operators.multimodal import decode_audio
+
+    left = np.array([100, 200, 300], dtype=np.int16)
+    right = np.array([300, 400, 500], dtype=np.int16)
+    inter = np.empty(6, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    got = decode_audio(_make_wav(inter, nch=2), 8000, fmt="wav")
+    np.testing.assert_allclose(got, [200.0, 300.0, 400.0])
+
+
+def test_audio_features_over_real_wav(spark):
+    # a real-WAV row through the same mapInPandas operator, verified
+    # against the sequential-numpy oracle (the mm_audio_features shape)
+    from yamlpyowl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+
+    sr = 8000
+    x = (np.arange(sr * 2, dtype=np.int64) * 91 % 4001 - 2000).astype(np.int16)
+    rows = [
+        (
+            7,
+            "audio",
+            bytearray(_make_wav(x, framerate=sr)),
+            (None, None, 1, sr, None, "wav"),
+        )
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: tuple(r)[1:] for r in audio_features(media).collect()}
+    xf = x.astype(np.float64)
+    assert got[7] == (
+        xf.size,
+        xf.size // sr,
+        int(np.floor(xf.mean() * 100)),
+        int(np.floor(np.sqrt(np.mean(xf * xf)) * 100)),
+    )

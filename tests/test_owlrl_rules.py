@@ -321,3 +321,69 @@ def test_cax_dw_no_violation_no_diagnostics():
         T(E + "y", V.RDF_TYPE, E + "D"),
     ))
     assert not {t for t in got if t[1] == V.YPO + "disjointViolation"}
+
+
+# ---------------------------------------------------------------------------
+# r6: property-consistency diagnostics prp-irp / prp-asyp / prp-pdw
+# ---------------------------------------------------------------------------
+
+
+def test_prp_irp_self_loop_diagnostic():
+    got = _infer_doc(rows(
+        T(E + "p", V.RDF_TYPE, OWL + "IrreflexiveProperty"),
+        T(E + "a", E + "p", E + "a"),
+        T(E + "b", E + "p", E + "c"),
+    ))
+    assert (E + "a", V.YPO + "propertyViolation", E + "p", False) in got
+    assert not {
+        t for t in got
+        if t[1] == V.YPO + "propertyViolation" and t[0] != E + "a"
+    }
+
+
+def test_prp_irp_catches_fixpoint_derived_loop():
+    # the self-loop arrives via SYMMETRY (a p b, b p a asserted? no —
+    # via inverseOf propagation): q(a,a) asserted, p inverseOf q gives
+    # p(a,a) — the check runs POST-fixpoint, so it sees it
+    got = _infer_doc(rows(
+        T(E + "p", V.RDF_TYPE, OWL + "IrreflexiveProperty"),
+        T(E + "p", V.OWL_INVERSE_OF, E + "q"),
+        T(E + "a", E + "q", E + "a"),
+    ))
+    assert (E + "a", V.YPO + "propertyViolation", E + "p", False) in got
+
+
+def test_prp_asyp_reverse_pair_diagnostic():
+    got = _infer_doc(rows(
+        T(E + "p", V.RDF_TYPE, OWL + "AsymmetricProperty"),
+        T(E + "a", E + "p", E + "b"),
+        T(E + "b", E + "p", E + "a"),
+        T(E + "c", E + "p", E + "d"),
+    ))
+    assert (E + "a", V.YPO + "propertyViolation", E + "p", False) in got
+    assert (E + "b", V.YPO + "propertyViolation", E + "p", False) in got
+    assert (E + "c", V.YPO + "propertyViolation", E + "p", False) not in got
+
+
+def test_prp_pdw_disjoint_properties_diagnostic():
+    got = _infer_doc(rows(
+        T(E + "p1", OWL + "propertyDisjointWith", E + "p2"),
+        T(E + "a", E + "p1", E + "b"),
+        T(E + "a", E + "p2", E + "b"),
+        T(E + "x", E + "p1", E + "y"),
+    ))
+    assert (E + "a", V.YPO + "propertyViolation", E + "p1", False) in got
+    assert (E + "a", V.YPO + "propertyViolation", E + "p2", False) in got
+    assert not {
+        t for t in got
+        if t[1] == V.YPO + "propertyViolation" and t[0] == E + "x"
+    }
+
+
+def test_no_property_violations_no_diagnostics():
+    got = _infer_doc(rows(
+        T(E + "p", V.RDF_TYPE, OWL + "IrreflexiveProperty"),
+        T(E + "p", V.RDF_TYPE, OWL + "AsymmetricProperty"),
+        T(E + "a", E + "p", E + "b"),
+    ))
+    assert not {t for t in got if t[1] == V.YPO + "propertyViolation"}

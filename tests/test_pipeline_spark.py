@@ -451,3 +451,32 @@ def test_by_iri_import_map_is_loud():
         build_import_map_from_iris(
             ["http://x/y.owl"], fetcher=lambda i: "x" * 10, max_bytes=5
         )
+
+
+def test_by_iri_import_map_alias_collision_is_loud():
+    """Two imported IRIs sharing a filename must raise naming both —
+    last-fetch-wins would silently resolve imports to the wrong
+    ontology (r5 advice #3)."""
+    from yamlpyowl_spark.parser.imports import build_import_map_from_iris
+
+    def owl(base):
+        return (
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#">'
+            f'<owl:Ontology rdf:about="{base}"/>'
+            f'<owl:Class rdf:about="{base}#Thing{base[-1]}"/></rdf:RDF>'
+        )
+
+    texts = {
+        "http://a.example/onto.owl": owl("http://a.example/v1"),
+        "http://b.example/onto.owl": owl("http://b.example/v2"),
+    }
+    with pytest.raises(ValueError, match="alias collision.*onto.owl"):
+        build_import_map_from_iris(sorted(texts), fetcher=texts.__getitem__)
+    # identical content under two IRIs is NOT a collision (a mirror)
+    same = {
+        "http://a.example/onto.owl": owl("http://shared/v1"),
+        "http://mirror.example/onto.owl": owl("http://shared/v1"),
+    }
+    m = build_import_map_from_iris(sorted(same), fetcher=same.__getitem__)
+    assert "onto.owl" in m

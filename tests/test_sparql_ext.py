@@ -223,7 +223,12 @@ _SOUP = st.lists(
          "||", "!", "IN", "NOT", "bound", "isIRI", "isLiteral", "isBlank",
          "STR", "LANG", "DATATYPE", "STRLEN", "UCASE", "LCASE",
          "STRSTARTS", "STRENDS", "CONTAINS", "EXISTS",
-         "DESCRIBE", "ASK", "CONSTRUCT", "GRAPH", "HAVING", "OFFSET"]
+         "DESCRIBE", "ASK", "CONSTRUCT", "GRAPH", "HAVING", "OFFSET",
+         # r6 value-expression / path surface
+         "SUBSTR", "REPLACE", "CONCAT", "ABS", "CEIL", "FLOOR", "ROUND",
+         "COALESCE", "IF", "sameTerm", "!", "SAMPLE", "GROUP_CONCAT",
+         ";", 'SEPARATOR="-"', "(GROUP_CONCAT(?x) AS ?g)",
+         "(SAMPLE(?y) AS ?s1)", "(?x + 1 AS ?e)"]
     ),
     max_size=25,
 )
@@ -787,12 +792,49 @@ def test_graph_mixes_with_default_patterns(quads):
     assert got == {(E + "g1", E + "b")}
 
 
-def test_graph_var_path_rejected(quads):
-    with pytest.raises(SparqlError, match="constant graph IRI"):
-        make_query(
+def test_graph_var_path_is_graph_local(quads):
+    # r6: p+ inside GRAPH ?g — the closure must NOT cross graphs:
+    # a-p-b is in g1, b-p-c in g2, so a p+ c holds in NO single graph
+    got = {
+        tuple(r)
+        for r in make_query(
             quads,
             f"PREFIX e: <{E}> SELECT ?g ?y WHERE {{ GRAPH ?g {{ e:a e:p+ ?y }} }}",
-        )
+        ).collect()
+    }
+    assert got == {(E + "g1", E + "b")}
+
+
+def test_graph_var_path_star_identity_per_graph(quads):
+    # zero-length identity is relativized per graph: e:a matches
+    # itself in EVERY graph (constant endpoint, §9.3), plus its p+
+    # reachables within each graph
+    got = {
+        tuple(r)
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?g ?y WHERE {{ GRAPH ?g {{ e:a e:p* ?y }} }}",
+        ).collect()
+    }
+    assert got == {
+        (E + "g1", E + "a"),
+        (E + "g1", E + "b"),
+        (E + "g2", E + "a"),
+    }
+
+
+def test_graph_var_path_joins_with_patterns(quads):
+    # the ?g binding from the path joins with a plain pattern's graph
+    # binding: only g2 has both a q-edge and b-p-c
+    got = {
+        tuple(r)
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?g ?y ?d WHERE "
+            f"{{ GRAPH ?g {{ e:b e:p+ ?y . e:a e:q ?d }} }}",
+        ).collect()
+    }
+    assert got == {(E + "g2", E + "c", E + "d")}
 
 
 def test_exists_scoped_to_active_graph(quads):
@@ -1349,3 +1391,56 @@ def test_sameterm_no_numeric_coercion(spark):
     }
     # lexical comparison: "30.0" is NOT the same term as 30
     assert got == {E + "a"}
+
+
+def test_bind_full_expression_grammar(triples):
+    # BIND routes through the r6 operand grammar: functions compose
+    got = {
+        (r[0], r[1])
+        for r in _q(
+            triples,
+            '?x ?t WHERE { ?x e:name ?n . '
+            'BIND(CONCAT(UCASE(SUBSTR(?n, 1, 1)), SUBSTR(?n, 2)) AS ?t) }',
+        ).collect()
+    }
+    assert got == {(E + "a", "Alice")}
+
+
+def test_bind_coalesce_over_optional(triples):
+    got = {
+        (r[0], r[1])
+        for r in _q(
+            triples,
+            '?x ?who WHERE { ?x e:age ?a . OPTIONAL { ?x e:knows ?y } . '
+            'BIND(COALESCE(?y, "nobody") AS ?who) }',
+        ).collect()
+    }
+    assert got == {
+        (E + "a", E + "b"),
+        (E + "b", "nobody"),
+        (E + "c", "nobody"),
+    }
+
+
+def test_bind_bare_number_binds_lexical_form(triples):
+    got = {
+        (r[0], r[1])
+        for r in _q(
+            triples, '?x ?k WHERE { ?x e:name ?n . BIND(5 AS ?k) }'
+        ).collect()
+    }
+    assert got == {(E + "a", "5")}
+
+
+def test_select_star(triples):
+    rows = {
+        tuple(r)
+        for r in _q(
+            triples, "* WHERE { ?x e:age ?a . OPTIONAL { ?x e:knows ?y } }"
+        ).collect()
+    }
+    assert rows == {
+        (E + "a", "30", E + "b"),
+        (E + "b", "7", None),
+        (E + "c", "45", None),
+    }

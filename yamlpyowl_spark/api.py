@@ -645,11 +645,15 @@ class OntologyManager:
         from .vocab import YPO
 
         YPO_DISJOINT_VIOLATION = YPO + "disjointViolation"
+        YPO_PROPERTY_VIOLATION = YPO + "propertyViolation"
+        DIAG_PREDS = (
+            YPO_DL_UNSUPPORTED,
+            YPO_DISJOINT_VIOLATION,
+            YPO_PROPERTY_VIOLATION,
+        )
         diag_counts = {
             r["pred"]: r["n"]
-            for r in inferred.filter(
-                F.col("pred").isin(YPO_DL_UNSUPPORTED, YPO_DISJOINT_VIOLATION)
-            )
+            for r in inferred.filter(F.col("pred").isin(*DIAG_PREDS))
             .groupBy("pred")
             .agg(F.count("*").alias("n"))
             .collect()
@@ -663,20 +667,29 @@ class OntologyManager:
                 stacklevel=2,
             )
         n_dw = diag_counts.get(YPO_DISJOINT_VIOLATION, 0)
-        if n_dw:
-            # cax-dw: Pellet raises OwlReadyInconsistentOntologyError
-            # here; this engine is a materializer, so the inconsistency
-            # is LOUD but non-fatal (ypo:disjointViolation diagnostics)
+        n_pv = diag_counts.get(YPO_PROPERTY_VIOLATION, 0)
+        if n_dw or n_pv:
+            # cax-dw / prp-irp / prp-asyp / prp-pdw: Pellet raises
+            # OwlReadyInconsistentOntologyError here; this engine is a
+            # materializer, so the inconsistency is LOUD but non-fatal
+            # (ypo:disjointViolation / ypo:propertyViolation rows)
+            parts = []
+            if n_dw:
+                parts.append(
+                    f"{n_dw} disjointness violation(s) (ypo:disjointViolation)"
+                )
+            if n_pv:
+                parts.append(
+                    f"{n_pv} property-characteristic violation(s) "
+                    "(ypo:propertyViolation)"
+                )
             warnings.warn(
-                f"sync_reasoner: ontology is INCONSISTENT — {n_dw} "
-                "disjointness violation(s) (ypo:disjointViolation); "
+                f"sync_reasoner: ontology is INCONSISTENT — {' and '.join(parts)}; "
                 "an OWL-DL reasoner would reject this ontology",
                 stacklevel=2,
             )
         if diag_counts:
-            inferred = inferred.filter(
-                ~F.col("pred").isin(YPO_DL_UNSUPPORTED, YPO_DISJOINT_VIOLATION)
-            )
+            inferred = inferred.filter(~F.col("pred").isin(*DIAG_PREDS))
         lineage = self.triples.select(
             "src_repo", "src_path", "src_commit", "src_sha256"
         ).limit(1)

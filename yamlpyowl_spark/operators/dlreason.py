@@ -90,8 +90,11 @@ UNSUPPORTED_DL_PREDS = frozenset(
         # checkers + per-subject variables for (qualified) card-1
         # restrictions.
         # propertyChainAxiom: handled by owlrl prp-spo2 (r5) — no
-        # longer flagged here
-        "hasSelf",
+        # longer flagged here. hasSelf: a three-valued checker in the
+        # CSP since r6. disjointWith / propertyDisjointWith stay
+        # flagged HERE because the model enumeration does not prune on
+        # them (it could over-entail); owlrl's cax-dw / prp-pdw emit
+        # violation diagnostics over the materialized facts.
         "disjointWith",
         "propertyDisjointWith",
     )
@@ -104,6 +107,9 @@ OWL_QUALIFIED_CARDINALITY = OWL + "qualifiedCardinality"
 OWL_MIN_QUALIFIED_CARDINALITY = OWL + "minQualifiedCardinality"
 OWL_MAX_QUALIFIED_CARDINALITY = OWL + "maxQualifiedCardinality"
 OWL_ON_CLASS = OWL + "onClass"
+OWL_HAS_SELF = OWL + "hasSelf"
+OWL_IRREFLEXIVE = OWL + "IrreflexiveProperty"
+OWL_ASYMMETRIC = OWL + "AsymmetricProperty"
 
 
 def _card_int(m: "_DocModel", node: str, key: str) -> Optional[int]:
@@ -222,9 +228,12 @@ def _decode(rows):
         if lst:
             all_different.append(m.rdf_list(lst))
 
+    irreflexive = set(m.subjects(V.RDF_TYPE, OWL_IRREFLEXIVE))
+    asymmetric = set(m.subjects(V.RDF_TYPE, OWL_ASYMMETRIC))
+
     return (
         m, enums, functional, invfunctional, inverse_of, domains, ranges,
-        facts, restrictions, all_different,
+        facts, restrictions, all_different, irreflexive, asymmetric,
     )
 
 
@@ -243,6 +252,8 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
         facts,
         restrictions,
         all_different,
+        irreflexive,
+        asymmetric,
     ) = _decode(rows)
 
     inferred: Set[Tuple[str, str, str]] = set()
@@ -401,6 +412,15 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
                 return None if got is None else got == entity
             got = val(on_p, entity)
             return None if got is None else got == hv
+        hs = m.obj(node, OWL_HAS_SELF)
+        if hs is not None and hs.lower() in ("true", "1"):
+            # r6: p hasSelf — the entity relates to ITSELF via p
+            if inv_q:
+                # Inverse(q).hasSelf ≡ q.hasSelf
+                got = val(inv_q, entity)
+            else:
+                got = val(on_p, entity)
+            return None if got is None else got == entity
         av = m.obj(node, OWL_ALL_VALUES_FROM)
         if av is not None:
             # only(C): every value of the property satisfies C; a
@@ -558,6 +578,18 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
     steps = 0
 
     def consistent() -> bool:
+        # r6: irreflexive / asymmetric characteristics prune models on
+        # CERTAIN violations (three-valued: unknown values never prune)
+        for p in irreflexive:
+            for s in prop_subjects(p):
+                if val(p, s) == s:
+                    return False
+        for p in asymmetric:
+            for s in prop_subjects(p):
+                got = val(p, s)
+                if got not in (None, OWL_NOTHING) and got != s:
+                    if val(p, got) == s:
+                        return False
         for p, group in alldiff_groups.items():
             by_val: Dict[str, List[str]] = {}
             for v in group:

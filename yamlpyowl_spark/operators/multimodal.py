@@ -3,11 +3,12 @@ with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side plumbing is real and tested: schemas, partitioning,
 ``mapInPandas`` batch shapes, explode of frame samples. The *codec*
-step is a clearly-marked stub: real decoders (PIL/ffmpeg/librosa) are
-not in this container, so ``decode_image``/``decode_audio`` fall back
-to a deterministic fake (md5-keystream pixels) unless a real library
-is importable. Swapping in a real codec changes ONE function; every
-plan stays identical.
+step is minimal but honest: ``decode_audio`` parses real PCM WAV via
+the stdlib ``wave`` module (r6) and otherwise — like ``decode_image``,
+whose real decoders (PIL/ffmpeg) are not in this container — accepts
+only the deterministic synthetic payloads (md5-keystream bytes),
+raising loudly on anything else. Swapping in a richer codec changes
+ONE function; every plan stays identical.
 """
 
 from __future__ import annotations
@@ -180,19 +181,52 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
-    """STUB CODEC: interpret the binary payload as raw uint8 PCM.
+def decode_audio(data: bytes, sample_rate: int, fmt: str | None = None) -> np.ndarray:
+    """Audio codec: real PCM WAV via the stdlib ``wave`` module, plus
+    the deterministic synthetic 'fake-pcm8' payload (raw uint8 PCM).
 
-    A real deployment replaces this body with e.g.
-    ``soundfile.read(io.BytesIO(data))``. Payloads that are not the
-    synthetic 'fake-pcm8' shape raise, loudly."""
+    Dispatch is by CONTENT AND TAG, not a byte-length heuristic (r5
+    advice #4 — a real payload whose length happened to divide the
+    sample rate used to decode as garbage): a RIFF/WAVE header parses
+    as PCM WAV (8/16/32-bit; multi-channel averages to mono); payloads
+    tagged ``fake-pcm8`` (or untagged with the synthetic whole-second
+    shape, kept for compatibility) decode as raw uint8; anything else
+    raises ``NotImplementedError`` naming the format — compressed
+    codecs (mp3/ogg/flac) need libraries not in this container; a real
+    deployment swaps this ONE function."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(data), "rb") as w:
+            nch, sw = w.getnchannels(), w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+        if sw == 1:
+            arr = np.frombuffer(frames, dtype=np.uint8)
+        elif sw == 2:
+            arr = np.frombuffer(frames, dtype=np.int16)
+        elif sw == 4:
+            arr = np.frombuffer(frames, dtype=np.int32)
+        else:
+            raise NotImplementedError(
+                f"unsupported WAV sample width: {sw * 8}-bit"
+            )
+        if nch > 1:
+            arr = arr.reshape(-1, nch).mean(axis=1)
+        return arr
     arr = np.frombuffer(data, dtype=np.uint8)
-    if not sample_rate or arr.size % int(sample_rate) != 0:
-        raise NotImplementedError(
-            "real audio codecs are not available in this environment; "
-            "only the deterministic 'fake-pcm8' payload is decodable"
-        )
-    return arr
+    synthetic_shape = bool(sample_rate) and arr.size % int(sample_rate) == 0
+    if fmt == "fake-pcm8" or (fmt is None and synthetic_shape):
+        if not synthetic_shape:
+            raise ValueError(
+                "fake-pcm8 payload is not a whole number of seconds "
+                f"({arr.size} samples at {sample_rate} Hz)"
+            )
+        return arr
+    raise NotImplementedError(
+        "real audio codecs beyond PCM WAV are not available in this "
+        f"environment; cannot decode format {fmt!r}"
+    )
 
 
 def audio_features(media: DataFrame) -> DataFrame:
@@ -204,8 +238,10 @@ def audio_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for mid, data, sr in zip(pdf["media_id"], pdf["data"], pdf["sample_rate"]):
-                x = decode_audio(bytes(data), int(sr)).astype(np.float64)
+            for mid, data, sr, fmt in zip(
+                pdf["media_id"], pdf["data"], pdf["sample_rate"], pdf["format"]
+            ):
+                x = decode_audio(bytes(data), int(sr), fmt).astype(np.float64)
                 out.append(
                     (
                         int(mid),

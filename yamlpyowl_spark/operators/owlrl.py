@@ -49,7 +49,12 @@ TestCore2 observes beyond SWRL chaining and the OneOf CSP
   materializer emits loud ``ypo:disjointViolation`` diagnostic rows
   (checked over the final, post-inheritance type set);
   ``sync_reasoner`` surfaces them as an INCONSISTENT warning and
-  keeps them out of the ontology facts.
+  keeps them out of the ontology facts;
+* **property consistency** (prp-irp / prp-asyp / prp-pdw, r6):
+  ``IrreflexiveProperty(p), p(x,x)``; ``AsymmetricProperty(p),
+  p(x,y), p(y,x)``; ``propertyDisjointWith(p1,p2), p1(x,y),
+  p2(x,y)`` — each emits ``ypo:propertyViolation`` diagnostic rows
+  over the POST-fixpoint fact base, same INCONSISTENT surfacing.
 
 Scale architecture: identical to :mod:`dlreason` — the rules are
 document-local, so the distributed dimension is ``doc_iri`` (one
@@ -124,6 +129,7 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
     subprop: Dict[str, Set[str]] = {}
     chains: List[Tuple[str, List[str]]] = []
     disjoint: List[Tuple[str, str]] = []
+    prop_disjoint: List[Tuple[str, str]] = []
 
     for (s, p), objs in m.spo.items():
         if p == V.RDF_TYPE:
@@ -172,6 +178,10 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
             for o, il in objs:
                 if not o.startswith("_:"):
                     disjoint.append((s, o))
+        elif p == OWL + "propertyDisjointWith" and not s.startswith("_:"):
+            for o, il in objs:
+                if not o.startswith("_:"):
+                    prop_disjoint.append((s, o))
         elif p == OWL + "propertyChainAxiom" and not s.startswith("_:"):
             for o, il in objs:
                 if o.startswith("_:"):
@@ -463,6 +473,30 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
                 if c in ts and d in ts:
                     inferred.add((x, V.YPO + "disjointViolation", c, False))
                     inferred.add((x, V.YPO + "disjointViolation", d, False))
+
+    # ---- consistency: prp-irp / prp-asyp / prp-pdw (r6) -------------
+    # Pellet raises on these; the materializer surfaces them as loud
+    # ypo:propertyViolation diagnostics over the POST-fixpoint fact
+    # base (a violation introduced by symmetry/inverse/chain
+    # propagation is caught, not just asserted ones)
+    irreflexive = {x for x, ts in types.items() if OWL + "IrreflexiveProperty" in ts}
+    asymmetric = {x for x, ts in types.items() if OWL + "AsymmetricProperty" in ts}
+    for p in irreflexive:
+        for s, o, il in pf.get(p, ()):
+            if not il and s == o:
+                inferred.add((s, V.YPO + "propertyViolation", p, False))
+    for p in asymmetric:
+        cur = {(s, o) for s, o, il in pf.get(p, ()) if not il}
+        for s, o in cur:
+            if (o, s) in cur:
+                inferred.add((s, V.YPO + "propertyViolation", p, False))
+                inferred.add((o, V.YPO + "propertyViolation", p, False))
+    for p1, p2 in prop_disjoint:
+        a = {(s, o) for s, o, il in pf.get(p1, ())}
+        b = {(s, o) for s, o, il in pf.get(p2, ())}
+        for s, o in a & b:
+            inferred.add((s, V.YPO + "propertyViolation", p1, False))
+            inferred.add((s, V.YPO + "propertyViolation", p2, False))
 
     return inferred
 

@@ -28,7 +28,9 @@ present), the ``ORDER BY`` /
 (left-semi / left-anti join on the shared variables), and ``GRAPH``
 (the triples table is a quad store keyed by ``doc_iri``: a constant
 graph IRI is a pushdown-friendly filter; ``GRAPH ?g`` binds
-``doc_iri`` — BGP-only inside the variable form), and subqueries
+``doc_iri`` — BGPs and property paths inside the variable form, r6:
+paths run over graph-composed node keys so closures stay
+graph-local), and subqueries
 (``{ SELECT ... }`` compiled independently, joined to the outer
 pattern on the shared variables) — and compiles
 them onto DataFrame
@@ -41,9 +43,9 @@ evaluator of our own.
 Dialect notes (documented, not silent): var-var ordering comparisons
 (``FILTER(?a < ?b)``) compare NUMERICALLY (both sides cast to double;
 non-numeric values drop out), ``=``/``!=`` compare lexical forms;
-``regex()`` uses Java regex via ``rlike``. ``BIND`` supports a
-constant, a variable copy, or one binary arithmetic step
-(``BIND(?a * 2 AS ?b)``, double-typed). ``SUM``/``AVG`` cast to
+``regex()`` uses Java regex via ``rlike``. ``BIND`` accepts the full
+operand grammar (arithmetic, string/numeric functions, COALESCE/IF);
+a bare numeric constant binds its lexical form. ``SUM``/``AVG`` cast to
 double (non-numeric values become NULL and are skipped, as in SQL);
 ``MIN``/``MAX``/``ORDER BY`` compare lexical forms unless the column
 is already numeric (an aggregate alias). Zero-length paths match the
@@ -65,8 +67,8 @@ picks the minimum (deterministic dialect — the spec leaves both
 unspecified); ``CEIL``/``FLOOR``/``ROUND`` stay double-typed, with
 ``ROUND`` rounding ties away from zero.
 
-Still-unsupported SPARQL (SERVICE, property paths or subqueries
-under ``GRAPH ?var``) raises — loudly, not wrongly.
+Still-unsupported SPARQL (SERVICE, subqueries under ``GRAPH ?var``)
+raises — loudly, not wrongly.
 """
 
 from __future__ import annotations
@@ -731,27 +733,13 @@ class _Parser:
         return ("values", names, rows)
 
     def _bind(self) -> tuple:
-        """BIND ( term [arith term] AS ?v )"""
+        """``BIND ( expr AS ?v )`` — the full r6 operand grammar
+        (arithmetic, SUBSTR/REPLACE/CONCAT, ABS/CEIL/FLOOR/ROUND,
+        COALESCE/IF, STR/STRLEN/UCASE/LCASE, ...), mirroring the
+        reference's rdflib-evaluated BIND (core.py:1321-1340)."""
         self.expect("lparen")
-
-        def term():
-            t = self.next()
-            k = _kind(t)
-            if k == "var":
-                return ("var", "?" + t.group("var"))
-            if k in ("lit", "num", "iri", "pname"):
-                return ("num" if k == "num" else "str", _term_of(t, self.prefixes))
-            raise SparqlError(f"BIND expression term expected, got {t.group(0)!r}")
-
-        lhs = term()
+        expr = self._operand()
         nxt = self.next()
-        if _kind(nxt) == "arith":
-            op = nxt.group("arith")
-            rhs = term()
-            expr = ("arith", lhs, op, rhs)
-            nxt = self.next()
-        else:
-            expr = lhs
         if _kind(nxt) != "kw" or nxt.group("kw").upper() != "AS":
             raise SparqlError("BIND expects `AS ?var` after the expression")
         var_tok = self.expect("var")
@@ -768,6 +756,9 @@ def _parse_projection(proj: str, prefixes: dict | None = None):
     ...]."""
     items, pos = [], 0
     proj = proj.strip()
+    if proj == "*":
+        # SELECT *: all in-scope variables, resolved at compile time
+        return [("star",)]
     while pos < len(proj):
         if proj[pos].isspace():
             pos += 1
@@ -984,13 +975,59 @@ def _identity_frame(triples: DataFrame, s: str, o: str) -> DataFrame:
     return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
 
 
-def _path_frame(triples: DataFrame, s: str, segs: list, o: str, idx: int) -> DataFrame:
+# separator for graph-scoped path nodes: a control char that cannot
+# occur in IRIs or YAML-dialect literals used as graph terms
+_GSEP = "\x01"
+
+
+def _path_frame(
+    triples: DataFrame,
+    s: str,
+    segs: list,
+    o: str,
+    idx: int,
+    graph_var: str | None = None,
+) -> DataFrame:
     """Compile a property path onto edge joins; ``p+``/``p*`` segments
     become a distributed semi-naive transitive closure
     (operators/closure) — SPARQL 1.1 paths expressed as the
     iterative-DataFrame pattern instead of a recursive evaluator;
-    ``p*``/``p?`` union the identity over graph terms."""
+    ``p*``/``p?`` union the identity over graph terms.
+
+    Under ``GRAPH ?g`` (r6) the path must hold WITHIN one named graph:
+    nodes travel as ``doc_iri + \\x01 + term`` composed keys, so every
+    join and closure step stays graph-local by construction (no
+    per-graph loop, one distributed plan); the graph id splits back
+    out as the ``?g`` binding at the end."""
     from .closure import transitive_closure
+
+    if graph_var is not None and "?" + graph_var in (s, o):
+        raise SparqlError(
+            f"GRAPH variable ?{graph_var} reused inside its own pattern"
+        )
+
+    def node(col: str):
+        if graph_var is None:
+            return F.col(col)
+        return F.concat(F.col("doc_iri"), F.lit(_GSEP), F.col(col))
+
+    def identity_frame() -> DataFrame:
+        if graph_var is None:
+            return _identity_frame(triples, s, o)
+        # per-graph identity: every term of each graph, plus constant
+        # endpoints composed with EVERY graph id (§9.3 relativized)
+        nodes = triples.select(node("subj").alias("n")).unionByName(
+            triples.select(node("obj").alias("n"))
+        )
+        extras = [t for t in (s, o) if not t.startswith("?")]
+        for t in extras:
+            nodes = nodes.unionByName(
+                triples.select(
+                    F.concat(F.col("doc_iri"), F.lit(_GSEP), F.lit(t)).alias("n")
+                )
+            )
+        nodes = nodes.distinct()
+        return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
 
     cur = None
     for i, (alts, mod, neg) in enumerate(segs):
@@ -1000,39 +1037,45 @@ def _path_frame(triples: DataFrame, s: str, segs: list, o: str, idx: int) -> Dat
             # an anti-join of the edge frame against itself
             e = triples.filter(
                 ~F.col("pred").isin([p for p, _ in alts])
-            ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            ).select(node("subj").alias("src"), node("obj").alias("dst"))
         else:
             e = None
             for p, inv in alts:
                 src_col, dst_col = ("obj", "subj") if inv else ("subj", "obj")
                 f = triples.filter(F.col("pred") == p).select(
-                    F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                    node(src_col).alias("src"), node(dst_col).alias("dst")
                 )
                 e = f if e is None else e.unionByName(f)
         if mod == "+":
             e = transitive_closure(e)
         elif mod == "*":
-            e = transitive_closure(e).unionByName(
-                _identity_frame(triples, s, o)
-            ).distinct()
+            e = transitive_closure(e).unionByName(identity_frame()).distinct()
         elif mod == "?":
-            e = e.unionByName(_identity_frame(triples, s, o)).distinct()
+            e = e.unionByName(identity_frame()).distinct()
         e = e.select(
             F.col("src").alias(f"_h{idx}_{i}"), F.col("dst").alias(f"_h{idx}_{i + 1}")
         )
         cur = e if cur is None else cur.join(e, f"_h{idx}_{i}")
     first, last = f"_h{idx}_0", f"_h{idx}_{len(segs)}"
-    if s.startswith("?"):
-        cur = cur.withColumnRenamed(first, s[1:])
+    if graph_var is not None:
+        # split the composed keys back into (graph, term); first and
+        # last necessarily share the graph prefix (joins preserve it)
+        cur = cur.withColumn(graph_var, F.substring_index(F.col(first), _GSEP, 1))
+        term_first = F.substring_index(F.col(first), _GSEP, -1)
+        term_last = F.substring_index(F.col(last), _GSEP, -1)
     else:
-        cur = cur.filter(F.col(first) == s)
+        term_first, term_last = F.col(first), F.col(last)
+    if s.startswith("?"):
+        cur = cur.withColumn(s[1:], term_first)
+    else:
+        cur = cur.filter(term_first == s)
     if o.startswith("?"):
         if o == s:  # cycle pattern ?x p+ ?x
-            cur = cur.filter(F.col(last) == F.col(s[1:]))
+            cur = cur.filter(term_last == F.col(s[1:]))
         else:
-            cur = cur.withColumnRenamed(last, o[1:])
+            cur = cur.withColumn(o[1:], term_last)
     else:
-        cur = cur.filter(F.col(last) == o)
+        cur = cur.filter(term_last == o)
     keep = [c for c in cur.columns if not c.startswith("_h")]
     return cur.select(*keep).distinct() if keep else cur.select(F.lit(1).alias(f"_m{idx}"))
 
@@ -1283,19 +1326,13 @@ def _filter_col(df: DataFrame, ast):
 
 
 def _bind_col(df: DataFrame, expr):
-    """Compile a BIND expression AST to a Column."""
-    kind = expr[0]
-    if kind == "var":
-        name = expr[1][1:]
-        if name not in df.columns:
-            raise SparqlError(f"BIND references unbound variable {expr[1]}")
-        return F.col(name)
-    if kind in ("num", "str"):
+    """Compile a BIND expression AST to a Column — the operand
+    compiler, except a BARE numeric constant keeps its lexical form
+    (terms are strings in this engine; ``BIND(5 AS ?x)`` binds "5",
+    not 5.0)."""
+    if expr[0] == "num":
         return F.lit(expr[1])
-    _, lhs, op, rhs = expr  # ("arith", lhs, op, rhs)
-    a = _bind_col(df, lhs).try_cast("double")
-    b = _bind_col(df, rhs).try_cast("double")
-    return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[op]
+    return _operand_col(df, expr)
 
 
 def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> DataFrame:
@@ -1314,12 +1351,7 @@ def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> D
             frame = _pattern_frame(triples, item[1], n, graph_var, meta_remaining)
             df = frame if df is None else _merge(df, frame)
         elif kind == "path":
-            if graph_var is not None:
-                raise SparqlError(
-                    "property paths inside GRAPH ?var are not supported "
-                    "(use a constant graph IRI)"
-                )
-            frame = _path_frame(triples, item[1], item[2], item[3], n)
+            frame = _path_frame(triples, item[1], item[2], item[3], n, graph_var)
             df = frame if df is None else _merge(df, frame)
         elif kind == "graph":
             gterm, g = item[1], item[2]
@@ -1536,6 +1568,9 @@ def _select_frame(triples: DataFrame, parsed) -> DataFrame:
     to a DataFrame — shared by make_query and nested subqueries."""
     select_items, items, group_by, order_by, limit, offset, having = parsed
     df = _compile(triples, items)
+    if any(it[0] == "star" for it in select_items):
+        # SELECT *: every variable the pattern binds, in binding order
+        select_items = [("var", c) for c in df.columns]
     plain = [it[1] for it in select_items if it[0] == "var"]
     aggs = [it for it in select_items if it[0] == "agg"]
     exprs = [it for it in select_items if it[0] == "expr"]

@@ -76,7 +76,13 @@ def build_import_map_from_iris(iris, fetcher=None, max_bytes: int = 8_000_000) -
     air-gapped one. No default network access: calling without a
     fetcher raises, loudly. Each payload is size-capped (the map is
     broadcast to every executor); fetch failures raise with the IRI
-    named rather than silently dropping an import."""
+    named rather than silently dropping an import.
+
+    Alias collisions are DIAGNOSED, not clobbered (r5 advice #3): two
+    imported IRIs sharing a filename (last path segment) or ontology
+    base IRI would otherwise silently resolve documents to whichever
+    fetched last — the collision raises naming both IRIs instead.
+    """
     if fetcher is None:
         raise ValueError(
             "build_import_map_from_iris needs an explicit fetcher "
@@ -84,6 +90,19 @@ def build_import_map_from_iris(iris, fetcher=None, max_bytes: int = 8_000_000) -
             "use build_import_map / build_import_map_from_corpus"
         )
     import_map: dict = {}
+    alias_src: dict = {}  # alias key -> the IRI that registered it
+
+    def register(key: str, onto: dict, iri: str) -> None:
+        prev = alias_src.get(key)
+        if prev is not None and import_map[key] != onto:
+            raise ValueError(
+                f"import alias collision: {key!r} resolves to both "
+                f"{prev!r} and {iri!r} — rename one import or build "
+                "the map explicitly via build_import_map"
+            )
+        import_map[key] = onto
+        alias_src[key] = iri
+
     for iri in iris:
         try:
             text = fetcher(iri)
@@ -96,14 +115,14 @@ def build_import_map_from_iris(iris, fetcher=None, max_bytes: int = 8_000_000) -
                 f"(cap {max_bytes} bytes — the map broadcasts to every executor)"
             )
         onto = parse_owl_rdfxml(text)
-        import_map[iri] = onto
+        register(iri, onto, iri)
         if onto["base_iri"]:
-            import_map[onto["base_iri"]] = onto
+            register(onto["base_iri"], onto, iri)
         # filename alias = the IRI's last path segment (documents that
         # import by localpath resolve through the same map)
         fname = iri.rstrip("#/").rsplit("/", 1)[-1]
         if fname:
-            import_map[fname] = onto
+            register(fname, onto, iri)
     return import_map
 
 

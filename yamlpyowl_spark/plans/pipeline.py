@@ -249,16 +249,23 @@ class KGPipeline:
         SWRL rules are skipped with a warning (a single bad rule must
         not abort a batch)."""
         from ..operators.dlreason import dl_model_search
+        from ..operators.isomorph import reason_per_isomorph
         from ..operators.owlrl import owlrl_materialize
         from ..operators.swrl import forward_chain
 
         base = triples.select(
             "subj", "pred", "obj", "obj_is_literal", "obj_datatype", "doc_iri"
         )
+        # the per-document Python engines (CSP solve, rule pass) run
+        # ONCE per content-isomorphism class — a fork-heavy corpus
+        # (thousands of IRI-rewritten copies per document, the
+        # web-scale shape) pays O(distinct contents), not O(docs); the
+        # r6 10x soak measured ~25k isomorphic zebra CSP solves
+        # dominating the reasoning wall-clock before this
         return (
             forward_chain(base, on_unsupported="skip")
-            .unionByName(dl_model_search(base))
-            .unionByName(owlrl_materialize(base))
+            .unionByName(reason_per_isomorph(base, dl_model_search))
+            .unionByName(reason_per_isomorph(base, owlrl_materialize))
             .distinct()
         )
 
