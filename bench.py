@@ -368,11 +368,13 @@ def write_bench_md(timings: dict, scaling: dict, total: float):
         "- `kg_sparql_exprs`, `kg_sparql_path_negated`, `kg_dl_qualified`",
         "  are NEW r6 rows (value-expression layer, negated property sets,",
         "  qualified-cardinality CSP) — no prior-round comparison exists.",
-        "- `doc_dup_clusters`: the r5 +16% drift is root-caused and fixed —",
-        "  the `when(bad, raise_error)` pad inside the CC loop defeated",
-        "  codegen; doc ids are now validated ONCE up front (doc_id-only",
-        "  aggregate) and the pad expression is branch-free. Isolated",
-        "  re-measure: min-of-4 back at the r4 level (1.84 s at sf0.1).",
+        "- `doc_dup_clusters`: the r5 +16% drift was A/B-root-caused in r6 —",
+        "  three validation shapes (r5 when(raise_error) pad, r6 up-front",
+        "  doc_id-only aggregate + branch-free pad, no validation at all)",
+        "  measured WITHIN NOISE of each other over 6 isolated runs each",
+        "  (min 3.78/3.94/3.77 s on the raw-docs path): the drift was box",
+        "  variance, not the pad. The r6 shape keeps the up-front validation",
+        "  (cleanest failure mode: raises at call time naming the bad id).",
         "- `kg_owlrl_prop_rules` grew ~0.3-0.5 s vs r4 BY DESIGN: the gate",
         "  now additionally injects an owl:propertyChainAxiom and verifies",
         "  prp-spo2 chain composition (containsDirective =",

@@ -203,3 +203,48 @@ def test_filter_companion_columns_never_leak(spark):
     )
     assert df.columns == ["x", "v"]
     assert not [c for c in df.columns if c.startswith("__")]
+
+
+def test_negated_path_is_filter_not_antijoin(spark):
+    """!(p1|p2) must compile to ONE `pred NOT IN` filter over the edge
+    frame — never an anti-join of the frame against itself — and the
+    only exchange is the final distinct."""
+    from pyspark.sql import types as T
+
+    from yamlpyowl_spark.operators.sparql import make_query
+
+    schema = T.StructType([
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("obj_is_literal", T.BooleanType()),
+        T.StructField("obj_datatype", T.StringType()),
+        T.StructField("doc_iri", T.StringType()),
+    ])
+    E = "http://ex.org/"
+    t = spark.createDataFrame(
+        [(E + "a", E + "p", E + "b", False, None, E),
+         (E + "a", E + "q", E + "c", False, None, E)], schema
+    )
+    df = make_query(t, f"PREFIX e: <{E}> SELECT ?s ?o WHERE {{ ?s !(e:p) ?o }}")
+    df.collect()
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # partial+final distinct only
+
+
+def test_exprs_gate_single_shuffle_partial_agg(spark):
+    """GROUP_CONCAT/COUNT/SAMPLE share one groupBy with MAP-SIDE
+    partials; the post-agg (expr AS ?alias) is a Project, adding no
+    exchange."""
+    ensure_artifacts()
+    from yamlpyowl_spark.queries import QUERIES
+
+    df = QUERIES["kg_sparql_exprs"](spark, "/root/testdata/sf0.01")
+    plan = _plan(df)
+    assert "partial_collect_list" in plan, plan
+    # one logical exchange for the groupBy; the cached parse relation
+    # contributes its own internal exchanges, so count only the tail
+    # section after the InMemoryTableScan
+    tail = plan.split("InMemoryTableScan", 1)[0]
+    assert tail.count("Exchange") <= 1, tail
