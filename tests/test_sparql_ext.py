@@ -1444,3 +1444,40 @@ def test_select_star(triples):
         (E + "b", "7", None),
         (E + "c", "45", None),
     }
+
+
+def test_subquery_under_graph_var_per_graph_agg(quads):
+    # r6: { GRAPH ?g { { SELECT (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } } } }
+    # — the subquery aggregates PER GRAPH and binds ?g
+    got = {
+        tuple(r)
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?g ?n WHERE "
+            f"{{ GRAPH ?g {{ {{ SELECT (COUNT(?o) AS ?n) WHERE {{ ?s ?p ?o }} }} }} }}",
+        ).collect()
+    }
+    assert got == {(E + "g1", 1), (E + "g2", 2)}
+
+
+def test_subquery_under_graph_var_joins_outer(quads):
+    # the subquery's bindings join the outer pattern WITHIN each graph:
+    # only g2 has both a q-edge and the subquery's p-subject b
+    got = {
+        tuple(r)
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?g ?s ?d WHERE {{ GRAPH ?g {{ "
+            f"?a e:q ?d . {{ SELECT ?s WHERE {{ ?s e:p ?o }} }} }} }}",
+        ).collect()
+    }
+    assert got == {(E + "g2", E + "b", E + "d")}
+
+
+def test_subquery_under_graph_var_limit_rejected(quads):
+    with pytest.raises(SparqlError, match="LIMIT/OFFSET in a subquery under GRAPH"):
+        make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?g ?s WHERE {{ GRAPH ?g {{ "
+            f"{{ SELECT ?s WHERE {{ ?s e:p ?o }} LIMIT 1 }} }} }}",
+        )

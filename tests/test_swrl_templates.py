@@ -238,7 +238,8 @@ def test_encode_parse_template_slot_walk_symmetry(rule):
     def track(atom, is_head):
         kind = atom[0]
         if kind == "bi":
-            seen.append(atom[3])
+            if atom[3][0] == "c":
+                seen.append(atom[3][1])
         elif kind == "cls":
             seen.append(atom[1])
             if atom[2][0] == "c":
@@ -295,3 +296,51 @@ def test_builtin_comparison_skips_non_numeric_bindings(spark):
     RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     assert (E + "a", RDF_TYPE, E + "Big") in got
     assert not any(s == E + "b" for s, _, _ in got)
+
+
+def test_extended_builtin_codes(spark):
+    """r6: greaterThanOrEqual / lessThanOrEqual / equal / notEqual and
+    var-var builtin operands run through the same join pipeline."""
+    from yamlpyowl_spark.operators.swrl import forward_chain
+
+    E = "http://ex.org/bi#"
+    schema = ("subj string, pred string, obj string, obj_is_literal boolean, "
+              "obj_datatype string, doc_iri string")
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    SRC = "https://w3id.org/yamlpyowl-spark/vocab#ruleSrc"
+    rows = [
+        (E, SRC, "hasV(?x, ?v), greaterThanOrEqual(?v, 30) -> BigEnough(?x)",
+         True, None, E),
+        (E, SRC, "hasV(?x, ?v), equal(?v, 7) -> Lucky(?x)", True, None, E),
+        (E, SRC, "hasV(?x, ?v), notEqual(?v, 7) -> NotLucky(?x)", True, None, E),
+        (E, SRC, "hasV(?x, ?v), hasW(?x, ?w), lessThanOrEqual(?v, ?w) "
+                 "-> Balanced(?x)", True, None, E),
+        (E + "a", E + "hasV", "30", True, None, E),
+        (E + "a", E + "hasW", "45", True, None, E),
+        (E + "b", E + "hasV", "7", True, None, E),
+        (E + "b", E + "hasW", "5", True, None, E),
+    ]
+    t = spark.createDataFrame(rows, schema)
+    got = {(r["subj"], r["obj"]) for r in forward_chain(t).collect()
+           if r["pred"] == RDF_TYPE}
+    assert (E + "a", E + "BigEnough") in got
+    assert (E + "b", E + "BigEnough") not in got
+    assert (E + "b", E + "Lucky") in got
+    assert (E + "a", E + "Lucky") not in got
+    assert (E + "a", E + "NotLucky") in got
+    # equal is NUMERIC: "7" == 7.0 — lexical variants match too
+    assert (E + "b", E + "NotLucky") not in got
+    # var-var: v <= w holds for a (30 <= 45), not for b (7 <= 5)
+    assert (E + "a", E + "Balanced") in got
+    assert (E + "b", E + "Balanced") not in got
+
+
+def test_builtin_rhs_var_must_be_bound():
+    from yamlpyowl_spark.operators.swrl import UnsupportedSWRLError, encode_rule
+
+    with pytest.raises(UnsupportedSWRLError, match="binding"):
+        encode_rule(
+            "http://d#",
+            [("p", ["?x", "?v"]), ("greaterThan", ["?v", "?unbound"])],
+            [("q", ["?x", "?x"])],
+        )

@@ -67,8 +67,10 @@ picks the minimum (deterministic dialect — the spec leaves both
 unspecified); ``CEIL``/``FLOOR``/``ROUND`` stay double-typed, with
 ``ROUND`` rounding ties away from zero.
 
-Still-unsupported SPARQL (SERVICE, subqueries under ``GRAPH ?var``)
-raises — loudly, not wrongly.
+Subqueries under ``GRAPH ?var`` evaluate per active graph (patterns
+bind the graph column, aggregates group by it implicitly); per-graph
+LIMIT/OFFSET inside such a subquery, and SERVICE anywhere, raise —
+loudly, not wrongly.
 """
 
 from __future__ import annotations
@@ -1400,11 +1402,11 @@ def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> D
                 raise SparqlError(f"BIND target {var} is already bound")
             df = df.withColumn(var[1:], _bind_col(df, item[2]))
         elif kind == "subquery":
-            if graph_var is not None:
-                raise SparqlError(
-                    "subqueries inside GRAPH ?var are not supported"
-                )
-            sub = _select_frame(triples, item[1])
+            # under GRAPH ?var the subquery evaluates PER active graph:
+            # its patterns bind the graph column, aggregates implicitly
+            # group by it, and the retained column joins with the outer
+            # frame's graph binding (r6)
+            sub = _select_frame(triples, item[1], graph_var=graph_var)
             df = sub if df is None else _merge(df, sub)
         elif kind == "filter":
             filters.append(item[1])
@@ -1563,17 +1565,34 @@ def make_query(triples: DataFrame, sparql_src: str) -> DataFrame:
     return _select_frame(triples, _parse(sparql_src))
 
 
-def _select_frame(triples: DataFrame, parsed) -> DataFrame:
+def _select_frame(
+    triples: DataFrame, parsed, graph_var: str | None = None
+) -> DataFrame:
     """Compile one parsed SELECT (projection, aggregates, modifiers)
-    to a DataFrame — shared by make_query and nested subqueries."""
+    to a DataFrame — shared by make_query and nested subqueries.
+    ``graph_var`` (r6): evaluate as a subquery under ``GRAPH ?g`` —
+    patterns bind the graph column, aggregates group by it implicitly,
+    and it stays in the output for the per-graph outer join."""
     select_items, items, group_by, order_by, limit, offset, having = parsed
-    df = _compile(triples, items)
+    if graph_var is not None and (limit is not None or offset is not None):
+        # per-graph LIMIT/OFFSET would need window semantics — loud,
+        # not wrong
+        raise SparqlError(
+            "LIMIT/OFFSET in a subquery under GRAPH ?var is not supported"
+        )
+    df = _compile(triples, items, graph_var)
     if any(it[0] == "star" for it in select_items):
         # SELECT *: every variable the pattern binds, in binding order
         select_items = [("var", c) for c in df.columns]
     plain = [it[1] for it in select_items if it[0] == "var"]
     aggs = [it for it in select_items if it[0] == "agg"]
     exprs = [it for it in select_items if it[0] == "expr"]
+    if graph_var is not None and graph_var not in plain:
+        select_items = list(select_items) + [("var", graph_var)]
+        plain = plain + [graph_var]
+        if aggs and graph_var not in group_by:
+            # per-graph aggregation: the graph column is an implicit key
+            group_by = list(group_by) + [graph_var]
     missing = [v for v in plain + group_by if v not in df.columns]
     if missing:
         raise SparqlError(f"SELECT/GROUP BY variables never bound: {missing}")

@@ -25,7 +25,10 @@ heads which the reference's Pellet path also accepts):
                                         head position;
 * property atoms     ``p(?x, ?y)``    — object or data properties,
                                         constants allowed in any slot;
-* builtin atoms      ``greaterThan/lessThan(?v, const)``;
+* builtin atoms      ``greaterThan/lessThan/greaterThanOrEqual/
+  lessThanOrEqual/equal/notEqual(?v, const-or-?w)`` (numeric
+  comparison; r6 adds the OrEqual/equal/notEqual codes and var-var
+  operands);
 * owl:TransitiveProperty — expanded to ``p(?x,?y), p(?y,?z) → p(?x,?z)``;
 * owl:inverseOf      — ``p(?x,?y) → q(?y,?x)`` in both directions.
 
@@ -59,7 +62,15 @@ from ..parser.document import _parse_swrl
 from ..parser.model import ParseError
 from .closure import transitive_closure
 
-_BUILTINS = {"greaterThan": "gt", "lessThan": "lt"}
+_BUILTINS = {
+    "greaterThan": "gt",
+    "lessThan": "lt",
+    "greaterThanOrEqual": "ge",
+    "lessThanOrEqual": "le",
+    "equal": "eq",
+    "notEqual": "ne",
+}
+_BI_SQL = {"gt": ">", "lt": "<", "ge": ">=", "le": "<=", "eq": "=", "ne": "!="}
 _INVALID = "!unsupported"
 
 # fixed templates for rules synthesized from property axioms; unit
@@ -99,17 +110,27 @@ def encode_rule(doc_iri: str, body: list, head: list) -> Tuple[str, List[str]]:
         if name in _BUILTINS:
             if len(args) != 2:
                 raise UnsupportedSWRLError(f"builtin {name} needs 2 args, got {args}")
-            var, const = args
+            var, rhs = args
             if not var.startswith("?") or var not in varmap:
                 raise UnsupportedSWRLError(
                     f"builtin {name}({', '.join(args)}) must follow an atom binding {var}"
                 )
-            try:
-                float(const)
-            except ValueError:
-                raise UnsupportedSWRLError(f"non-numeric builtin constant {const!r}")
-            sig.append(f"{_BUILTINS[name]}({v(var)},C)")
-            slots.append(const)
+            if rhs.startswith("?"):
+                # var-var comparison (r6): both sides must already be
+                # bound by earlier atoms
+                if rhs not in varmap:
+                    raise UnsupportedSWRLError(
+                        f"builtin {name}({', '.join(args)}) must follow an "
+                        f"atom binding {rhs}"
+                    )
+                sig.append(f"{_BUILTINS[name]}({v(var)},{v(rhs)})")
+            else:
+                try:
+                    float(rhs)
+                except ValueError:
+                    raise UnsupportedSWRLError(f"non-numeric builtin constant {rhs!r}")
+                sig.append(f"{_BUILTINS[name]}({v(var)},C)")
+                slots.append(rhs)
         elif len(args) == 1:
             a = args[0]
             slots.append(doc_iri + name)
@@ -192,7 +213,7 @@ def encode_rule(doc_iri: str, body: list, head: list) -> Tuple[str, List[str]]:
     return ";".join(sig) + "=>" + ";".join(hsig), slots
 
 
-_ATOM_RE = re.compile(r"(P|T|gt|lt)\(([^)]*)\)")
+_ATOM_RE = re.compile(r"(P|T|gt|lt|ge|le|eq|ne)\(([^)]*)\)")
 
 
 @lru_cache(maxsize=4096)
@@ -206,9 +227,12 @@ def _parse_template(key: str):
     body = []
     for m in _ATOM_RE.finditer(body_s):
         kind, args = m.group(1), m.group(2).split(",")
-        if kind in ("gt", "lt"):
-            body.append(("bi", kind, int(args[0][1:]), slot))
-            slot += 1
+        if kind in _BI_SQL:
+            if args[1] == "C":
+                body.append(("bi", kind, int(args[0][1:]), ("c", slot)))
+                slot += 1
+            else:
+                body.append(("bi", kind, int(args[0][1:]), ("v", int(args[1][1:]))))
         elif kind == "T":
             cls_slot = slot
             slot += 1
@@ -439,13 +463,14 @@ def _eval_template_once(
     bound: set = set()
     for atom_idx, atom in enumerate(body):
         if atom[0] == "bi":
-            _, op, vi, cs = atom
-            sign = ">" if op == "gt" else "<"
+            _, op, vi, rhs = atom
+            sign = _BI_SQL[op]
+            rexpr = f"_s{rhs[1]}" if rhs[0] == "c" else f"v{rhs[1]}"
             # try_cast: a non-numeric binding DROPS OUT of the builtin
             # comparison (matching the sequential oracle's
             # skip-on-ValueError) — ANSI mode's plain cast would kill
             # the whole fixpoint job instead
-            b = b.filter(f"try_cast(v{vi} as double) {sign} try_cast(_s{cs} as double)")
+            b = b.filter(f"try_cast(v{vi} as double) {sign} try_cast({rexpr} as double)")
             continue
         if atom[0] == "cls":
             _, cls_slot, inst = atom

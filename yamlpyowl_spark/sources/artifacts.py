@@ -156,7 +156,14 @@ def _build_mm_features() -> None:
 # supported fragment, written against sets/dicts instead of joins)
 # --------------------------------------------------------------------------
 
-_SEQ_BUILTINS = {"greaterThan", "lessThan"}
+_SEQ_BUILTINS = {
+    "greaterThan": "gt",
+    "lessThan": "lt",
+    "greaterThanOrEqual": "ge",
+    "lessThanOrEqual": "le",
+    "equal": "eq",
+    "notEqual": "ne",
+}
 
 
 def _seq_resolve_rules(doc_facts, doc_iri):
@@ -179,7 +186,9 @@ def _seq_resolve_rules(doc_facts, doc_iri):
         rb, rh = [], []
         for name, args in body:
             if name in _SEQ_BUILTINS:
-                rb.append(("bi", "gt" if name == "greaterThan" else "lt", args[0], float(args[1])))
+                # rhs: numeric constant, or a ?var compared at eval time
+                rhs = args[1] if args[1].startswith("?") else float(args[1])
+                rb.append(("bi", _SEQ_BUILTINS[name], args[0], rhs))
             elif len(args) == 1:
                 a = args[0]
                 rb.append(("class", doc_iri + name, a if a.startswith("?") else doc_iri + a))
@@ -244,13 +253,22 @@ def _seq_eval_rule(body, head, facts, types):
     for atom in body:
         nb = []
         if atom[0] == "bi":
-            _, op, var, const = atom
+            _, op, var, rhs = atom
             for b in bindings:
                 try:
                     v = float(b[var])
+                    r = float(b[rhs]) if isinstance(rhs, str) else rhs
                 except (KeyError, ValueError, TypeError):
                     continue
-                if (v > const) if op == "gt" else (v < const):
+                ok = {
+                    "gt": v > r,
+                    "lt": v < r,
+                    "ge": v >= r,
+                    "le": v <= r,
+                    "eq": v == r,
+                    "ne": v != r,
+                }[op]
+                if ok:
                     nb.append(b)
         elif atom[0] == "class":
             _, cls, arg = atom
