@@ -74,6 +74,7 @@ HEADLINE = [
     "kg_sparql_exprs",
     "kg_sparql_path_negated",
     "kg_dl_qualified",
+    "stream_incremental_dedup",
 ]
 
 

@@ -39,6 +39,7 @@ MUST_BE_IN_WINDOW = [
     "mm_frame_sample_counts",
     "stream_hourly_event_counts",
     "stream_dedup_counts",
+    "stream_incremental_dedup",  # r6 stream-static LSH ingestion
     "rel_orders_rollup",
     "rel_latest_event_per_user",
     "rel_clickers_without_purchase",

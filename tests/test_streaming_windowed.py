@@ -180,3 +180,60 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_candidates_match_batch(spark, tmp_path):
+    """Stream-static LSH: candidates for NEW docs against a static
+    corpus, drained availableNow, must equal the batch lsh pairs over
+    the union restricted to cross (new, old) pairs — identical band
+    construction on both paths."""
+    from pyspark.sql import functions as F
+
+    from yamlpyowl_spark.operators import docops
+    from yamlpyowl_spark.streaming.dedup_incremental import (
+        drain_incremental_candidates,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the tall green tree near the old stone wall"
+    )
+    rows = []
+    for i in range(30):  # corpus: ids 0-29, three near-dup families
+        fam = i % 3
+        rows.append((i, base + f" family{fam} " + "filler " * fam))
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    # new docs 100-105: near-dups of the families + one unique
+    new_rows = [(100 + f, base + f" family{f} " + "filler " * f) for f in range(3)]
+    new_rows.append((105, "completely different text " * 8))
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    p = str(tmp_path / "new_docs.parquet")
+    new.coalesce(1).write.parquet(p)
+
+    got = {
+        (r["new_doc_id"], r["corpus_doc_id"])
+        for r in drain_incremental_candidates(spark, p, corpus).collect()
+    }
+
+    batch = docops.lsh_candidate_pairs(corpus.unionByName(new))
+    expected = {
+        (r["doc_b"], r["doc_a"])
+        for r in batch.filter(
+            (F.col("doc_a") < 100) & (F.col("doc_b") >= 100)
+        ).collect()
+    }
+    assert got == expected
+    assert got, "fixture produced no candidates — weak test"
+    assert not any(n == 105 for n, _ in got)
+
+
+def test_stateless_minhash_matches_groupby(spark):
+    from yamlpyowl_spark.operators import docops
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z w v u t"), (3, "too short")],
+        ["doc_id", "text"],
+    )
+    a = {tuple(r) for r in docops.minhash_signatures(docs).collect()}
+    b = {tuple(r) for r in docops.minhash_signatures_stateless(docs).collect()}
+    assert a == b

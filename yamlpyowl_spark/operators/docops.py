@@ -105,12 +105,36 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
-    """Banded LSH over the minhash signature: docs sharing any band
-    bucket become a candidate pair (a < b). The band join is an
-    equi-join on (band, bucket) — broadcast/AQE-skew friendly, never
-    an all-pairs product."""
-    sig = minhash_signatures(docs)
+def minhash_signatures_stateless(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Per-ROW minhash: ``array_min(transform(shingles, md5(...)))`` —
+    no groupBy, so it runs on an UNBOUNDED STREAM (no state, no
+    watermark). Values are bit-identical to :func:`minhash_signatures`.
+
+    Batch callers should keep the groupBy form: measured 6× faster at
+    sf0.1 (higher-order-function lambdas evaluate outside whole-stage
+    codegen; the explode → map-side partial min path stays inside it).
+    This variant exists for the streaming incremental-dedup join, where
+    statelessness is the requirement."""
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    s = w.select(
+        "doc_id",
+        F.expr(
+            "case when size(w) >= 3 then transform(sequence(0, size(w)-3), "
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2])) else array() end"
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)  # <3-word docs produce no signature row,
+    # matching the groupBy form (no exploded rows -> no group)
+    cols = [
+        F.array_min(F.expr(f"transform(sh, s -> md5(concat('{i}:', s)))")).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return s.select("doc_id", *cols)
+
+
+def banded_signatures(sig: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band, bucket) from a signature frame — the LSH banding
+    shared by the batch self-join and the streaming stream-static
+    join."""
     rows_per_band = MINHASH_K // bands
     band_cols = []
     for b in range(bands):
@@ -118,9 +142,17 @@ def lsh_candidate_pairs(docs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bucket"))
         )
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Banded LSH over the minhash signature: docs sharing any band
+    bucket become a candidate pair (a < b). The band join is an
+    equi-join on (band, bucket) — broadcast/AQE-skew friendly, never
+    an all-pairs product."""
+    banded = banded_signatures(minhash_signatures(docs), bands)
     # materialize once: a self-join otherwise recomputes the whole
     # minhash pipeline on BOTH sides (no exchange reuse through the
     # broadcast side). The banded table is 3 narrow columns — tiny

@@ -1447,6 +1447,40 @@ def _register_relational():
         dup_in.write.mode("overwrite").parquet(d)
         return drain_dedup_counts(spark, d)
 
+    _inc_bands = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b,
+            concat=" || ".join(
+                f"h{b * (docops.MINHASH_K // docops.LSH_BANDS) + r}"
+                for r in range(docops.MINHASH_K // docops.LSH_BANDS)
+            ),
+        )
+        for b in range(docops.LSH_BANDS)
+    )
+
+    @_q(
+        "stream_incremental_dedup",
+        f"""WITH {_SH_CTE}, sig AS ({_SIG_SELECT}), bands AS ({_inc_bands})
+            SELECT DISTINCT b.doc_id AS new_doc_id, a.doc_id AS corpus_doc_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < 400 AND b.doc_id >= 400""",
+    )
+    def stream_incremental_dedup(spark, sf_dir):
+        # incremental near-dup ingestion: docs >= 400 arrive as a REAL
+        # availableNow stream and LSH-join (stateless per-row minhash)
+        # against the static bucket table of docs < 400 — gated against
+        # DuckDB computing the same banded join over the full table
+        import tempfile
+
+        from .streaming.dedup_incremental import drain_incremental_candidates
+
+        docs = _docs(spark, sf_dir)
+        corpus = docs.filter(F.col("doc_id") < 400)
+        d = tempfile.mkdtemp(prefix="inc_src_")
+        docs.filter(F.col("doc_id") >= 400).write.mode("overwrite").parquet(d)
+        return drain_incremental_candidates(spark, d, corpus)
+
     @_q(
         "rel_clickers_without_purchase",
         """SELECT DISTINCT user_id FROM events

@@ -1,0 +1,79 @@
+"""Incremental near-dup detection: a document STREAM against the
+existing corpus via a stream-static LSH join.
+
+The 100-TB ingestion shape: the corpus's banded MinHash bucket table
+is built ONCE (batch, the same ``docops`` banding the offline dedup
+uses) and each incoming micro-batch of new documents is banded
+STATELESSLY (``minhash_signatures_stateless`` — per-row array-local
+min, no groupBy, so no streaming state or watermark is needed) and
+equi-joined against it on (band, bucket). Work per batch is
+O(new docs × matching buckets) — never a scan of the corpus, never
+an all-pairs product, and state is zero (the static side is a plain
+DataFrame Spark re-broadcasts per batch; at cluster scale it is a
+bucketed/Delta table the join prunes).
+
+Output rows are (new_doc_id, corpus_doc_id) CANDIDATES — one row per
+shared band, so a pair sharing several bands repeats; the drain dedups
+batch-side. Verification (exact Jaccard) stays a downstream batch
+step, exactly like the offline LSH-propose / exact-verify split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators import docops
+
+
+def incremental_candidates(
+    stream_docs: DataFrame, corpus_docs: DataFrame, bands: int = docops.LSH_BANDS
+) -> DataFrame:
+    """(new_doc_id, corpus_doc_id) candidate pairs for a streaming
+    (doc_id, text) frame against a static corpus. The static bucket
+    table is localCheckpointed once — per-batch cost never recomputes
+    the corpus minhash."""
+    static_buckets = docops.banded_signatures(
+        docops.minhash_signatures(corpus_docs), bands
+    ).localCheckpoint()
+    new_banded = docops.banded_signatures(
+        docops.minhash_signatures_stateless(stream_docs), bands
+    )
+    return (
+        new_banded.alias("n")
+        .join(static_buckets.alias("s"), ["band", "bucket"])
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("s.doc_id").alias("corpus_doc_id"),
+        )
+    )
+
+
+def drain_incremental_candidates(
+    spark, stream_path: str, corpus_docs: DataFrame
+) -> DataFrame:
+    """Run :func:`incremental_candidates` as a REAL availableNow
+    streaming query over a file source and return the DISTINCT
+    candidate pairs from the sink (append mode — a stateless join
+    emits as batches arrive)."""
+    import os
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(stream_path).schema
+    if os.path.isfile(stream_path):
+        d = tempfile.mkdtemp(prefix="inc_in_")
+        os.symlink(os.path.abspath(stream_path), os.path.join(d, "part-0.parquet"))
+        stream_path = d
+    stream = spark.readStream.schema(schema).parquet(stream_path)
+    pairs = incremental_candidates(stream, corpus_docs)
+    name = f"inc_{uuid.uuid4().hex}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="inc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).distinct()
