@@ -1481,3 +1481,53 @@ def test_subquery_under_graph_var_limit_rejected(quads):
             f"PREFIX e: <{E}> SELECT ?g ?s WHERE {{ GRAPH ?g {{ "
             f"{{ SELECT ?s WHERE {{ ?s e:p ?o }} LIMIT 1 }} }} }}",
         )
+
+
+def test_values_undef_single_var(triples):
+    # UNDEF row keeps every solution; the defined row constrains
+    got = {
+        (r[0], r[1])
+        for r in _q(
+            triples,
+            "?x ?n WHERE { ?x e:age ?n . VALUES ?x { e:a UNDEF } }",
+        ).collect()
+    }
+    # e:a matches twice (its own row + the UNDEF row) but set
+    # semantics dedup; UNDEF keeps b and c too
+    assert got == {(E + "a", "30"), (E + "b", "7"), (E + "c", "45")}
+
+
+def test_values_undef_tuple_mixed_masks(triples):
+    # (e:a UNDEF): constrains ?x only; (UNDEF "7"): constrains ?n only
+    got = {
+        (r[0], r[1])
+        for r in _q(
+            triples,
+            '?x ?n WHERE { ?x e:age ?n . '
+            'VALUES (?x ?n) { (e:a UNDEF) (UNDEF "7") } }',
+        ).collect()
+    }
+    assert got == {(E + "a", "30"), (E + "b", "7")}
+
+
+def test_values_undef_standalone_is_null(triples):
+    got = {
+        tuple(r)
+        for r in _q(
+            triples, "?x ?y WHERE { VALUES (?x ?y) { (e:a UNDEF) } }"
+        ).collect()
+    }
+    assert got == {(E + "a", None)}
+
+
+def test_values_undef_new_var_cross_joins(triples):
+    # a row defining only a NEW variable joins every outer solution
+    got = {
+        (r[0], r[1])
+        for r in _q(
+            triples,
+            "?x ?tag WHERE { ?x e:name ?n . "
+            'VALUES (?n ?tag) { (UNDEF "t1") } }',
+        ).collect()
+    }
+    assert got == {(E + "a", "t1")}

@@ -14,7 +14,8 @@ comparisons with arithmetic operands, ``IN``/``NOT IN``, ``bound()``,
 ``SUBSTR()``/``REPLACE()``/``CONCAT()``, numeric
 ``ABS()``/``CEIL()``/``FLOOR()``/``ROUND()``, ``COALESCE()`` and
 ``IF()``), ``UNION``, ``OPTIONAL``, ``MINUS``,
-``VALUES`` (single-var and tuple forms), simple ``BIND``, property
+``VALUES`` (single-var and tuple forms, ``UNDEF`` rows grouped by
+defined-mask), expression ``BIND``, property
 paths (``p+`` one-or-more, ``p*`` zero-or-more, ``p?`` zero-or-one,
 ``^p`` inverse, ``p1|p2`` alternation incl. ``(p1|p2)+``, negated
 property sets ``!p`` / ``!(p1|p2)``, and ``p1/p2``
@@ -687,7 +688,15 @@ class _Parser:
             return segs
 
     def _values(self) -> tuple:
-        """VALUES ?x { t1 t2 ... }  |  VALUES (?x ?y) { (a b) (c d) }"""
+        """VALUES ?x { t1 t2 ... }  |  VALUES (?x ?y) { (a b) (c UNDEF) }
+        — ``UNDEF`` leaves that variable unconstrained for the row
+        (parsed to None; the compiler groups rows by defined-mask)."""
+
+        def term_or_undef(t):
+            if _kind(t) == "ident" and t.group("ident").upper() == "UNDEF":
+                return None
+            return _term_of(t, self.prefixes)
+
         tok = self.next()
         if _kind(tok) == "var":
             names = ["?" + tok.group("var")]
@@ -697,7 +706,7 @@ class _Parser:
                 t = self.next()
                 if _kind(t) == "rbrace":
                     break
-                rows.append((_term_of(t, self.prefixes),))
+                rows.append((term_or_undef(t),))
         elif _kind(tok) == "lparen":
             names = []
             while True:
@@ -722,7 +731,7 @@ class _Parser:
                     rt = self.next()
                     if _kind(rt) == "rparen":
                         break
-                    row.append(_term_of(rt, self.prefixes))
+                    row.append(term_or_undef(rt))
                 if len(row) != len(names):
                     raise SparqlError(
                         f"VALUES row has {len(row)} terms for {len(names)} variables"
@@ -1390,10 +1399,50 @@ def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> D
                 df = df.join(m.select(*shared).distinct(), shared, "left_anti")
         elif kind == "values":
             names, rows = item[1], item[2]
-            inline = triples.sparkSession.createDataFrame(
-                rows, [v[1:] for v in names]
-            )
-            df = inline if df is None else _merge(df, inline)
+            cols = [v[1:] for v in names]
+            spark = triples.sparkSession
+            schema = ", ".join(f"`{c}` string" for c in cols)
+            if df is None or all(None not in r for r in rows):
+                # no UNDEF against an existing frame: one inline
+                # relation (standalone UNDEFs become plain NULLs)
+                inline = spark.createDataFrame(rows, schema)
+                df = inline if df is None else _merge(df, inline)
+            else:
+                # UNDEF leaves the variable unconstrained for that row:
+                # group rows by their defined-column mask, join each
+                # group on only those columns, align schemas (missing
+                # vars -> NULL) and union — set semantics downstream
+                from collections import defaultdict
+
+                groups = defaultdict(list)
+                for r in rows:
+                    groups[tuple(i for i, v in enumerate(r) if v is not None)].append(r)
+                parts = []
+                for mask, rs in groups.items():
+                    if not mask:
+                        parts.append(df)  # the all-UNDEF row keeps every solution
+                        continue
+                    sub_cols = [cols[i] for i in mask]
+                    inline = spark.createDataFrame(
+                        [tuple(r[i] for i in mask) for r in rs],
+                        ", ".join(f"`{c}` string" for c in sub_cols),
+                    )
+                    parts.append(_merge(df, inline))
+                all_cols: list = []
+                for p in parts:
+                    for c in p.columns:
+                        if c not in all_cols:
+                            all_cols.append(c)
+                aligned = []
+                for p in parts:
+                    missing = [c for c in all_cols if c not in p.columns]
+                    for c in missing:
+                        p = p.withColumn(c, F.lit(None).cast("string"))
+                    aligned.append(p.select(*all_cols))
+                u = aligned[0]
+                for p in aligned[1:]:
+                    u = u.unionByName(p)
+                df = u
         elif kind == "bind":
             var = item[1]
             if df is None:
