@@ -1531,3 +1531,174 @@ def test_values_undef_new_var_cross_joins(triples):
         ).collect()
     }
     assert got == {(E + "a", "t1")}
+
+
+# --- r6 second value-expression batch: STRBEFORE/STRAFTER edge
+# cases, dateTime accessors, isNumeric, langMatches, digests ---
+
+
+@pytest.fixture(scope="module")
+def dt_triples(spark):
+    rows = [
+        (E + "a", E + "at", "2024-03-15T10:30:45", True,
+         "http://www.w3.org/2001/XMLSchema#dateTime", E),
+        (E + "b", E + "at", "not-a-date", True, None, E),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_strbefore_empty_separator_is_empty(triples):
+    # SPARQL 17.4.3.4: STRBEFORE("alice", "") = "" (match at position 1)
+    got = {
+        (r[0], r[1])
+        for r in _q(
+            triples,
+            '?x ?t WHERE { ?x e:name ?n . BIND(STRBEFORE(?n, "") AS ?t) }',
+        ).collect()
+    }
+    assert got == {(E + "a", "")}
+
+
+def test_strafter_empty_separator_is_whole_string(triples):
+    # SPARQL 17.4.3.5: STRAFTER("alice", "") = "alice"
+    got = {
+        (r[0], r[1])
+        for r in _q(
+            triples,
+            '?x ?t WHERE { ?x e:name ?n . BIND(STRAFTER(?n, "") AS ?t) }',
+        ).collect()
+    }
+    assert got == {(E + "a", "alice")}
+
+
+def test_strbefore_strafter_absent_separator(triples):
+    got = {
+        tuple(r)
+        for r in _q(
+            triples,
+            '?x ?b ?a WHERE { ?x e:name ?n . '
+            'BIND(STRBEFORE(?n, "zz") AS ?b) . '
+            'BIND(STRAFTER(?n, "zz") AS ?a) }',
+        ).collect()
+    }
+    assert got == {(E + "a", "", "")}
+
+
+def test_strbefore_first_occurrence(triples):
+    # "alice" → before first "i" is "al", after is "ce"
+    got = {
+        tuple(r)
+        for r in _q(
+            triples,
+            '?b ?a WHERE { ?x e:name ?n . '
+            'BIND(STRBEFORE(?n, "i") AS ?b) . '
+            'BIND(STRAFTER(?n, "i") AS ?a) }',
+        ).collect()
+    }
+    assert got == {("al", "ce")}
+
+
+def test_datetime_accessors(dt_triples):
+    got = {
+        tuple(r)
+        for r in make_query(
+            dt_triples,
+            f"PREFIX e: <{E}> SELECT ?y ?mo ?d ?h ?mi ?s WHERE "
+            f"{{ ?x e:at ?t . FILTER(YEAR(?t) = 2024) . "
+            f"BIND(YEAR(?t) AS ?y) . BIND(MONTH(?t) AS ?mo) . "
+            f"BIND(DAY(?t) AS ?d) . BIND(HOURS(?t) AS ?h) . "
+            f"BIND(MINUTES(?t) AS ?mi) . BIND(SECONDS(?t) AS ?s) }}",
+        ).collect()
+    }
+    # SECONDS is double (xsd:decimal); the rest are SPARQL integers
+    assert got == {(2024, 3, 15, 10, 30, 45.0)}
+
+
+def test_datetime_accessor_non_datetime_drops_row(dt_triples):
+    # a non-dateTime lexical form is a type error → filter drops the row
+    got = {
+        r[0]
+        for r in make_query(
+            dt_triples,
+            f"PREFIX e: <{E}> SELECT ?x WHERE "
+            f"{{ ?x e:at ?t . FILTER(MONTH(?t) >= 1) }}",
+        ).collect()
+    }
+    assert got == {E + "a"}
+
+
+def test_is_numeric(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples, "?x WHERE { ?x ?p ?v . FILTER(isNumeric(?v)) }"
+        ).collect()
+    }
+    # ages "30"/"7"/"45" are numeric; "alice" and the IRI objects are not
+    assert got == {E + "a", E + "b", E + "c"}
+
+
+def test_is_numeric_negated_keeps_iris_and_strings(triples):
+    got = {
+        (r[0], r[1])
+        for r in _q(
+            triples, "?x ?v WHERE { ?x ?p ?v . FILTER(!isNumeric(?v)) }"
+        ).collect()
+    }
+    assert got == {
+        (E + "a", E + "b"),
+        (E + "b", E + "c"),
+        (E + "a", "alice"),
+    }
+
+
+def test_langmatches_basic_filtering(triples):
+    # bind an explicit tag: "en-us" matches range "en" (subtag prefix)
+    got = {
+        r[0]
+        for r in _q(
+            triples,
+            '?x WHERE { ?x e:name ?n . BIND("en-US" AS ?t) . '
+            'FILTER(langMatches(?t, "en")) }',
+        ).collect()
+    }
+    assert got == {E + "a"}
+
+
+def test_langmatches_no_false_prefix(triples):
+    # range "en" must NOT match tag "enx" (boundary is "-")
+    got = {
+        r[0]
+        for r in _q(
+            triples,
+            '?x WHERE { ?x e:name ?n . BIND("enx" AS ?t) . '
+            'FILTER(langMatches(?t, "en")) }',
+        ).collect()
+    }
+    assert got == set()
+
+
+def test_langmatches_star_requires_nonempty(triples):
+    got = {
+        r[0]
+        for r in _q(
+            triples,
+            '?x WHERE { ?x e:name ?n . BIND(LANG(?n) AS ?t) . '
+            'FILTER(langMatches(?t, "*")) }',
+        ).collect()
+    }
+    assert got == set()
+
+
+def test_digest_of_iri_lexical_form(triples):
+    import hashlib
+
+    want = hashlib.sha256((E + "b").encode()).hexdigest()
+    got = {
+        (r[0], r[1])
+        for r in _q(
+            triples,
+            "?x ?h WHERE { ?x e:knows ?y . BIND(SHA256(?y) AS ?h) }",
+        ).collect()
+    }
+    assert got == {(E + "a", want)}

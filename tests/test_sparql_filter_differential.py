@@ -38,6 +38,8 @@ ROWS = [
     (E + "f", E + "v", E + "iri-object", True, XSD + "string", E),
     # g: "30.0" — numerically equal to a's "30" but not the same term
     (E + "g", E + "v", "30.0", True, XSD + "double", E),
+    # h: an xsd:dateTime lexical form for the YEAR()-family accessors
+    (E + "h", E + "v", "2024-03-15T10:30:45", True, XSD + "dateTime", E),
 ]
 
 # (sparql_filter, duckdb_where) — ?x binds subj, ?v binds obj.
@@ -112,6 +114,42 @@ GRID = [
     ("sameTerm(?v, 30)", f"{_V} = '30' AND t.obj_is_literal"),
     ('!sameTerm(?v, "apple") && STRLEN(?v) > 1',
      f"NOT ({_V} = 'apple' AND t.obj_is_literal) AND length({_V}) > 1"),
+    # --- r6 second function batch: STRBEFORE/STRAFTER, digests,
+    # dateTime accessors, isNumeric, langMatches ---
+    (
+        'STRBEFORE(?v, "p") = "a"',
+        f"(CASE WHEN strpos({_V}, 'p') > 0 "
+        f"THEN substr({_V}, 1, strpos({_V}, 'p') - 1) ELSE '' END) = 'a'",
+    ),
+    (
+        # arg2 absent -> "" (both engines must agree on the empty case)
+        'STRAFTER(?v, "pp") = ""',
+        f"(CASE WHEN strpos({_V}, 'pp') > 0 "
+        f"THEN substr({_V}, strpos({_V}, 'pp') + 2) ELSE '' END) = ''",
+    ),
+    (
+        'STRAFTER(?v, ".") = "5"',
+        f"(CASE WHEN strpos({_V}, '.') > 0 "
+        f"THEN substr({_V}, strpos({_V}, '.') + 1) ELSE '' END) = '5'",
+    ),
+    (f'MD5(?v) = "{__import__("hashlib").md5(b"apple").hexdigest()}"',
+     f"md5({_V}) = md5('apple')"),
+    (f'SHA256(?v) = "{__import__("hashlib").sha256(b"7").hexdigest()}"',
+     f"sha256({_V}) = sha256('7')"),
+    # DuckDB has no sha1() — pin Spark against the hashlib constant
+    (f'SHA1(?v) = "{__import__("hashlib").sha1(b"apple").hexdigest()}"',
+     f"{_V} = 'apple'"),
+    ("YEAR(?v) = 2024", f"year(TRY_CAST({_V} AS TIMESTAMP)) = 2024"),
+    ("MONTH(?v) = 3 && DAY(?v) = 15",
+     f"month(TRY_CAST({_V} AS TIMESTAMP)) = 3 AND day(TRY_CAST({_V} AS TIMESTAMP)) = 15"),
+    ("HOURS(?v) = 10 && MINUTES(?v) = 30 && SECONDS(?v) = 45",
+     f"hour(TRY_CAST({_V} AS TIMESTAMP)) = 10 AND minute(TRY_CAST({_V} AS TIMESTAMP)) = 30 "
+     f"AND second(TRY_CAST({_V} AS TIMESTAMP)) = 45"),
+    ("isNumeric(?v)", f"t.obj_is_literal AND TRY_CAST({_V} AS DOUBLE) IS NOT NULL"),
+    ("!isNumeric(?v)", f"NOT (t.obj_is_literal AND TRY_CAST({_V} AS DOUBLE) IS NOT NULL)"),
+    # LANG() is "" in this dialect: "*" requires a non-empty tag, so
+    # no row survives — both engines agree on the empty set
+    ('langMatches(LANG(?v), "*")', "FALSE"),
 ]
 
 

@@ -11,8 +11,12 @@ comparisons with arithmetic operands, ``IN``/``NOT IN``, ``bound()``,
 ``isIRI()``/``isURI()``/``isLiteral()``/``isBlank()``, the
 ``STR()``/``LANG()``/``DATATYPE()``/``STRLEN()``/``UCASE()``/
 ``LCASE()`` accessors, and the r6 value-expression layer:
-``SUBSTR()``/``REPLACE()``/``CONCAT()``, numeric
-``ABS()``/``CEIL()``/``FLOOR()``/``ROUND()``, ``COALESCE()`` and
+``SUBSTR()``/``REPLACE()``/``CONCAT()``/``STRBEFORE()``/
+``STRAFTER()``, numeric
+``ABS()``/``CEIL()``/``FLOOR()``/``ROUND()``, hash digests
+``MD5()``/``SHA1()``/``SHA256()``, xsd:dateTime accessors
+``YEAR()``/``MONTH()``/``DAY()``/``HOURS()``/``MINUTES()``/
+``SECONDS()``, ``isNumeric()``, ``langMatches()``, ``COALESCE()`` and
 ``IF()``), ``UNION``, ``OPTIONAL``, ``MINUS``,
 ``VALUES`` (single-var and tuple forms, ``UNDEF`` rows grouped by
 defined-mask), expression ``BIND``, property
@@ -66,7 +70,16 @@ companion), requires literal-vs-IRI agreement, per spec.
 ``GROUP_CONCAT`` concatenates in sorted lexical order and ``SAMPLE``
 picks the minimum (deterministic dialect — the spec leaves both
 unspecified); ``CEIL``/``FLOOR``/``ROUND`` stay double-typed, with
-``ROUND`` rounding ties away from zero.
+``ROUND`` rounding ties away from zero. ``isNumeric()`` is true for a
+literal whose lexical form casts to a number (the engine stores terms
+as lexical strings, so castability IS the numeric-typed test);
+``langMatches()`` does BCP47 basic filtering over its operand (with
+``LANG()`` always ``""`` here, it only matches an explicitly-bound
+tag); ``YEAR()``-family accessors parse the lexical form as a
+timestamp and yield NULL (type error, the row drops from filters) for
+non-dateTime terms, with ``SECONDS()`` double-typed per xsd:decimal;
+``MD5``/``SHA1``/``SHA256`` digest the UTF-8 bytes of the lexical
+form to lowercase hex.
 
 Subqueries under ``GRAPH ?var`` evaluate per active graph (patterns
 bind the graph column, aggregates group by it implicitly); per-graph
@@ -440,7 +453,7 @@ class _Parser:
                             "constant terms"
                         )
                 return ("sameterm", a, b)
-            if name in ("strstarts", "strends", "contains"):
+            if name in ("strstarts", "strends", "contains", "langmatches"):
                 self.next()
                 self.expect("lparen")
                 arg = self._operand()
@@ -453,6 +466,12 @@ class _Parser:
                     )
                 self.expect("rparen")
                 return (name, arg, t.group("lit").replace('\\"', '"'))
+            if name == "isnumeric":
+                self.next()
+                self.expect("lparen")
+                var_tok = self.expect("var")
+                self.expect("rparen")
+                return ("isnumeric", "?" + var_tok.group("var"))
         lhs = self._operand()
         nxt = self.peek()
         if nxt is not None and _kind(nxt) == "op" and nxt.group("op") != "&&":
@@ -489,8 +508,13 @@ class _Parser:
 
     # single-argument term accessors (generalized to expression args
     # except lang/datatype, which read per-variable term metadata)
-    _OPERAND_FNS = ("str", "lang", "datatype", "strlen", "ucase", "lcase")
+    _OPERAND_FNS = (
+        "str", "lang", "datatype", "strlen", "ucase", "lcase",
+        "md5", "sha1", "sha256",
+    )
     _NUM_FNS = ("abs", "ceil", "floor", "round")
+    # xsd:dateTime component accessors over the lexical form
+    _DT_FNS = ("year", "month", "day", "hours", "minutes", "seconds")
 
     def _operand(self):
         node = self._mul_operand()
@@ -550,6 +574,22 @@ class _Parser:
                 arg = self._operand()
                 self.expect("rparen")
                 return ("numfn", name, arg)
+            if name in self._DT_FNS:
+                self.expect("lparen")
+                arg = self._operand()
+                self.expect("rparen")
+                return ("dtfn", name, arg)
+            if name in ("strbefore", "strafter"):
+                self.expect("lparen")
+                arg = self._operand()
+                self._skip_comma()
+                t = self.next()
+                if _kind(t) != "lit":
+                    raise SparqlError(
+                        f"{name}() second argument must be a string literal"
+                    )
+                self.expect("rparen")
+                return (name, arg, t.group("lit").replace('\\"', '"'))
             if name == "substr":
                 self.expect("lparen")
                 arg = self._operand()
@@ -1120,7 +1160,7 @@ def _collect_meta_vars(ast, out: set) -> None:
             _collect_meta_vars(part, out)
     elif kind == "not":
         _collect_meta_vars(ast[1], out)
-    elif kind in ("isiri", "isliteral"):
+    elif kind in ("isiri", "isliteral", "isnumeric"):
         out.add(ast[1][1:])
     elif kind == "cmp":
         for side in (ast[1], ast[3]):
@@ -1130,7 +1170,9 @@ def _collect_meta_vars(ast, out: set) -> None:
         for side in (ast[1], ast[2]):
             if side[0] == "var":
                 out.add(side[1][1:])
-    elif kind in ("regex", "in", "strstarts", "strends", "contains"):
+    elif kind in (
+        "regex", "in", "strstarts", "strends", "contains", "langmatches"
+    ):
         _collect_operand_meta(ast[1], out)
 
 
@@ -1144,8 +1186,10 @@ def _collect_operand_meta(node, out: set) -> None:
     elif kind == "arith":
         _collect_operand_meta(node[1], out)
         _collect_operand_meta(node[3], out)
-    elif kind in ("substr", "replace", "numfn"):
-        _collect_operand_meta(node[1] if kind != "numfn" else node[2], out)
+    elif kind in ("substr", "replace", "strbefore", "strafter"):
+        _collect_operand_meta(node[1], out)
+    elif kind in ("numfn", "dtfn"):
+        _collect_operand_meta(node[2], out)
     elif kind in ("concat", "coalesce"):
         for a in node[1]:
             _collect_operand_meta(a, out)
@@ -1169,7 +1213,7 @@ def _require_meta(df: DataFrame, var: str, what: str) -> None:
 
 
 def _is_numeric_node(node) -> bool:
-    return node[0] in ("num", "arith", "numfn")
+    return node[0] in ("num", "arith", "numfn", "dtfn")
 
 
 def _str_col(df: DataFrame, node):
@@ -1202,6 +1246,32 @@ def _operand_col(df: DataFrame, node):
     if kind == "replace":
         # SPARQL REPLACE is regex-based and replaces every match
         return F.regexp_replace(_str_col(df, node[1]), node[2], node[3])
+    if kind in ("strbefore", "strafter"):
+        # SPARQL 17.4.3.4/5: the part of arg1 before/after the FIRST
+        # occurrence of arg2; "" when arg2 does not occur. An empty
+        # arg2 matches at position 1 (instr = 1): STRBEFORE → "",
+        # STRAFTER → the whole string — both fall out of the same
+        # substring arithmetic, no special case
+        base = _str_col(df, node[1])
+        pos = F.instr(base, node[2])
+        if kind == "strbefore":
+            return F.when(pos > 0, F.substring(base, 1, pos - 1)).otherwise("")
+        return F.when(
+            pos > 0, F.substring(base, pos + len(node[2]), F.lit(2147483647))
+        ).otherwise("")
+    if kind == "dtfn":
+        _, fn, arg = node
+        ts = F.try_to_timestamp(_str_col(df, arg))
+        # bigint-typed (SPARQL integer); a non-dateTime lexical form
+        # yields NULL — error propagation, the row drops from filters
+        col = {
+            "year": F.year, "month": F.month, "day": F.dayofmonth,
+            "hours": F.hour, "minutes": F.minute,
+        }.get(fn)
+        if col is not None:
+            return col(ts).cast("bigint")
+        # SECONDS is xsd:decimal (fractional seconds survive)
+        return F.second(ts).cast("double")
     if kind == "concat":
         return F.concat(*[_str_col(df, a) for a in node[1]])
     if kind == "coalesce":
@@ -1235,6 +1305,12 @@ def _operand_col(df: DataFrame, node):
         return F.upper(_str_col(df, arg))
     if fn == "lcase":
         return F.lower(_str_col(df, arg))
+    if fn == "md5":
+        return F.md5(_str_col(df, arg).cast("binary"))
+    if fn == "sha1":
+        return F.sha1(_str_col(df, arg).cast("binary"))
+    if fn == "sha256":
+        return F.sha2(_str_col(df, arg).cast("binary"), 256)
     var = arg[1]  # lang/datatype: parse-time guaranteed ("var", "?x")
     _require_bound(df, var)
     if fn == "lang":
@@ -1301,6 +1377,25 @@ def _filter_col(df: DataFrame, ast):
     if kind == "isliteral":
         _require_meta(df, ast[1], "isLiteral()")
         return F.col(f"__lit_{ast[1][1:]}")
+    if kind == "isnumeric":
+        # dialect: a literal whose lexical form casts to a number —
+        # the YAML parser types numeric facts (xsd:integer/double) but
+        # this engine stores every term as its lexical string, so the
+        # castability test IS the numeric-typed test here
+        _require_meta(df, ast[1], "isNumeric()")
+        name = ast[1][1:]
+        return F.col(f"__lit_{name}") & F.col(name).try_cast(
+            "double"
+        ).isNotNull()
+    if kind == "langmatches":
+        # language range match over a LANG()-style operand; "*" matches
+        # any non-empty tag, otherwise case-insensitive prefix match on
+        # subtag boundaries (BCP47 basic filtering)
+        tag = F.lower(_operand_col(df, ast[1]).cast("string"))
+        rng = ast[2].lower()
+        if rng == "*":
+            return tag.isNotNull() & (tag != "")
+        return (tag == rng) | tag.startswith(rng + "-")
     if kind == "sameterm":
         # lexical-form equality — no numeric coercion, ever — plus the
         # literal-vs-IRI companion flag when both operands carry one

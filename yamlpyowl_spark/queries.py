@@ -603,21 +603,28 @@ def _register_kg():
             )
             SELECT x, parts, n, first,
                    CASE WHEN n > 1 THEN 'multi'
-                        WHEN NOT (n > 1) THEN 'single' END AS kind
+                        WHEN NOT (n > 1) THEN 'single' END AS kind,
+                   md5(first) AS h,
+                   CASE WHEN strpos(first, '#') > 0
+                        THEN substr(first, strpos(first, '#') + 1)
+                        ELSE '' END AS local_name
             FROM g""",
     )
     def kg_sparql_exprs(spark, sf_dir):
         # r6 value-expression layer in one in-window gate: GROUP_CONCAT
         # (sorted-lexical dialect) + SAMPLE (min dialect) aggregates,
-        # SUBSTR/REPLACE/CONTAINS/STRLEN in FILTER, and a post-
-        # aggregation (IF(...) AS ?alias) SELECT expression
+        # SUBSTR/REPLACE/CONTAINS/STRLEN in FILTER, and post-
+        # aggregation (IF/MD5/STRAFTER(...) AS ?alias) SELECT
+        # expressions over aggregate aliases
         from .operators.sparql import make_query
 
         q = (
             f"PREFIX P: <{RR}> SELECT ?x "
             f'(GROUP_CONCAT(?part; SEPARATOR=",") AS ?parts) '
             f"(COUNT(?part) AS ?n) (SAMPLE(?part) AS ?first) "
-            f'(IF(?n > 1, "multi", "single") AS ?kind) WHERE {{\n'
+            f'(IF(?n > 1, "multi", "single") AS ?kind) '
+            f"(MD5(?first) AS ?h) "
+            f'(STRAFTER(?first, "#") AS ?local_name) WHERE {{\n'
             f"  ?x P:hasPart ?part .\n"
             f'  FILTER( CONTAINS(REPLACE(SUBSTR(?part, 1), "-", "_"), "_")\n'
             f"          || STRLEN(?part) > 10 )\n"
