@@ -228,7 +228,12 @@ _SOUP = st.lists(
          "SUBSTR", "REPLACE", "CONCAT", "ABS", "CEIL", "FLOOR", "ROUND",
          "COALESCE", "IF", "sameTerm", "!", "SAMPLE", "GROUP_CONCAT",
          ";", 'SEPARATOR="-"', "(GROUP_CONCAT(?x) AS ?g)",
-         "(SAMPLE(?y) AS ?s1)", "(?x + 1 AS ?e)"]
+         "(SAMPLE(?y) AS ?s1)", "(?x + 1 AS ?e)",
+         # r6 second function batch
+         "STRBEFORE", "STRAFTER", "MD5", "SHA1", "SHA256", "YEAR",
+         "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "isNumeric",
+         "langMatches", "ENCODE_FOR_URI", "TZ", "IRI", "URI", "NOW",
+         "DISTINCT", "(SUM(DISTINCT ?x) AS ?sd)"]
     ),
     max_size=25,
 )
@@ -1702,3 +1707,78 @@ def test_digest_of_iri_lexical_form(triples):
         ).collect()
     }
     assert got == {(E + "a", want)}
+
+
+def test_sum_avg_distinct(spark):
+    rows_in = [
+        (E + "a", E + "n", "10", True, None, E),
+        (E + "a", E + "n", "10", True, None, E),
+        (E + "a", E + "n", "30", True, None, E),
+    ]
+    tdf = spark.createDataFrame(rows_in, SCHEMA)
+    got = make_query(
+        tdf,
+        f"PREFIX e: <{E}> SELECT ?s (SUM(DISTINCT ?n) AS ?sd) "
+        f"(AVG(DISTINCT ?n) AS ?ad) (SUM(?n) AS ?sa) "
+        f"WHERE {{ ?s e:n ?n }} GROUP BY ?s",
+    ).collect()
+    assert [(r[0], r[1], r[2], r[3]) for r in got] == [
+        (E + "a", 40.0, 20.0, 50.0)
+    ]
+
+
+def test_encode_for_uri(spark):
+    # spec example chars: space→%20, '~' kept, '*' encoded, unicode UTF-8
+    rows_in = [(E + "a", E + "v", "Les Mis~*é", True, None, E)]
+    tdf = spark.createDataFrame(rows_in, SCHEMA)
+    got = make_query(
+        tdf,
+        f"PREFIX e: <{E}> SELECT ?t WHERE {{ ?x e:v ?v . "
+        f"BIND(ENCODE_FOR_URI(?v) AS ?t) }}",
+    ).collect()
+    assert got[0][0] == "Les%20Mis~%2A%C3%A9"
+
+
+def test_tz_accessor(spark):
+    rows_in = [
+        (E + "a", E + "at", "2024-03-15T10:30:45Z", True, None, E),
+        (E + "b", E + "at", "2024-03-15T10:30:45+05:00", True, None, E),
+        (E + "c", E + "at", "2024-03-15T10:30:45", True, None, E),
+    ]
+    tdf = spark.createDataFrame(rows_in, SCHEMA)
+    got = {
+        (r[0], r[1])
+        for r in make_query(
+            tdf,
+            f"PREFIX e: <{E}> SELECT ?x ?z WHERE {{ ?x e:at ?t . "
+            f"BIND(TZ(?t) AS ?z) }}",
+        ).collect()
+    }
+    assert got == {(E + "a", "Z"), (E + "b", "+05:00"), (E + "c", "")}
+
+
+def test_iri_constructor_pass_through(triples):
+    got = {
+        (r[0], r[1])
+        for r in _q(
+            triples,
+            '?x ?u WHERE { ?x e:name ?n . '
+            'BIND(IRI(CONCAT("http://ex.org/", ?n)) AS ?u) }',
+        ).collect()
+    }
+    assert got == {(E + "a", E + "alice")}
+
+
+def test_now_constant_and_datetime_shaped(triples):
+    rows = make_query(
+        triples.sparkSession.createDataFrame(
+            [(E + "a", E + "p", "1", True, None, E),
+             (E + "b", E + "p", "2", True, None, E)],
+            SCHEMA,
+        ),
+        f"PREFIX e: <{E}> SELECT ?x ?t ?y WHERE {{ ?x e:p ?v . "
+        f"BIND(NOW() AS ?t) . BIND(YEAR(?t) AS ?y) }}",
+    ).collect()
+    # same instant for every row of the query; lexical form parses
+    assert len({r[1] for r in rows}) == 1
+    assert all(r[2] >= 2026 for r in rows)

@@ -16,7 +16,9 @@ comparisons with arithmetic operands, ``IN``/``NOT IN``, ``bound()``,
 ``ABS()``/``CEIL()``/``FLOOR()``/``ROUND()``, hash digests
 ``MD5()``/``SHA1()``/``SHA256()``, xsd:dateTime accessors
 ``YEAR()``/``MONTH()``/``DAY()``/``HOURS()``/``MINUTES()``/
-``SECONDS()``, ``isNumeric()``, ``langMatches()``, ``COALESCE()`` and
+``SECONDS()``/``TZ()``/``NOW()``, ``ENCODE_FOR_URI()``,
+``IRI()``/``URI()`` (lexical pass-through), ``isNumeric()``,
+``langMatches()``, ``COALESCE()`` and
 ``IF()``), ``UNION``, ``OPTIONAL``, ``MINUS``,
 ``VALUES`` (single-var and tuple forms, ``UNDEF`` rows grouped by
 defined-mask), expression ``BIND``, property
@@ -510,7 +512,7 @@ class _Parser:
     # except lang/datatype, which read per-variable term metadata)
     _OPERAND_FNS = (
         "str", "lang", "datatype", "strlen", "ucase", "lcase",
-        "md5", "sha1", "sha256",
+        "md5", "sha1", "sha256", "encode_for_uri", "tz", "iri", "uri",
     )
     _NUM_FNS = ("abs", "ceil", "floor", "round")
     # xsd:dateTime component accessors over the lexical form
@@ -569,6 +571,10 @@ class _Parser:
                     arg = self._operand()
                 self.expect("rparen")
                 return ("fn", name, arg)
+            if name == "now":
+                self.expect("lparen")
+                self.expect("rparen")
+                return ("now",)
             if name in self._NUM_FNS:
                 self.expect("lparen")
                 arg = self._operand()
@@ -1234,6 +1240,10 @@ def _operand_col(df: DataFrame, node):
         return F.lit(float(node[1]))
     if kind in ("str", "iri"):
         return F.lit(node[1])
+    if kind == "now":
+        # constant for the whole query (current_timestamp is evaluated
+        # once per query per Spark semantics), xsd:dateTime lexical form
+        return F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss")
     if kind == "arith":
         a = _operand_col(df, node[1]).try_cast("double")
         b = _operand_col(df, node[3]).try_cast("double")
@@ -1311,6 +1321,25 @@ def _operand_col(df: DataFrame, node):
         return F.sha1(_str_col(df, arg).cast("binary"))
     if fn == "sha256":
         return F.sha2(_str_col(df, arg).cast("binary"), 256)
+    if fn == "encode_for_uri":
+        # SPARQL 17.4.2.8 / RFC 3986: only ALPHA/DIGIT/-/./_/~ stay
+        # unencoded, space is %20. url_encode is the JVM URLEncoder
+        # (form encoding) — fix its three divergences: '+' for space,
+        # '*' left bare, '~' encoded as %7E
+        enc = F.url_encode(_str_col(df, arg))
+        enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+        enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+        return F.replace(enc, F.lit("%7E"), F.lit("~"))
+    if fn == "tz":
+        # timezone part of the dateTime LEXICAL form ("" when absent)
+        return F.regexp_extract(
+            _str_col(df, arg), r"(Z|[+-][0-9]{2}:[0-9]{2})$", 1
+        )
+    if fn in ("iri", "uri"):
+        # terms are lexical strings in this engine: IRI() passes the
+        # string through; no companion metadata attaches to the result
+        # (isIRI() over a BIND of it raises, keeping the boundary loud)
+        return _str_col(df, arg)
     var = arg[1]  # lang/datatype: parse-time guaranteed ("var", "?x")
     _require_bound(df, var)
     if fn == "lang":
@@ -1595,6 +1624,15 @@ _AGG_FNS = {
     "MAX": F.max,
 }
 
+# DISTINCT variants take the bound COLUMN NAME (SPARQL var names are
+# identifier-safe) so SUM/AVG can use the SQL DISTINCT form
+_AGG_FNS_DISTINCT = {
+    "SUM": lambda n: F.expr(f"sum(DISTINCT try_cast(`{n}` AS double))"),
+    "AVG": lambda n: F.expr(f"avg(DISTINCT try_cast(`{n}` AS double))"),
+    "MIN": lambda n: F.min(F.col(n)),
+    "MAX": lambda n: F.max(F.col(n)),
+}
+
 
 def ask_query(triples: DataFrame, sparql_src: str) -> bool:
     """``ASK { ... }`` — True iff the graph pattern has any solution.
@@ -1791,11 +1829,14 @@ def _select_frame(
             else:
                 if arg == "*":
                     raise SparqlError(f"{fn}(*) is not valid SPARQL")
-                if dist:
-                    raise SparqlError(f"{fn}(DISTINCT ...) is not supported")
                 if arg[1:] not in df.columns:
                     raise SparqlError(f"aggregate over unbound variable {arg}")
-                col = _AGG_FNS[fn](F.col(arg[1:]))
+                if dist:
+                    # MIN/MAX are duplicate-insensitive; SUM/AVG get
+                    # the SQL DISTINCT form over the numeric coercion
+                    col = _AGG_FNS_DISTINCT[fn](arg[1:])
+                else:
+                    col = _AGG_FNS[fn](F.col(arg[1:]))
             cols.append(col.alias(alias))
         if having is not None:
             h_fn, h_dist, h_arg, h_alias, h_op, h_const = having
