@@ -324,14 +324,14 @@ def test_sync_reasoner_filters_dl_diagnostics(spark):
     om = OntologyManager(
         os.path.join(REFERENCE_DIR, "examples/regional-rules.owl.yml"), spark
     )
-    # graft a class-disjointness axiom — still outside the CSP
-    # fragment (unqualified cardinality joined in r5, qualified +
-    # hasSelf in r6; disjointWith stays flagged because the model
-    # enumeration does not prune on it)
+    # graft an owl:hasKey axiom — outside the CSP fragment
+    # (unqualified cardinality joined in r5, qualified + hasSelf +
+    # disjointness in r6; hasKey is reachable only via hand-authored
+    # facts and neither reasoner draws conclusions from it)
     grafted = spark.createDataFrame(
         [
-            (om.iri + "GeographicEntity", OWL + "disjointWith",
-             om.iri + "Directive", False, None),
+            (om.iri + "GeographicEntity", OWL + "hasKey",
+             om.iri + "hasPart", False, None),
         ],
         "subj string, pred string, obj string, obj_is_literal boolean, obj_datatype string",
     )

@@ -329,8 +329,9 @@ def test_alldifferent_restores_injectivity():
 
 
 def test_unsupported_construct_is_loud(spark):
-    # r6: qualified cardinality is now IN the fragment; the loud
-    # boundary moved to hasSelf / disjointness
+    # r6: qualified cardinality, hasSelf AND disjointness are now IN
+    # the fragment; the loud boundary moved to hand-authorable
+    # constructs neither reasoner draws conclusions from
     from yamlpyowl_spark.operators.dlreason import (
         OWL,
         UNSUPPORTED_DL_PREDS,
@@ -344,11 +345,13 @@ def test_unsupported_construct_is_loud(spark):
     assert OWL + "minQualifiedCardinality" not in UNSUPPORTED_DL_PREDS
     assert OWL + "onClass" not in UNSUPPORTED_DL_PREDS
     assert OWL + "hasSelf" not in UNSUPPORTED_DL_PREDS
+    assert OWL + "disjointWith" not in UNSUPPORTED_DL_PREDS
+    assert OWL + "propertyDisjointWith" not in UNSUPPORTED_DL_PREDS
     E = "http://ex.org/card#"
     rows = [
-        # disjointWith stays flagged in THIS engine: the CSP does not
-        # prune on class disjointness (owlrl's cax-dw diagnoses it)
-        (E + "C", OWL + "disjointWith", E + "D", False, None, E),
+        # hasKey can only arrive via om.add_fact (the YAML grammar
+        # never emits it) — the CSP must flag, not silently ignore it
+        (E + "C", OWL + "hasKey", E + "k", False, None, E),
     ]
     schema = ("subj string, pred string, obj string, obj_is_literal boolean, "
               "obj_datatype string, doc_iri string")
@@ -356,11 +359,11 @@ def test_unsupported_construct_is_loud(spark):
     # warn (default): a diagnostic row names the construct
     got = dl_model_search(triples).collect()
     diags = {(r["subj"], r["pred"], r["obj"]) for r in got}
-    assert (E, YPO_DL_UNSUPPORTED, OWL + "disjointWith") in diags
+    assert (E, YPO_DL_UNSUPPORTED, OWL + "hasKey") in diags
     # raise: fails loudly naming the document
     with pytest.raises(Exception) as ei:
         dl_model_search(triples, on_unsupported="raise").collect()
-    assert "disjointWith" in str(ei.value)
+    assert "hasKey" in str(ei.value)
     # ignore: the silent legacy behavior
     assert dl_model_search(triples, on_unsupported="ignore").count() == 0
 
@@ -746,3 +749,125 @@ def test_asymmetric_prunes_reverse_assignment():
             "asymmetric property assigned the reverse edge"
         )
     assert stats.get("n_models", 0) > 0
+
+
+# ---------------------------------------------------------------------------
+# round 6: disjointness pruning inside the CSP (was the loud boundary)
+# ---------------------------------------------------------------------------
+
+
+def _card1(subject, prop, rnode):
+    """RDF-encode `subject rdf:type [onProperty prop, cardinality 1]`."""
+    from yamlpyowl_spark.operators.dlreason import OWL, OWL_ON_PROPERTY
+
+    return [
+        (subject, RDF_TYPE, rnode),
+        (rnode, OWL_ON_PROPERTY, prop),
+        (rnode, OWL + "cardinality", "1"),
+    ]
+
+
+def test_disjoint_with_restriction_defined_class_prunes_and_entails():
+    # A ⊥ B, B ≡ hasCol.value(red), x ∈ A, x under `hasCol exactly 1`
+    # over Color = {red, blue}: the red model would put x in both A and
+    # B → pruned; Nothing pruned by the cardinality → entail blue
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, OWL_EQUIVALENT_CLASS, OWL_ON_PROPERTY, RDFS_RANGE,
+    )
+
+    base = [
+        *_enum(CE + "Color", CE + "red", CE + "blue"),
+        (CE + "hasCol", RDFS_RANGE, CE + "Color"),
+        *_card1(CE + "x", CE + "hasCol", "_:r"),
+        (CE + "x", RDF_TYPE, CE + "A"),
+        (CE + "B", OWL_EQUIVALENT_CLASS, "_:rb"),
+        ("_:rb", OWL_ON_PROPERTY, CE + "hasCol"),
+        ("_:rb", OWL + "hasValue", CE + "red"),
+    ]
+    # control: without the disjointness axiom both colors are models —
+    # nothing entailed for hasCol
+    inferred = _solve_doc(base)
+    assert not {t for t in inferred if t[1] == CE + "hasCol"}
+    # with the axiom: red is pruned, blue entailed
+    inferred = _solve_doc(base + [(CE + "A", OWL + "disjointWith", CE + "B")])
+    assert (CE + "x", CE + "hasCol", CE + "blue") in inferred
+    assert (CE + "x", CE + "hasCol", CE + "red") not in inferred
+
+
+def test_disjoint_asserted_both_sides_is_unsat():
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, RDFS_DOMAIN, RDFS_RANGE,
+    )
+
+    rows = [
+        *_enum(CE + "Person", CE + "a", CE + "b"),
+        (CE + "p", RDF_TYPE, OWL + "FunctionalProperty"),
+        (CE + "p", RDFS_DOMAIN, CE + "Person"),
+        (CE + "p", RDFS_RANGE, CE + "Person"),
+        (CE + "a", RDF_TYPE, CE + "A"),
+        (CE + "a", RDF_TYPE, CE + "B"),
+        (CE + "A", OWL + "disjointWith", CE + "B"),
+    ]
+    stats = {}
+    _solve_doc(rows, stats=stats)
+    assert stats.get("n_models", -1) == 0
+
+
+def test_disjoint_unknown_membership_never_prunes():
+    # B has no enumeration, no assertions and no defining restriction:
+    # membership is UNKNOWN for every entity — the axiom must not
+    # shrink the model set (three-valued semantics, non-UNA-safe)
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, RDFS_DOMAIN, RDFS_RANGE,
+    )
+
+    base = [
+        *_enum(CE + "Person", CE + "a", CE + "b"),
+        (CE + "p", RDF_TYPE, OWL + "FunctionalProperty"),
+        (CE + "p", RDFS_DOMAIN, CE + "Person"),
+        (CE + "p", RDFS_RANGE, CE + "Person"),
+        (CE + "a", RDF_TYPE, CE + "A"),
+    ]
+    stats_base, stats_disj = {}, {}
+    _solve_doc(base, stats=stats_base)
+    _solve_doc(
+        base + [(CE + "A", OWL + "disjointWith", CE + "B")], stats=stats_disj
+    )
+    assert stats_base["n_models"] > 0
+    assert stats_disj["n_models"] == stats_base["n_models"]
+
+
+def test_property_disjoint_prunes_equal_values_and_entails():
+    # p1(x) = red asserted, p1 ⊥p p2, x under `p2 exactly 1` over
+    # {red, blue}: the p2(x) = red model violates disjointness → blue
+    from yamlpyowl_spark.operators.dlreason import OWL, RDFS_RANGE
+
+    base = [
+        *_enum(CE + "Color", CE + "red", CE + "blue"),
+        (CE + "p2", RDFS_RANGE, CE + "Color"),
+        *_card1(CE + "x", CE + "p2", "_:r"),
+        (CE + "x", CE + "p1", CE + "red"),
+    ]
+    inferred = _solve_doc(base)
+    assert not {t for t in inferred if t[1] == CE + "p2"}
+    inferred = _solve_doc(
+        base + [(CE + "p1", OWL + "propertyDisjointWith", CE + "p2")]
+    )
+    assert (CE + "x", CE + "p2", CE + "blue") in inferred
+    assert (CE + "x", CE + "p2", CE + "red") not in inferred
+
+
+def test_property_disjoint_asserted_violation_is_unsat():
+    from yamlpyowl_spark.operators.dlreason import OWL, RDFS_RANGE
+
+    rows = [
+        *_enum(CE + "Color", CE + "red", CE + "blue"),
+        (CE + "p2", RDFS_RANGE, CE + "Color"),
+        *_card1(CE + "x", CE + "p2", "_:r"),
+        (CE + "x", CE + "p1", CE + "red"),
+        (CE + "x", CE + "p2", CE + "red"),
+        (CE + "p1", OWL + "propertyDisjointWith", CE + "p2"),
+    ]
+    stats = {}
+    _solve_doc(rows, stats=stats)
+    assert stats.get("n_models", -1) == 0

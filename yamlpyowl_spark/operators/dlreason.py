@@ -42,10 +42,20 @@ some-restrictions; qualified: only successors PROVABLY in C), the
 upper bound is violated only by successors pairwise DECLARED
 different (non-UNA; qualified: and provably in C).
 
+Disjointness prunes models (r6): ``owl:disjointWith`` compiles to a
+per-entity check list — membership is three-valued (asserted types and
+closed OneOf enumerations are static; restriction-DEFINED classes,
+``C equivalentClass [onProperty ...]``, are decided per model via the
+``holds`` closure), and a model dies only when an entity is PROVABLY in
+both sides. ``owl:propertyDisjointWith`` is a val-equality check over
+the single-valued representation. An ASSERTED violation makes the
+document unsatisfiable (zero models → deterministic inferences only);
+owlrl's cax-dw / prp-pdw additionally emit the diagnostic rows.
+
 Documents outside the fragment contribute no variables, and the
-boundary is LOUD: constructs the fragment ignores (hasSelf,
-disjointness, ...) yield per-document
-diagnostic rows or an :class:`UnsupportedDLError`
+boundary is LOUD: constructs the fragment ignores (``owl:hasKey``,
+``owl:disjointUnionOf`` — reachable only via hand-authored facts)
+yield per-document diagnostic rows or an :class:`UnsupportedDLError`
 (``on_unsupported=``), never a silent no-op. This operator composes with :mod:`swrl`'s forward chain
 in ``api.OntologyManager.sync_reasoner``.
 """
@@ -91,12 +101,16 @@ UNSUPPORTED_DL_PREDS = frozenset(
         # restrictions.
         # propertyChainAxiom: handled by owlrl prp-spo2 (r5) — no
         # longer flagged here. hasSelf: a three-valued checker in the
-        # CSP since r6. disjointWith / propertyDisjointWith stay
-        # flagged HERE because the model enumeration does not prune on
-        # them (it could over-entail); owlrl's cax-dw / prp-pdw emit
-        # violation diagnostics over the materialized facts.
-        "disjointWith",
-        "propertyDisjointWith",
+        # CSP since r6. disjointWith / propertyDisjointWith: model
+        # pruning in the CSP since r6 (three-valued class membership /
+        # val-equality over the single-valued representation) — owlrl's
+        # cax-dw / prp-pdw additionally diagnose ASSERTED violations.
+        # What remains flagged is only reachable through hand-authored
+        # facts (om.add_fact with arbitrary OWL vocabulary — the YAML
+        # grammar never emits these): neither the CSP nor the OWL-RL
+        # pass draws conclusions from them.
+        "hasKey",
+        "disjointUnionOf",
     )
 )
 
@@ -208,10 +222,33 @@ def _decode(rows):
                     for member in members_of.get(s, []):
                         restrictions.append((member, o))
 
+    # disjointness axioms (r6): class pairs, property pairs, and the
+    # restriction-DEFINED classes (C equivalentClass [onProperty ...])
+    # whose membership is dynamic — decided per model via `holds`
+    disjoint_pairs: List[Tuple[str, str]] = []
+    prop_disjoint: List[Tuple[str, str]] = []
+    equiv_restr: Dict[str, str] = {}
+    for (s, p), objs in m.spo.items():
+        if s.startswith("_:"):
+            continue
+        for o in objs:
+            if p == OWL + "disjointWith" and not o.startswith("_:"):
+                disjoint_pairs.append((s, o))
+            elif p == OWL + "propertyDisjointWith" and not o.startswith("_:"):
+                prop_disjoint.append((s, o))
+            elif p == OWL_EQUIVALENT_CLASS and o.startswith("_:"):
+                if m.obj(o, OWL_ON_PROPERTY):
+                    equiv_restr[s] = o
+
     # asserted entity facts for the declared properties — including the
     # (named) properties of restriction trees, so cardinality-created
-    # variables get pinned by asserted facts like functional ones do
+    # variables get pinned by asserted facts like functional ones do;
+    # disjoint-property pairs route through val() too, so their asserted
+    # facts must reach the ground-fact map
     props = functional | invfunctional | set(inverse_of)
+    for p1, p2 in prop_disjoint:
+        props.add(p1)
+        props.add(p2)
     for _s, rnode in restrictions:
         on_p = m.obj(rnode, OWL_ON_PROPERTY)
         if on_p and not on_p.startswith("_:"):
@@ -234,6 +271,7 @@ def _decode(rows):
     return (
         m, enums, functional, invfunctional, inverse_of, domains, ranges,
         facts, restrictions, all_different, irreflexive, asymmetric,
+        disjoint_pairs, prop_disjoint, equiv_restr,
     )
 
 
@@ -254,6 +292,9 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
         all_different,
         irreflexive,
         asymmetric,
+        disjoint_pairs,
+        prop_disjoint,
+        equiv_restr,
     ) = _decode(rows)
 
     inferred: Set[Tuple[str, str, str]] = set()
@@ -573,11 +614,81 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
         if p in invfunctional:
             alldiff_groups.setdefault(p, []).append((p, s))
 
+    # r6 disjointness: precompile each owl:disjointWith pair into a
+    # bounded per-entity check list so consistent() stays cheap.
+    # Membership is three-valued: STATIC (asserted rdf:type, or OneOf
+    # enumeration — closed, so absence is a definite False) vs DYNAMIC
+    # (the class is restriction-DEFINED via equivalentClass, so
+    # membership depends on the current assignment — `holds`).  A spec
+    # of True means "statically a member"; a spec that is a blank-node
+    # id means "evaluate holds(x, node) under the assignment".
+    def _static_members(cls: str) -> Set[str]:
+        out = set(m.subjects(V.RDF_TYPE, cls)) | set(enums.get(cls, ()))
+        return {x for x in out if not x.startswith("_:")}
+
+    individuals: Set[str] = set()
+    for members in enums.values():
+        individuals.update(members)
+    for (s, p), objs in m.spo.items():
+        if p == V.RDF_TYPE and not s.startswith("_:"):
+            if any(not o.startswith("_:") for o in objs):
+                individuals.add(s)
+
+    static_unsat = False
+    disjoint_checks: List[Tuple[str, object, object]] = []
+    for c, d in disjoint_pairs:
+        mc, md = _static_members(c), _static_members(d)
+        if mc & md:
+            # an entity is ASSERTED into both sides: no model exists
+            # (owlrl's cax-dw additionally emits the diagnostic rows)
+            static_unsat = True
+            continue
+        rc, rd = equiv_restr.get(c), equiv_restr.get(d)
+        if rd is not None:
+            disjoint_checks.extend((x, True, rd) for x in sorted(mc))
+        if rc is not None:
+            disjoint_checks.extend((x, rc, True) for x in sorted(md))
+        if rc is not None and rd is not None:
+            disjoint_checks.extend(
+                (x, rc, rd) for x in sorted(individuals - mc - md)
+            )
+
+    # owl:propertyDisjointWith — in the single-valued representation a
+    # violation is exactly val(p1, x) == val(p2, x) (both known, not
+    # Nothing); asserted multi-valued overlaps are a static check
+    for p1, p2 in prop_disjoint:
+        for (s, p), objs in m.spo.items():
+            if p == p1 and not s.startswith("_:"):
+                if set(objs) & set(m.objs(s, p2)):
+                    static_unsat = True
+
+    pd_subjects: List[Tuple[str, str, str]] = []
+    if prop_disjoint:
+        for p1, p2 in prop_disjoint:
+            for x in sorted(set(prop_subjects(p1)) | set(prop_subjects(p2))):
+                pd_subjects.append((p1, p2, x))
+
     order = sorted(variables, key=lambda v: (len(variables[v]), v))
     models: List[Dict[Tuple[str, str], str]] = []
     steps = 0
 
     def consistent() -> bool:
+        if static_unsat:
+            return False
+        # r6 disjointness: prune when an entity is PROVABLY a member of
+        # both sides of a disjoint pair (three-valued: unknown
+        # membership never prunes — non-UNA-safe, like cardinality)
+        for x, sc, sd in disjoint_checks:
+            if (True if sc is True else holds(x, sc)) is not True:
+                continue
+            if (True if sd is True else holds(x, sd)) is True:
+                return False
+        for p1, p2, x in pd_subjects:
+            v1 = val(p1, x)
+            if v1 is None or v1 == OWL_NOTHING:
+                continue
+            if v1 == val(p2, x):
+                return False
         # r6: irreflexive / asymmetric characteristics prune models on
         # CERTAIN violations (three-valued: unknown values never prune)
         for p in irreflexive:
@@ -670,7 +781,7 @@ def dl_model_search(
 
     The supported-fragment boundary is OBSERVABLE, never silent
     (r2 verdict #4): a document using a construct the fragment ignores
-    (hasSelf, disjointness, ... —
+    (``owl:hasKey``, ``owl:disjointUnionOf`` —
     ``UNSUPPORTED_DL_PREDS``) yields, per distinct construct, one
     diagnostic row ``(doc_iri, ypo:dlUnsupportedConstruct,
     <construct>)`` in the output (``on_unsupported="warn"``, default);
