@@ -27,6 +27,7 @@ MUST_BE_IN_WINDOW = [
     "kg_sparql_describe",
     "kg_sparql_exprs",        # r6 value-expression layer
     "kg_dl_qualified",        # r6 qualified-cardinality CSP
+    "kg_dl_disjoint",         # r6 disjointness pruning CSP
     "doc_exact_dedup",
     "doc_minhash_signatures",
     "doc_lsh_candidates",

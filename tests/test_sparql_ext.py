@@ -1782,3 +1782,96 @@ def test_now_constant_and_datetime_shaped(triples):
     # same instant for every row of the query; lexical form parses
     assert len({r[1] for r in rows}) == 1
     assert all(r[2] >= 2026 for r in rows)
+
+
+def test_timezone_duration_accessor(spark):
+    # 17.4.5.7: the offset as an xsd:dayTimeDuration lexical form;
+    # NULL (type error — BIND leaves the var NULL) when absent
+    rows_in = [
+        (E + "a", E + "at", "2024-03-15T10:30:45Z", True, None, E),
+        (E + "b", E + "at", "2024-03-15T10:30:45-05:00", True, None, E),
+        (E + "c", E + "at", "2024-03-15T10:30:45+05:30", True, None, E),
+        (E + "d", E + "at", "2024-03-15T10:30:45+00:00", True, None, E),
+        (E + "e", E + "at", "2024-03-15T10:30:45", True, None, E),
+    ]
+    tdf = spark.createDataFrame(rows_in, SCHEMA)
+    got = {
+        (r[0], r[1])
+        for r in make_query(
+            tdf,
+            f"PREFIX e: <{E}> SELECT ?x ?z WHERE {{ ?x e:at ?t . "
+            f"BIND(TIMEZONE(?t) AS ?z) }}",
+        ).collect()
+    }
+    assert got == {
+        (E + "a", "PT0S"),
+        (E + "b", "-PT5H"),
+        (E + "c", "PT5H30M"),
+        (E + "d", "PT0S"),
+        (E + "e", None),
+    }
+
+
+def test_strlang_strdt_lexical_dialect(triples):
+    # dialect: both constructors yield the lexical form of arg1 (no
+    # language/datatype channel on BIND results); malformed second
+    # arguments raise at parse time
+    got = {
+        (r[0], r[1])
+        for r in _q(
+            triples,
+            '?x ?l WHERE { ?x e:name ?n . BIND(STRLANG(?n, "en") AS ?l) }',
+        ).collect()
+    }
+    assert got == {(E + "a", "alice")}
+    got = {
+        (r[0], r[1])
+        for r in _q(
+            triples,
+            "?x ?l WHERE { ?x e:name ?n . BIND(STRDT(?n, "
+            "<http://www.w3.org/2001/XMLSchema#string>) AS ?l) }",
+        ).collect()
+    }
+    assert got == {(E + "a", "alice")}
+    with pytest.raises(SparqlError, match="STRLANG"):
+        _q(triples, '?x WHERE { ?x e:name ?n . BIND(STRLANG(?n, ?n) AS ?l) }')
+    with pytest.raises(SparqlError, match="STRDT"):
+        _q(triples, '?x WHERE { ?x e:name ?n . BIND(STRDT(?n, "x") AS ?l) }')
+
+
+def test_rand_uuid_struuid_bnode_shapes(spark):
+    rows_in = [
+        (E + "a", E + "p", "1", True, None, E),
+        (E + "b", E + "p", "2", True, None, E),
+    ]
+    tdf = spark.createDataFrame(rows_in, SCHEMA)
+    rows = make_query(
+        tdf,
+        f"PREFIX e: <{E}> SELECT ?x ?r ?u ?s ?bn WHERE {{ ?x e:p ?v . "
+        f"BIND(RAND() AS ?r) . BIND(UUID() AS ?u) . "
+        f"BIND(STRUUID() AS ?s) . BIND(BNODE() AS ?bn) . "
+        f"FILTER(RAND() >= 0) }}",
+    ).collect()
+    assert len(rows) == 2
+    import re as _re
+
+    uuid_re = _re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+    )
+    for r in rows:
+        assert 0.0 <= r["r"] < 1.0
+        assert r["u"].startswith("urn:uuid:") and uuid_re.match(
+            r["u"][len("urn:uuid:"):]
+        )
+        assert uuid_re.match(r["s"])
+        assert r["bn"].startswith("_:b")
+    # fresh per solution: distinct across the two rows
+    assert rows[0]["u"] != rows[1]["u"]
+    assert rows[0]["bn"] != rows[1]["bn"]
+    # BNODE(str) needs per-label identity the engine does not track
+    with pytest.raises(SparqlError, match="BNODE"):
+        make_query(
+            tdf,
+            f'PREFIX e: <{E}> SELECT ?x WHERE {{ ?x e:p ?v . '
+            f'BIND(BNODE("k") AS ?bn) }}',
+        )

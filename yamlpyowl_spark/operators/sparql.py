@@ -81,7 +81,14 @@ tag); ``YEAR()``-family accessors parse the lexical form as a
 timestamp and yield NULL (type error, the row drops from filters) for
 non-dateTime terms, with ``SECONDS()`` double-typed per xsd:decimal;
 ``MD5``/``SHA1``/``SHA256`` digest the UTF-8 bytes of the lexical
-form to lowercase hex.
+form to lowercase hex. ``TIMEZONE()`` yields the xsd:dayTimeDuration
+lexical form of the offset (NULL — type error — when absent);
+``STRLANG``/``STRDT`` yield the lexical form of their first argument
+(no language/datatype channel attaches to BIND results — the
+companion-column boundary stays loud); ``RAND``/``UUID``/``STRUUID``
+and zero-arg ``BNODE`` are per-solution non-deterministic per spec
+(``BNODE(str)`` raises — it needs per-label node identity the engine
+does not track).
 
 Subqueries under ``GRAPH ?var`` evaluate per active graph (patterns
 bind the graph column, aggregates group by it implicitly); per-graph
@@ -654,6 +661,39 @@ class _Parser:
                 b = self._operand()
                 self.expect("rparen")
                 return ("ifexpr", cond, a, b)
+            if name == "timezone":
+                self.expect("lparen")
+                arg = self._operand()
+                self.expect("rparen")
+                return ("tzfn", arg)
+            if name in ("strlang", "strdt"):
+                # dialect (module doc): terms are lexical strings with
+                # no language/datatype channel on BIND results, so both
+                # constructors yield the lexical form of arg1; the tag/
+                # datatype argument is parsed (and must be well-formed)
+                # but cannot attach — DATATYPE()/LANG() over the result
+                # keep their loud companion-column boundary
+                self.expect("lparen")
+                arg = self._operand()
+                self._skip_comma()
+                t = self.next()
+                if name == "strlang" and _kind(t) != "lit":
+                    raise SparqlError(
+                        "STRLANG() second argument must be a string literal"
+                    )
+                if name == "strdt" and _kind(t) not in ("iri", "pname"):
+                    raise SparqlError("STRDT() second argument must be an IRI")
+                self.expect("rparen")
+                return ("fn", "str", arg)
+            if name in ("rand", "uuid", "struuid", "bnode"):
+                self.expect("lparen")
+                nxt = self.peek()
+                if nxt is not None and _kind(nxt) != "rparen":
+                    # BNODE(str) needs a per-(label, solution) stable
+                    # node id the engine does not track — loud, not wrong
+                    raise SparqlError(f"{name.upper()}() takes no arguments")
+                self.expect("rparen")
+                return (name,)
         raise SparqlError(f"expected a FILTER operand, got {tok.group(0)!r}")
 
     def _path_atom(self):
@@ -1192,7 +1232,7 @@ def _collect_operand_meta(node, out: set) -> None:
     elif kind == "arith":
         _collect_operand_meta(node[1], out)
         _collect_operand_meta(node[3], out)
-    elif kind in ("substr", "replace", "strbefore", "strafter"):
+    elif kind in ("substr", "replace", "strbefore", "strafter", "tzfn"):
         _collect_operand_meta(node[1], out)
     elif kind in ("numfn", "dtfn"):
         _collect_operand_meta(node[2], out)
@@ -1304,6 +1344,39 @@ def _operand_col(df: DataFrame, node):
         # two-branch when (no otherwise): a NULL condition yields NULL
         # — SPARQL error propagation, not the else branch
         return F.when(c, _operand_col(df, a)).when(~c, _operand_col(df, b))
+    if kind == "tzfn":
+        # TIMEZONE (17.4.5.7): xsd:dayTimeDuration lexical form of the
+        # dateTime's offset ("-05:00" → "-PT5H", "+05:30" → "PT5H30M",
+        # "Z" → "PT0S"); NULL (type error) when the term has no offset
+        tz = F.regexp_extract(
+            _str_col(df, node[1]), r"(Z|[+-][0-9]{2}:[0-9]{2})$", 1
+        )
+        hh = F.substring(tz, 2, 2).try_cast("int")
+        mm = F.substring(tz, 5, 2).try_cast("int")
+        sign = F.when(F.substring(tz, 1, 1) == "-", F.lit("-")).otherwise(
+            F.lit("")
+        )
+        dur = F.concat(
+            sign,
+            F.lit("PT"),
+            F.when(hh > 0, F.concat(hh.cast("string"), F.lit("H"))).otherwise(""),
+            F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M"))).otherwise(""),
+        )
+        return (
+            F.when(tz == "", F.lit(None).cast("string"))
+            .when((tz == "Z") | ((hh == 0) & (mm == 0)), F.lit("PT0S"))
+            .otherwise(dur)
+        )
+    if kind == "rand":
+        # non-deterministic by spec; double in [0, 1)
+        return F.rand()
+    if kind == "uuid":
+        return F.concat(F.lit("urn:uuid:"), F.expr("uuid()"))
+    if kind == "struuid":
+        return F.expr("uuid()")
+    if kind == "bnode":
+        # a fresh blank node per solution (17.4.1.6 zero-arg form)
+        return F.concat(F.lit("_:b"), F.expr("replace(uuid(), '-', '')"))
     # ("fn", name, arg_node)
     _, fn, arg = node
     if fn == "str":

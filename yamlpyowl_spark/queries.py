@@ -1746,6 +1746,82 @@ def _register_dlreason():
         )
         return dl_model_search(t)
 
+    # r6: disjointness pruning (owl:disjointWith over a restriction-
+    # DEFINED class + owl:propertyDisjointWith) — a deterministic
+    # synthetic document, the oracle is the hand-derived entailment set:
+    #   enum memberships  red,blue ∈ Color and x,y ∈ Man (closed OneOf)
+    #   x: `hasCol exactly 1` over Color, x ∈ A, B ≡ hasValue(hasCol,
+    #      red), A ⊥ B  — the red model puts x in both A and B → pruned,
+    #      so x hasCol blue is entailed
+    #   y: `p2 exactly 1` over Color, p1(y)=red asserted, p1 ⊥p p2 — the
+    #      p2(y)=red model violates property disjointness → y p2 blue
+    DJ = "https://example.org/disjointness-fixture#"
+    _DJ_EXPECTED = [
+        ("red", V.RDF_TYPE, "Color"), ("blue", V.RDF_TYPE, "Color"),
+        ("x", V.RDF_TYPE, "Man"), ("y", V.RDF_TYPE, "Man"),
+        ("x", "hasCol", "blue"), ("y", "p2", "blue"),
+    ]
+    dj_values = ",\n".join(
+        f"('{DJ}{s}', '{p if p.startswith('http') else DJ + p}', '{DJ}{o}', "
+        f"false, CAST(NULL AS VARCHAR), '{DJ}')"
+        for s, p, o in _DJ_EXPECTED
+    )
+    dj_sql = (
+        "SELECT subj, pred, obj, obj_is_literal, obj_datatype, doc_iri FROM "
+        f"(VALUES {dj_values}) AS t(subj, pred, obj, obj_is_literal, "
+        "obj_datatype, doc_iri)"
+    )
+
+    @_q("kg_dl_disjoint", dj_sql)
+    def kg_dl_disjoint(spark, sf_dir):
+        from .operators.dlreason import (
+            OWL,
+            OWL_ON_PROPERTY,
+            RDF_FIRST,
+            RDF_NIL,
+            RDF_REST,
+            RDFS_RANGE,
+            dl_model_search,
+        )
+
+        def enum(cls, *members):
+            e, rows = f"_:e_{cls}", []
+            rows.append((DJ + cls, V.OWL_EQUIVALENT_CLASS, e))
+            rows.append((e, OWL + "oneOf", f"_:l_{cls}0"))
+            for i, mbr in enumerate(members):
+                nxt = f"_:l_{cls}{i + 1}" if i + 1 < len(members) else RDF_NIL
+                rows.append((f"_:l_{cls}{i}", RDF_FIRST, DJ + mbr))
+                rows.append((f"_:l_{cls}{i}", RDF_REST, nxt))
+            return rows
+
+        rows = (
+            enum("Color", "red", "blue")
+            + enum("Man", "x", "y")
+            + [
+                (DJ + "hasCol", RDFS_RANGE, DJ + "Color"),
+                (DJ + "p2", RDFS_RANGE, DJ + "Color"),
+                (DJ + "x", V.RDF_TYPE, "_:r1"),
+                ("_:r1", OWL_ON_PROPERTY, DJ + "hasCol"),
+                ("_:r1", OWL + "cardinality", "1"),
+                (DJ + "x", V.RDF_TYPE, DJ + "A"),
+                (DJ + "B", V.OWL_EQUIVALENT_CLASS, "_:rb"),
+                ("_:rb", OWL_ON_PROPERTY, DJ + "hasCol"),
+                ("_:rb", OWL + "hasValue", DJ + "red"),
+                (DJ + "A", OWL + "disjointWith", DJ + "B"),
+                (DJ + "y", V.RDF_TYPE, "_:r2"),
+                ("_:r2", OWL_ON_PROPERTY, DJ + "p2"),
+                ("_:r2", OWL + "cardinality", "1"),
+                (DJ + "y", DJ + "p1", DJ + "red"),
+                (DJ + "p1", OWL + "propertyDisjointWith", DJ + "p2"),
+            ]
+        )
+        t = spark.createDataFrame(
+            [(s, p, o, False, None, DJ) for s, p, o in rows],
+            "subj string, pred string, obj string, obj_is_literal boolean, "
+            "obj_datatype string, doc_iri string",
+        )
+        return dl_model_search(t)
+
 
 def _register_owlrl():
     """OWL-RL materialization over the basic-feature document, gated by
