@@ -183,3 +183,147 @@ def test_audio_features_over_real_wav(spark):
         int(np.floor(xf.mean() * 100)),
         int(np.floor(np.sqrt(np.mean(xf * xf)) * 100)),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: real PNG / PPM decode behind decode_image
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", _z.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(px: np.ndarray, filters=None) -> bytes:
+    """Independent tiny PNG ENCODER (forward filtering per RFC 2083
+    §6.6) — decode must invert it exactly, so the round-trip is a real
+    check, not shared logic."""
+    import struct
+    import zlib as _z
+
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros((w, c), dtype=np.int16)
+    for y, f in enumerate(filters):
+        line = px[y].astype(np.int16)
+        flat, pflat = line.reshape(-1), prev.reshape(-1)
+        out = np.empty(w * c, dtype=np.int16)
+        for i in range(w * c):
+            a = int(flat[i - c]) if i >= c else 0
+            b = int(pflat[i])
+            cc = int(pflat[i - c]) if (i >= c and y > 0) else 0
+            if f == 0:
+                out[i] = flat[i]
+            elif f == 1:
+                out[i] = (flat[i] - a) % 256
+            elif f == 2:
+                out[i] = (flat[i] - b) % 256
+            elif f == 3:
+                out[i] = (flat[i] - (a + b) // 2) % 256
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                out[i] = (flat[i] - pred) % 256
+        raw += bytes([f]) + out.astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _rng_pixels(h, w, c, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, c), dtype=np.uint8).astype(np.uint8)
+
+
+def test_decode_image_png_all_filter_types():
+    from yamlpyowl_spark.operators.multimodal import decode_image
+
+    px = _rng_pixels(5, 7, 3, seed=3)
+    data = _make_png(px, filters=[0, 1, 2, 3, 4])
+    np.testing.assert_array_equal(decode_image(data, 7, 5, 3), px)
+
+
+def test_decode_image_png_gray_and_rgba():
+    from yamlpyowl_spark.operators.multimodal import decode_image
+
+    g = _rng_pixels(4, 4, 1, seed=5)
+    np.testing.assert_array_equal(
+        decode_image(_make_png(g, filters=[4, 3, 2, 1]), 4, 4, 1), g
+    )
+    rgba = _rng_pixels(3, 6, 4, seed=6)
+    np.testing.assert_array_equal(
+        decode_image(_make_png(rgba, filters=[1, 4, 2]), 6, 3, 4), rgba
+    )
+
+
+def test_decode_image_png_metadata_mismatch_is_loud():
+    from yamlpyowl_spark.operators.multimodal import decode_image
+
+    px = _rng_pixels(4, 4, 3)
+    with pytest.raises(ValueError, match="refusing to guess"):
+        decode_image(_make_png(px), 8, 8, 3)
+
+
+def test_decode_image_png_unsupported_depth_is_loud():
+    import struct
+    import zlib as _z
+
+    from yamlpyowl_spark.operators.multimodal import decode_image
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # palette
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"\x00\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="color_type=3"):
+        decode_image(data, 2, 2, 3)
+
+
+def test_decode_image_ppm_with_comment():
+    from yamlpyowl_spark.operators.multimodal import decode_image
+
+    px = _rng_pixels(3, 5, 3, seed=9)
+    data = b"P6\n# a comment line\n5 3\n255\n" + px.tobytes()
+    np.testing.assert_array_equal(decode_image(data, 5, 3, 3), px)
+
+
+def test_image_features_over_real_png(spark):
+    # a real-PNG row through the same mapInPandas operator, verified
+    # against the sequential-numpy oracle (the real-WAV pattern)
+    from yamlpyowl_spark.operators.multimodal import MEDIA_SCHEMA, image_features
+
+    px = _rng_pixels(6, 9, 3, seed=11)
+    rows = [
+        (
+            13,
+            "image",
+            bytearray(_make_png(px, filters=[2, 4, 1, 3, 0, 4])),
+            (9, 6, 3, None, None, "png"),
+        )
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: tuple(r)[1:] for r in image_features(media).collect()}
+    xf = px.astype(np.float64)
+    assert got[13] == (
+        int(np.floor(xf.mean() * 100)),
+        int(np.floor(xf.std() * 100)),
+        54,
+    )

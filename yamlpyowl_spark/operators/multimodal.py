@@ -4,11 +4,12 @@ with typed metadata, processed by Arrow-batched pandas UDFs.
 The Spark-side plumbing is real and tested: schemas, partitioning,
 ``mapInPandas`` batch shapes, explode of frame samples. The *codec*
 step is minimal but honest: ``decode_audio`` parses real PCM WAV via
-the stdlib ``wave`` module (r6) and otherwise — like ``decode_image``,
-whose real decoders (PIL/ffmpeg) are not in this container — accepts
-only the deterministic synthetic payloads (md5-keystream bytes),
-raising loudly on anything else. Swapping in a richer codec changes
-ONE function; every plan stays identical.
+the stdlib ``wave`` module (r6), ``decode_image`` parses real PNG
+(stdlib zlib + RFC 2083 unfiltering) and binary PPM (r6); both also
+accept the deterministic synthetic payloads (md5-keystream bytes) and
+raise loudly on anything else (JPEG/mp3/... need libraries not in
+this container). Swapping in a richer codec changes ONE function;
+every plan stays identical.
 """
 
 from __future__ import annotations
@@ -91,20 +92,124 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def decode_image(data: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """STUB CODEC: interpret the binary payload as raw uint8 pixels.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-    A real deployment replaces this body with e.g.
-    ``np.asarray(PIL.Image.open(io.BytesIO(data)))``. Formats other
-    than the synthetic 'fake-rgb8' raise, loudly.
-    """
-    arr = np.frombuffer(data, dtype=np.uint8)
-    if arr.size != width * height * channels:
-        raise NotImplementedError(
-            "real image codecs are not available in this environment; "
-            "only the deterministic 'fake-rgb8' payload is decodable"
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Real PNG decode via stdlib ``zlib`` + scanline unfiltering
+    (RFC 2083 §6): 8-bit depth, color types 0 (gray), 2 (RGB), 4
+    (gray+alpha), 6 (RGBA), non-interlaced. Palette/16-bit/interlaced
+    images raise loudly."""
+    import struct
+    import zlib
+
+    pos, width = len(_PNG_MAGIC), None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={color} interlace={interlace} "
+                    "not supported (8-bit gray/RGB/+alpha, non-interlaced only)"
+                )
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise NotImplementedError("PNG payload missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    px = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int16)
+        if ftype == 0:
+            out = line
+        elif ftype == 2:  # Up
+            out = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth carry left-pixel state: sequential
+            out = np.empty(stride, dtype=np.int16)
+            for i in range(stride):
+                a = out[i - nch] if i >= nch else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    out[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    out[i] = (line[i] + (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    c = int(px[y - 1, i - nch]) if (i >= nch and y > 0) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    out[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise NotImplementedError(f"PNG filter type {ftype}")
+        px[y] = out.astype(np.uint8)
+        prev = px[y]
+    return px.reshape(height, width, nch)
+
+
+def _decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255): ASCII header then raw RGB bytes."""
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval {maxval} not supported (255 only)")
+    return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def decode_image(data: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Image codec: real PNG (stdlib zlib + unfilter) and binary PPM
+    (P6), plus the deterministic synthetic 'fake-rgb8' payload (raw
+    uint8 pixels). Dispatch is by CONTENT, mirroring ``decode_audio``:
+    container dimensions win over the metadata columns, and a mismatch
+    raises loudly rather than silently reshaping. Compressed formats
+    needing libraries not in this container (JPEG/WebP/...) raise
+    ``NotImplementedError`` — a real deployment swaps this ONE function
+    (e.g. ``np.asarray(PIL.Image.open(io.BytesIO(data)))``)."""
+    if data[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        px = _decode_png(data)
+    elif data[:2] == b"P6":
+        px = _decode_ppm(data)
+    else:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if arr.size != width * height * channels:
+            raise NotImplementedError(
+                "unrecognized image payload (not PNG/PPM/fake-rgb8): real "
+                "compressed codecs are not available in this environment"
+            )
+        return arr.reshape(height, width, channels)
+    if px.shape != (height, width, channels):
+        raise ValueError(
+            f"image container decodes to {px.shape}, metadata says "
+            f"({height}, {width}, {channels}) — refusing to guess"
         )
-    return arr.reshape(height, width, channels)
+    return px
 
 
 def image_features(media: DataFrame) -> DataFrame:
