@@ -329,9 +329,10 @@ def test_alldifferent_restores_injectivity():
 
 
 def test_unsupported_construct_is_loud(spark):
-    # r6: qualified cardinality, hasSelf AND disjointness are now IN
-    # the fragment; the loud boundary moved to hand-authorable
-    # constructs neither reasoner draws conclusions from
+    # r6b: hasKey and disjointUnionOf entered the fragment too; the
+    # loud boundary moved to the datatype-restriction vocabulary —
+    # hand-authorable constructs neither reasoner draws conclusions
+    # from
     from yamlpyowl_spark.operators.dlreason import (
         OWL,
         UNSUPPORTED_DL_PREDS,
@@ -347,11 +348,14 @@ def test_unsupported_construct_is_loud(spark):
     assert OWL + "hasSelf" not in UNSUPPORTED_DL_PREDS
     assert OWL + "disjointWith" not in UNSUPPORTED_DL_PREDS
     assert OWL + "propertyDisjointWith" not in UNSUPPORTED_DL_PREDS
+    assert OWL + "hasKey" not in UNSUPPORTED_DL_PREDS
+    assert OWL + "disjointUnionOf" not in UNSUPPORTED_DL_PREDS
     E = "http://ex.org/card#"
     rows = [
-        # hasKey can only arrive via om.add_fact (the YAML grammar
-        # never emits it) — the CSP must flag, not silently ignore it
-        (E + "C", OWL + "hasKey", E + "k", False, None, E),
+        # a facet-restricted data range can only arrive via
+        # om.add_fact (the YAML grammar never emits it) — the CSP
+        # must flag, not silently ignore it
+        (E + "r", OWL + "onDataRange", E + "positiveInt", False, None, E),
     ]
     schema = ("subj string, pred string, obj string, obj_is_literal boolean, "
               "obj_datatype string, doc_iri string")
@@ -359,11 +363,11 @@ def test_unsupported_construct_is_loud(spark):
     # warn (default): a diagnostic row names the construct
     got = dl_model_search(triples).collect()
     diags = {(r["subj"], r["pred"], r["obj"]) for r in got}
-    assert (E, YPO_DL_UNSUPPORTED, OWL + "hasKey") in diags
+    assert (E, YPO_DL_UNSUPPORTED, OWL + "onDataRange") in diags
     # raise: fails loudly naming the document
     with pytest.raises(Exception) as ei:
         dl_model_search(triples, on_unsupported="raise").collect()
-    assert "hasKey" in str(ei.value)
+    assert "onDataRange" in str(ei.value)
     # ignore: the silent legacy behavior
     assert dl_model_search(triples, on_unsupported="ignore").count() == 0
 
@@ -871,3 +875,198 @@ def test_property_disjoint_asserted_violation_is_unsat():
     stats = {}
     _solve_doc(rows, stats=stats)
     assert stats.get("n_models", -1) == 0
+
+
+# ---------------------------------------------------------------------------
+# round 6b: hasKey / disjointUnionOf / n-ary axioms / NPA in the CSP
+# ---------------------------------------------------------------------------
+
+
+def _key(cls, *props):
+    """RDF-encode `cls owl:hasKey (props)`."""
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, RDF_FIRST, RDF_REST, RDF_NIL,
+    )
+
+    k0 = f"_:k_{cls.rsplit('#', 1)[-1]}0"
+    out = [(cls, OWL + "hasKey", k0)]
+    for i, p in enumerate(props):
+        cur = f"_:k_{cls.rsplit('#', 1)[-1]}{i}"
+        nxt = (
+            f"_:k_{cls.rsplit('#', 1)[-1]}{i + 1}"
+            if i + 1 < len(props)
+            else RDF_NIL
+        )
+        out += [(cur, RDF_FIRST, p), (cur, RDF_REST, nxt)]
+    return out
+
+
+def _alldiff(*members):
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL_ALL_DIFFERENT, OWL_DISTINCT_MEMBERS, RDF_FIRST, RDF_REST, RDF_NIL,
+    )
+
+    out = [("_:ad", RDF_TYPE, OWL_ALL_DIFFERENT), ("_:ad", OWL_DISTINCT_MEMBERS, "_:ad0")]
+    for i, mem in enumerate(members):
+        nxt = f"_:ad{i + 1}" if i + 1 < len(members) else RDF_NIL
+        out += [(f"_:ad{i}", RDF_FIRST, mem), (f"_:ad{i}", RDF_REST, nxt)]
+    return out
+
+
+def test_haskey_prunes_shared_key_value_and_entails():
+    # Person = {x, y} keyed on hasID over ID = {id1, id2}; y hasID id1
+    # asserted; x under `hasID exactly 1`; x ≠ y declared. The id1
+    # model makes x,y share the key → pruned; entail x hasID id2.
+    from yamlpyowl_spark.operators.dlreason import OWL, RDFS_RANGE
+
+    base = [
+        *_enum(CE + "Person", CE + "x", CE + "y"),
+        *_enum(CE + "ID", CE + "id1", CE + "id2"),
+        (CE + "hasID", RDFS_RANGE, CE + "ID"),
+        *_card1(CE + "x", CE + "hasID", "_:r"),
+        (CE + "y", CE + "hasID", CE + "id1"),
+        *_key(CE + "Person", CE + "hasID"),
+    ]
+    # control: without declared difference, x = y is a legal model —
+    # nothing entailed (non-UNA)
+    inferred = _solve_doc(base)
+    assert (CE + "x", CE + "hasID", CE + "id2") not in inferred
+    # with AllDifferent(x, y): key forces distinct values
+    inferred = _solve_doc(base + _alldiff(CE + "x", CE + "y"))
+    assert (CE + "x", CE + "hasID", CE + "id2") in inferred
+    assert (CE + "x", CE + "hasID", CE + "id1") not in inferred
+
+
+def test_haskey_asserted_shared_value_is_unsat():
+    # both key facts asserted, zero CSP variables: statically unsat
+    stats = {}
+    _solve_doc(
+        [
+            *_enum(CE + "Person", CE + "x", CE + "y"),
+            (CE + "x", CE + "hasID", CE + "id1"),
+            (CE + "y", CE + "hasID", CE + "id1"),
+            *_key(CE + "Person", CE + "hasID"),
+            *_alldiff(CE + "x", CE + "y"),
+        ],
+        stats=stats,
+    )
+    assert stats["n_models"] == 0
+
+
+def test_haskey_two_property_key_needs_both_shared():
+    # sharing hasID but not hasOrg: no contradiction, models survive
+    stats = {}
+    _solve_doc(
+        [
+            *_enum(CE + "Person", CE + "x", CE + "y"),
+            (CE + "x", CE + "hasID", CE + "id1"),
+            (CE + "y", CE + "hasID", CE + "id1"),
+            (CE + "x", CE + "hasOrg", CE + "o1"),
+            (CE + "y", CE + "hasOrg", CE + "o2"),
+            *_key(CE + "Person", CE + "hasID", CE + "hasOrg"),
+            *_alldiff(CE + "x", CE + "y"),
+        ],
+        stats=stats,
+    )
+    assert stats["n_models"] > 0
+
+
+def test_haskey_unknown_membership_never_prunes():
+    # y's Person membership is not provable (typed elsewhere): even a
+    # shared asserted key value must not prune (three-valued, non-UNA)
+    stats = {}
+    _solve_doc(
+        [
+            *_enum(CE + "Person", CE + "x"),
+            (CE + "y", RDF_TYPE, CE + "Robot"),
+            (CE + "x", CE + "hasID", CE + "id1"),
+            (CE + "y", CE + "hasID", CE + "id1"),
+            *_key(CE + "Person", CE + "hasID"),
+            *_alldiff(CE + "x", CE + "y"),
+        ],
+        stats=stats,
+    )
+    assert stats["n_models"] > 0
+
+
+def test_disjoint_union_prunes_via_pairwise_decomposition():
+    # Parent disjointUnionOf (A, B); x asserted in both → unsat
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, RDF_FIRST, RDF_REST, RDF_NIL, RDFS_DOMAIN, RDFS_RANGE,
+    )
+
+    stats = {}
+    _solve_doc(
+        [
+            (CE + "Parent", OWL + "disjointUnionOf", "_:du0"),
+            ("_:du0", RDF_FIRST, CE + "A"),
+            ("_:du0", RDF_REST, "_:du1"),
+            ("_:du1", RDF_FIRST, CE + "B"),
+            ("_:du1", RDF_REST, RDF_NIL),
+            (CE + "x", RDF_TYPE, CE + "A"),
+            (CE + "x", RDF_TYPE, CE + "B"),
+        ],
+        stats=stats,
+    )
+    assert stats["n_models"] == 0
+
+
+def test_all_disjoint_classes_asserted_overlap_is_unsat():
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, RDF_FIRST, RDF_REST, RDF_NIL,
+    )
+
+    stats = {}
+    _solve_doc(
+        [
+            ("_:adc", RDF_TYPE, OWL + "AllDisjointClasses"),
+            ("_:adc", OWL + "members", "_:m0"),
+            ("_:m0", RDF_FIRST, CE + "A"),
+            ("_:m0", RDF_REST, "_:m1"),
+            ("_:m1", RDF_FIRST, CE + "B"),
+            ("_:m1", RDF_REST, "_:m2"),
+            ("_:m2", RDF_FIRST, CE + "C"),
+            ("_:m2", RDF_REST, RDF_NIL),
+            (CE + "x", RDF_TYPE, CE + "A"),
+            (CE + "x", RDF_TYPE, CE + "C"),
+        ],
+        stats=stats,
+    )
+    assert stats["n_models"] == 0
+
+
+def test_npa_asserted_denied_fact_is_unsat():
+    from yamlpyowl_spark.operators.dlreason import OWL
+
+    stats = {}
+    _solve_doc(
+        [
+            ("_:npa", RDF_TYPE, OWL + "NegativePropertyAssertion"),
+            ("_:npa", OWL + "sourceIndividual", CE + "a"),
+            ("_:npa", OWL + "assertionProperty", CE + "p"),
+            ("_:npa", OWL + "targetIndividual", CE + "b"),
+            (CE + "a", CE + "p", CE + "b"),
+        ],
+        stats=stats,
+    )
+    assert stats["n_models"] == 0
+
+
+def test_npa_prunes_model_assignments_and_entails():
+    # `p exactly 1` over Val = {v1, v2}; NPA denies p(x, v1) → v2
+    from yamlpyowl_spark.operators.dlreason import OWL, RDFS_RANGE
+
+    base = [
+        *_enum(CE + "Val", CE + "v1", CE + "v2"),
+        (CE + "p", RDFS_RANGE, CE + "Val"),
+        *_card1(CE + "x", CE + "p", "_:r"),
+    ]
+    inferred = _solve_doc(base)
+    assert (CE + "x", CE + "p", CE + "v2") not in inferred  # control
+    inferred = _solve_doc(base + [
+        ("_:npa", RDF_TYPE, OWL + "NegativePropertyAssertion"),
+        ("_:npa", OWL + "sourceIndividual", CE + "x"),
+        ("_:npa", OWL + "assertionProperty", CE + "p"),
+        ("_:npa", OWL + "targetIndividual", CE + "v1"),
+    ])
+    assert (CE + "x", CE + "p", CE + "v2") in inferred

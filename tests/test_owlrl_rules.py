@@ -387,3 +387,189 @@ def test_no_property_violations_no_diagnostics():
         T(E + "a", E + "p", E + "b"),
     ))
     assert not {t for t in got if t[1] == V.YPO + "propertyViolation"}
+
+
+# ---------------------------------------------------------------------------
+# round 6b: prp-key / sameAs closure, disjointUnionOf, n-ary axioms, NPA
+# ---------------------------------------------------------------------------
+
+
+def test_prp_key_infers_same_as():
+    key_list = [
+        T("_:k0", V.RDF + "first", E + "ssn"),
+        T("_:k0", V.RDF + "rest", V.RDF + "nil"),
+    ]
+    got = _infer_doc(rows(
+        T(E + "Person", OWL + "hasKey", "_:k0"),
+        *key_list,
+        T(E + "a", V.RDF_TYPE, E + "Person"),
+        T(E + "b", V.RDF_TYPE, E + "Person"),
+        T(E + "a", E + "ssn", "123", True),
+        T(E + "b", E + "ssn", "123", True),
+    ))
+    assert (E + "a", OWL + "sameAs", E + "b", False) in got
+    assert (E + "b", OWL + "sameAs", E + "a", False) in got
+
+
+def test_prp_key_requires_all_key_properties_shared():
+    # two-property key: sharing only one of them is NOT a match
+    got = _infer_doc(rows(
+        T(E + "Person", OWL + "hasKey", "_:k0"),
+        T("_:k0", V.RDF + "first", E + "ssn"),
+        T("_:k0", V.RDF + "rest", "_:k1"),
+        T("_:k1", V.RDF + "first", E + "dob"),
+        T("_:k1", V.RDF + "rest", V.RDF + "nil"),
+        T(E + "a", V.RDF_TYPE, E + "Person"),
+        T(E + "b", V.RDF_TYPE, E + "Person"),
+        T(E + "a", E + "ssn", "123", True),
+        T(E + "b", E + "ssn", "123", True),
+        T(E + "a", E + "dob", "1990", True),
+        T(E + "b", E + "dob", "1991", True),
+    ))
+    assert not {t for t in got if t[1] == OWL + "sameAs"}
+
+
+def test_prp_key_scoped_to_the_key_class():
+    # same ssn but only one of the pair is in the keyed class
+    got = _infer_doc(rows(
+        T(E + "Person", OWL + "hasKey", "_:k0"),
+        T("_:k0", V.RDF + "first", E + "ssn"),
+        T("_:k0", V.RDF + "rest", V.RDF + "nil"),
+        T(E + "a", V.RDF_TYPE, E + "Person"),
+        T(E + "b", V.RDF_TYPE, E + "Robot"),
+        T(E + "a", E + "ssn", "123", True),
+        T(E + "b", E + "ssn", "123", True),
+    ))
+    assert not {t for t in got if t[1] == OWL + "sameAs"}
+
+
+def test_prp_key_cascades_through_merges():
+    # merging a,b (shared ssn) completes the entity-valued key overlap
+    # of x,y: x worksAt a / y worksAt b only match AFTER a=b
+    got = _infer_doc(rows(
+        T(E + "Person", OWL + "hasKey", "_:k0"),
+        T("_:k0", V.RDF + "first", E + "ssn"),
+        T("_:k0", V.RDF + "rest", V.RDF + "nil"),
+        T(E + "Emp", OWL + "hasKey", "_:k2"),
+        T("_:k2", V.RDF + "first", E + "worksAt"),
+        T("_:k2", V.RDF + "rest", V.RDF + "nil"),
+        T(E + "a", V.RDF_TYPE, E + "Person"),
+        T(E + "b", V.RDF_TYPE, E + "Person"),
+        T(E + "a", E + "ssn", "123", True),
+        T(E + "b", E + "ssn", "123", True),
+        T(E + "x", V.RDF_TYPE, E + "Emp"),
+        T(E + "y", V.RDF_TYPE, E + "Emp"),
+        T(E + "x", E + "worksAt", E + "a"),
+        T(E + "y", E + "worksAt", E + "b"),
+    ))
+    assert (E + "x", OWL + "sameAs", E + "y", False) in got
+
+
+def test_same_as_eq_rep_replicates_facts_and_types():
+    got = _infer_doc(rows(
+        T(E + "a", OWL + "sameAs", E + "b"),
+        T(E + "a", V.RDF_TYPE, E + "C"),
+        T(E + "a", E + "p", E + "v"),
+        T(E + "w", E + "q", E + "b"),
+    ))
+    assert (E + "b", OWL + "sameAs", E + "a", False) in got  # eq-sym
+    assert (E + "b", V.RDF_TYPE, E + "C", False) in got
+    assert (E + "b", E + "p", E + "v", False) in got  # eq-rep-s
+    assert (E + "w", E + "q", E + "a", False) in got  # eq-rep-o
+
+
+def test_same_as_transitive_clique():
+    got = _infer_doc(rows(
+        T(E + "a", OWL + "sameAs", E + "b"),
+        T(E + "b", OWL + "sameAs", E + "c"),
+    ))
+    assert (E + "a", OWL + "sameAs", E + "c", False) in got
+    assert (E + "c", OWL + "sameAs", E + "a", False) in got
+
+
+def test_disjoint_union_decomposes_to_subclass_and_disjoint():
+    got = _infer_doc(rows(
+        T(E + "Parent", OWL + "disjointUnionOf", "_:l0"),
+        T("_:l0", V.RDF + "first", E + "A"),
+        T("_:l0", V.RDF + "rest", "_:l1"),
+        T("_:l1", V.RDF + "first", E + "B"),
+        T("_:l1", V.RDF + "rest", V.RDF + "nil"),
+        T(E + "x", V.RDF_TYPE, E + "A"),
+        T(E + "y", V.RDF_TYPE, E + "A"),
+        T(E + "y", V.RDF_TYPE, E + "B"),
+    ))
+    # Ci ⊑ C edges materialized and cax-sco lifts members into Parent
+    assert (E + "A", V.RDFS_SUBCLASSOF, E + "Parent", False) in got
+    assert (E + "x", V.RDF_TYPE, E + "Parent", False) in got
+    # pairwise disjointness diagnosed on the double member
+    assert (E + "y", V.YPO + "disjointViolation", E + "A", False) in got
+    assert (E + "y", V.YPO + "disjointViolation", E + "B", False) in got
+    # the clean member draws no violation
+    assert not {t for t in got if t[0] == E + "x" and "Violation" in t[1]}
+
+
+def test_all_disjoint_classes_pairwise():
+    got = _infer_doc(rows(
+        T("_:adc", V.RDF_TYPE, OWL + "AllDisjointClasses"),
+        T("_:adc", OWL + "members", "_:m0"),
+        T("_:m0", V.RDF + "first", E + "A"),
+        T("_:m0", V.RDF + "rest", "_:m1"),
+        T("_:m1", V.RDF + "first", E + "B"),
+        T("_:m1", V.RDF + "rest", "_:m2"),
+        T("_:m2", V.RDF + "first", E + "C"),
+        T("_:m2", V.RDF + "rest", V.RDF + "nil"),
+        T(E + "x", V.RDF_TYPE, E + "A"),
+        T(E + "x", V.RDF_TYPE, E + "C"),
+    ))
+    assert (E + "x", V.YPO + "disjointViolation", E + "A", False) in got
+    assert (E + "x", V.YPO + "disjointViolation", E + "C", False) in got
+
+
+def test_all_disjoint_properties_pairwise():
+    got = _infer_doc(rows(
+        T("_:adp", V.RDF_TYPE, OWL + "AllDisjointProperties"),
+        T("_:adp", OWL + "members", "_:m0"),
+        T("_:m0", V.RDF + "first", E + "p"),
+        T("_:m0", V.RDF + "rest", "_:m1"),
+        T("_:m1", V.RDF + "first", E + "q"),
+        T("_:m1", V.RDF + "rest", V.RDF + "nil"),
+        T(E + "x", E + "p", E + "v"),
+        T(E + "x", E + "q", E + "v"),
+    ))
+    assert (E + "x", V.YPO + "propertyViolation", E + "p", False) in got
+    assert (E + "x", V.YPO + "propertyViolation", E + "q", False) in got
+
+
+def test_negative_property_assertion_violation():
+    got = _infer_doc(rows(
+        T("_:npa", V.RDF_TYPE, OWL + "NegativePropertyAssertion"),
+        T("_:npa", OWL + "sourceIndividual", E + "a"),
+        T("_:npa", OWL + "assertionProperty", E + "p"),
+        T("_:npa", OWL + "targetIndividual", E + "b"),
+        T(E + "a", E + "p", E + "b"),
+    ))
+    assert (E + "a", V.YPO + "propertyViolation", E + "p", False) in got
+
+
+def test_negative_property_assertion_catches_derived_fact():
+    # denied fact arrives via inverseOf propagation, not assertion
+    got = _infer_doc(rows(
+        T("_:npa", V.RDF_TYPE, OWL + "NegativePropertyAssertion"),
+        T("_:npa", OWL + "sourceIndividual", E + "a"),
+        T("_:npa", OWL + "assertionProperty", E + "p"),
+        T("_:npa", OWL + "targetIndividual", E + "b"),
+        T(E + "p", V.OWL_INVERSE_OF, E + "q"),
+        T(E + "b", E + "q", E + "a"),
+    ))
+    assert (E + "a", V.YPO + "propertyViolation", E + "p", False) in got
+
+
+def test_negative_property_assertion_no_violation_when_absent():
+    got = _infer_doc(rows(
+        T("_:npa", V.RDF_TYPE, OWL + "NegativePropertyAssertion"),
+        T("_:npa", OWL + "sourceIndividual", E + "a"),
+        T("_:npa", OWL + "assertionProperty", E + "p"),
+        T("_:npa", OWL + "targetIndividual", E + "b"),
+        T(E + "a", E + "p", E + "c"),
+    ))
+    assert not {t for t in got if "Violation" in t[1]}

@@ -52,11 +52,22 @@ the single-valued representation. An ASSERTED violation makes the
 document unsatisfiable (zero models → deterministic inferences only);
 owlrl's cax-dw / prp-pdw additionally emit the diagnostic rows.
 
+Keys and axiom decomposition (r6b): ``owl:hasKey`` prunes models in
+which two DECLARED-different members of the keyed class provably
+share a value for every key property (owlrl's prp-key infers the
+sameAs twin); ``owl:disjointUnionOf`` and n-ary
+``owl:AllDisjointClasses`` / ``owl:AllDisjointProperties`` decompose
+into the pairwise disjointness checks above;
+``owl:NegativePropertyAssertion`` prunes any model assigning the
+denied fact (asserted occurrences are statically unsatisfiable).
+
 Documents outside the fragment contribute no variables, and the
-boundary is LOUD: constructs the fragment ignores (``owl:hasKey``,
-``owl:disjointUnionOf`` — reachable only via hand-authored facts)
-yield per-document diagnostic rows or an :class:`UnsupportedDLError`
-(``on_unsupported=``), never a silent no-op. This operator composes with :mod:`swrl`'s forward chain
+boundary is LOUD: constructs the fragment ignores (the
+datatype-restriction vocabulary ``owl:onDataRange`` /
+``owl:onDatatype`` / ``owl:withRestrictions`` — reachable only via
+hand-authored facts) yield per-document diagnostic rows or an
+:class:`UnsupportedDLError` (``on_unsupported=``), never a silent
+no-op. This operator composes with :mod:`swrl`'s forward chain
 in ``api.OntologyManager.sync_reasoner``.
 """
 
@@ -105,12 +116,20 @@ UNSUPPORTED_DL_PREDS = frozenset(
         # pruning in the CSP since r6 (three-valued class membership /
         # val-equality over the single-valued representation) — owlrl's
         # cax-dw / prp-pdw additionally diagnose ASSERTED violations.
-        # What remains flagged is only reachable through hand-authored
-        # facts (om.add_fact with arbitrary OWL vocabulary — the YAML
-        # grammar never emits these): neither the CSP nor the OWL-RL
-        # pass draws conclusions from them.
-        "hasKey",
-        "disjointUnionOf",
+        # hasKey / disjointUnionOf entered the fragment in r6b:
+        # disjointUnionOf decomposes into pairwise disjointness here
+        # (plus Ci ⊑ C edges in owlrl); hasKey prunes models where two
+        # DECLARED-different members of C provably share every key
+        # value (owlrl's prp-key infers the sameAs twin); n-ary
+        # AllDisjointClasses/AllDisjointProperties decompose pairwise;
+        # NegativePropertyAssertion prunes on the denied fact.
+        # What remains flagged is the datatype-restriction vocabulary
+        # (facet-constrained data ranges) — literal-typed reasoning
+        # neither engine evaluates, reachable only via hand-authored
+        # facts (om.add_fact; the YAML grammar never emits these).
+        "onDataRange",
+        "onDatatype",
+        "withRestrictions",
     )
 )
 
@@ -228,6 +247,7 @@ def _decode(rows):
     disjoint_pairs: List[Tuple[str, str]] = []
     prop_disjoint: List[Tuple[str, str]] = []
     equiv_restr: Dict[str, str] = {}
+    keys: List[Tuple[str, List[str]]] = []  # C owl:hasKey (p1..pn)
     for (s, p), objs in m.spo.items():
         if s.startswith("_:"):
             continue
@@ -236,9 +256,41 @@ def _decode(rows):
                 disjoint_pairs.append((s, o))
             elif p == OWL + "propertyDisjointWith" and not o.startswith("_:"):
                 prop_disjoint.append((s, o))
+            elif p == OWL + "disjointUnionOf" and o.startswith("_:"):
+                # r6b: the pairwise-disjointness half of cls-duo (the
+                # Ci ⊑ C half lives in owlrl's cax-sco feed)
+                parts = [c for c in m.rdf_list(o) if not c.startswith("_:")]
+                for i1 in range(len(parts)):
+                    for i2 in range(i1 + 1, len(parts)):
+                        disjoint_pairs.append((parts[i1], parts[i2]))
+            elif p == OWL + "hasKey":
+                ps = m.rdf_list(o) if o.startswith("_:") else [o]
+                if ps and not any(k.startswith("_:") for k in ps):
+                    keys.append((s, ps))
             elif p == OWL_EQUIVALENT_CLASS and o.startswith("_:"):
                 if m.obj(o, OWL_ON_PROPERTY):
                     equiv_restr[s] = o
+
+    # n-ary axiom nodes (blank subjects typed with the axiom class)
+    npas: List[Tuple[str, str, str]] = []
+    for node in m.subjects(V.RDF_TYPE, OWL + "AllDisjointClasses"):
+        lst = m.obj(node, OWL + "members")
+        members = [c for c in (m.rdf_list(lst) if lst else []) if not c.startswith("_:")]
+        for i1 in range(len(members)):
+            for i2 in range(i1 + 1, len(members)):
+                disjoint_pairs.append((members[i1], members[i2]))
+    for node in m.subjects(V.RDF_TYPE, OWL + "AllDisjointProperties"):
+        lst = m.obj(node, OWL + "members")
+        members = [c for c in (m.rdf_list(lst) if lst else []) if not c.startswith("_:")]
+        for i1 in range(len(members)):
+            for i2 in range(i1 + 1, len(members)):
+                prop_disjoint.append((members[i1], members[i2]))
+    for node in m.subjects(V.RDF_TYPE, OWL + "NegativePropertyAssertion"):
+        src = m.obj(node, OWL + "sourceIndividual")
+        ap = m.obj(node, OWL + "assertionProperty")
+        tgt = m.obj(node, OWL + "targetIndividual")
+        if src and ap and tgt:
+            npas.append((src, ap, tgt))
 
     # asserted entity facts for the declared properties — including the
     # (named) properties of restriction trees, so cardinality-created
@@ -249,6 +301,10 @@ def _decode(rows):
     for p1, p2 in prop_disjoint:
         props.add(p1)
         props.add(p2)
+    for _cls, ps in keys:
+        props.update(ps)
+    for _src, ap, _tgt in npas:
+        props.add(ap)
     for _s, rnode in restrictions:
         on_p = m.obj(rnode, OWL_ON_PROPERTY)
         if on_p and not on_p.startswith("_:"):
@@ -271,7 +327,7 @@ def _decode(rows):
     return (
         m, enums, functional, invfunctional, inverse_of, domains, ranges,
         facts, restrictions, all_different, irreflexive, asymmetric,
-        disjoint_pairs, prop_disjoint, equiv_restr,
+        disjoint_pairs, prop_disjoint, equiv_restr, keys, npas,
     )
 
 
@@ -295,6 +351,8 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
         disjoint_pairs,
         prop_disjoint,
         equiv_restr,
+        keys,
+        npas,
     ) = _decode(rows)
 
     inferred: Set[Tuple[str, str, str]] = set()
@@ -351,7 +409,11 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
             var_props.add(on_p)
             variables[(on_p, s)] = list(enums[on_c])
 
-    if not variables:
+    if not variables and not (
+        disjoint_pairs or prop_disjoint or keys or npas or irreflexive or asymmetric
+    ):
+        # no CSP structure AND no consistency axioms to check
+        # statically — deterministic inferences only
         return inferred
 
     # pin asserted facts (directly and through the declared inverse);
@@ -668,6 +730,44 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
             for x in sorted(set(prop_subjects(p1)) | set(prop_subjects(p2))):
                 pd_subjects.append((p1, p2, x))
 
+    # r6b hasKey: precompile the DECLARED-different candidate pairs of
+    # each keyed class (membership three-valued, like disjoint_checks:
+    # True = static member, blank-node spec = holds() per model) — a
+    # model dies only when both are PROVABLY in C and PROVABLY share a
+    # value for EVERY key property. The sameAs inference itself lives
+    # in owlrl's prp-key; the CSP contributes the consistency half.
+    key_checks: List[Tuple[str, str, List[str], object, object]] = []
+    for cls, ps in keys:
+        if not ps:
+            continue
+        mc = _static_members(cls)
+        rc = equiv_restr.get(cls)
+        cand = sorted(mc | (individuals if rc is not None else set()))
+        for i1 in range(len(cand)):
+            for i2 in range(i1 + 1, len(cand)):
+                a, b = cand[i1], cand[i2]
+                if not declared_different(a, b):
+                    continue
+                sa = True if a in mc else rc
+                sb = True if b in mc else rc
+                # ASSERTED overlap on every key property between two
+                # static members is a static contradiction (covers
+                # zero-variable documents, where consistent() never
+                # runs; asserted facts are provable in every model)
+                if (
+                    sa is True
+                    and sb is True
+                    and all(set(m.objs(a, p)) & set(m.objs(b, p)) for p in ps)
+                ):
+                    static_unsat = True
+                key_checks.append((a, b, ps, sa, sb))
+
+    # r6b NegativePropertyAssertion: the ASSERTED denied fact is a
+    # static contradiction; model values are checked in consistent()
+    for src, ap, tgt in npas:
+        if tgt in m.objs(src, ap):
+            static_unsat = True
+
     order = sorted(variables, key=lambda v: (len(variables[v]), v))
     models: List[Dict[Tuple[str, str], str]] = []
     steps = 0
@@ -688,6 +788,27 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
             if v1 is None or v1 == OWL_NOTHING:
                 continue
             if v1 == val(p2, x):
+                return False
+        # r6b hasKey: declared-different pair, both provably in the
+        # keyed class, provably sharing EVERY key value → contradiction
+        # (unknown membership or unknown values never prune — non-UNA)
+        for a, b, ps, sa, sb in key_checks:
+            if (True if sa is True else holds(a, sa)) is not True:
+                continue
+            if (True if sb is True else holds(b, sb)) is not True:
+                continue
+            shared_all = True
+            for p in ps:
+                va = val(p, a)
+                if va is None or va == OWL_NOTHING or va != val(p, b):
+                    shared_all = False
+                    break
+            if shared_all:
+                return False
+        # r6b NegativePropertyAssertion: a model assigning the denied
+        # fact dies (asserted occurrences are static_unsat above)
+        for src, ap, tgt in npas:
+            if val(ap, src) == tgt:
                 return False
         # r6: irreflexive / asymmetric characteristics prune models on
         # CERTAIN violations (three-valued: unknown values never prune)
@@ -742,7 +863,11 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
                 search(i + 1)
             assignment[var] = None
 
-    search(0)
+    # a statically-unsatisfiable doc has NO models even when it
+    # creates no CSP variables (consistent() never runs for the empty
+    # assignment) — skip the search outright
+    if not static_unsat:
+        search(0)
     if stats is not None:
         stats.update(n_models=len(models), steps=steps, n_vars=len(order), models=models)
 
@@ -781,7 +906,7 @@ def dl_model_search(
 
     The supported-fragment boundary is OBSERVABLE, never silent
     (r2 verdict #4): a document using a construct the fragment ignores
-    (``owl:hasKey``, ``owl:disjointUnionOf`` —
+    (the datatype-restriction vocabulary —
     ``UNSUPPORTED_DL_PREDS``) yields, per distinct construct, one
     diagnostic row ``(doc_iri, ypo:dlUnsupportedConstruct,
     <construct>)`` in the output (``on_unsupported="warn"``, default);

@@ -130,6 +130,9 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
     chains: List[Tuple[str, List[str]]] = []
     disjoint: List[Tuple[str, str]] = []
     prop_disjoint: List[Tuple[str, str]] = []
+    keys: List[Tuple[str, List[str]]] = []  # C owl:hasKey (p1..pn)
+    same_pairs: List[Tuple[str, str]] = []  # asserted owl:sameAs
+    du_subclass: List[Tuple[str, str]] = []  # (part, whole) cls-duo edges
 
     for (s, p), objs in m.spo.items():
         if p == V.RDF_TYPE:
@@ -182,6 +185,30 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
             for o, il in objs:
                 if not o.startswith("_:"):
                     prop_disjoint.append((s, o))
+        elif p == OWL + "hasKey" and not s.startswith("_:"):
+            # prp-key parse: the object is an RDF list of named
+            # properties (a bare named property is accepted as a
+            # 1-element key for hand-authored facts)
+            for o, il in objs:
+                ps = m.rdf_list(o) if o.startswith("_:") else [o]
+                if ps and not any(k.startswith("_:") for k in ps):
+                    keys.append((s, ps))
+        elif p == OWL + "disjointUnionOf" and not s.startswith("_:"):
+            # cls-duo decomposition: C ≡ C1 ⊔ ... ⊔ Cn with parts
+            # pairwise disjoint ⇒ Ci ⊑ C edges (feeding cax-sco) and
+            # pairwise disjointWith pairs (feeding cax-dw)
+            for o, il in objs:
+                if o.startswith("_:"):
+                    parts = [c for c in m.rdf_list(o) if not c.startswith("_:")]
+                    for c in parts:
+                        du_subclass.append((c, s))
+                    for i1 in range(len(parts)):
+                        for i2 in range(i1 + 1, len(parts)):
+                            disjoint.append((parts[i1], parts[i2]))
+        elif p == OWL + "sameAs" and not s.startswith("_:"):
+            for o, il in objs:
+                if not o.startswith("_:"):
+                    same_pairs.append((s, o))
         elif p == OWL + "propertyChainAxiom" and not s.startswith("_:"):
             for o, il in objs:
                 if o.startswith("_:"):
@@ -194,6 +221,38 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
             for o, il in objs:
                 facts.setdefault(p, set()).add((s, o))
                 pf.setdefault(p, set()).add((s, o, il))
+
+    # n-ary disjointness axioms (cax-adc / prp-adp) and negative
+    # property assertions live on blank nodes typed with the axiom
+    # class — decompose members lists into the same pairwise checks
+    npa_nodes: List[str] = []
+    for (s0, p0), objs0 in m.spo.items():
+        if p0 != V.RDF_TYPE:
+            continue
+        typeset = {o for o, _ in objs0}
+        if OWL + "NegativePropertyAssertion" in typeset:
+            npa_nodes.append(s0)
+        if (
+            OWL + "AllDisjointClasses" in typeset
+            or OWL + "AllDisjointProperties" in typeset
+        ):
+            lst = m.obj(s0, OWL + "members")
+            members = [
+                c for c in (m.rdf_list(lst) if lst else []) if not c.startswith("_:")
+            ]
+            tgt = (
+                disjoint
+                if OWL + "AllDisjointClasses" in typeset
+                else prop_disjoint
+            )
+            for i1 in range(len(members)):
+                for i2 in range(i1 + 1, len(members)):
+                    tgt.append((members[i1], members[i2]))
+
+    # disjointUnionOf part-edges join the named subclass graph BEFORE
+    # any closure is taken, so filler checks and cax-sco see them
+    for part, whole in du_subclass:
+        sub.setdefault(part, set()).add(whole)
 
     # subClassOf closure for filler checks (tiny per doc)
     def closed_types(x: str) -> Set[str]:
@@ -277,6 +336,13 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
         return None
 
     inferred: Set[Tuple[str, str, str, bool]] = set()
+
+    # cls-duo: materialize the decomposed Ci ⊑ C edges
+    for part, whole in du_subclass:
+        if whole not in {
+            o for o, _ in m.spo.get((part, V.RDFS_SUBCLASSOF), ())
+        }:
+            inferred.add((part, V.RDFS_SUBCLASSOF, whole, False))
 
     # defined-class membership
     for cls, expr in eq_exprs:
@@ -463,16 +529,118 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
     # (x ypo:disjointViolation C) + (x ypo:disjointViolation D) —
     # never a silent pass. Checked over the FINAL type set (asserted +
     # everything this pass inferred, post-inheritance).
+    final_types: Dict[str, Set[str]] = {x: set(ts) for x, ts in types.items()}
+    for s2, p2, o2, _il in inferred:
+        if p2 == V.RDF_TYPE:
+            final_types.setdefault(s2, set()).add(o2)
     if disjoint:
-        final_types: Dict[str, Set[str]] = {x: set(ts) for x, ts in types.items()}
-        for s2, p2, o2, _il in inferred:
-            if p2 == V.RDF_TYPE:
-                final_types.setdefault(s2, set()).add(o2)
         for x, ts in final_types.items():
             for c, d in disjoint:
                 if c in ts and d in ts:
                     inferred.add((x, V.YPO + "disjointViolation", c, False))
                     inferred.add((x, V.YPO + "disjointViolation", d, False))
+
+    # ---- prp-key + sameAs closure: eq-sym / eq-trans / eq-rep -------
+    # ``C owl:hasKey (p1..pn)``: two named individuals both in C that
+    # share a value for EVERY key property are owl:sameAs (prp-key).
+    # Derived and asserted sameAs close into cliques (eq-sym/eq-trans)
+    # whose members then share all property facts and types
+    # (eq-rep-s/eq-rep-o, applied once over the post-fixpoint base).
+    # Key matching re-runs over the MERGED value sets until no new
+    # merges — a merge can complete another pair's key overlap.
+    # Bounded by #entities per document; Pellet merges individuals and
+    # re-saturates, which this converging loop mirrors doc-locally.
+    if keys or same_pairs:
+        parent: Dict[str, str] = {}
+        touched: Set[str] = set()
+
+        def find(x: str) -> str:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        def union(a: str, b: str) -> bool:
+            touched.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                return False
+            parent[max(ra, rb)] = min(ra, rb)
+            return True
+
+        for a, b in same_pairs:
+            union(a, b)
+        if keys:
+            changed_keys = True
+            while changed_keys:
+                changed_keys = False
+                rep_types: Dict[str, Set[str]] = {}
+                for x, ts in final_types.items():
+                    if not x.startswith("_:"):
+                        rep_types.setdefault(find(x), set()).update(ts)
+                for cls, ps in keys:
+                    cands = sorted(
+                        r for r, ts in rep_types.items() if cls in ts
+                    )
+                    # per-candidate value sets, entity values compared
+                    # under the current merge (merged fillers match)
+                    vsets: Dict[str, List[Set[Tuple[str, bool]]]] = {}
+                    for rep in cands:
+                        sets: List[Set[Tuple[str, bool]]] = []
+                        for p in ps:
+                            vs = {
+                                (o if il else find(o), il)
+                                for (s2, o, il) in pf.get(p, ())
+                                if find(s2) == rep
+                            }
+                            if not vs:
+                                break
+                            sets.append(vs)
+                        if len(sets) == len(ps):
+                            vsets[rep] = sets
+                    reps = sorted(vsets)
+                    for i1 in range(len(reps)):
+                        for i2 in range(i1 + 1, len(reps)):
+                            a, b = reps[i1], reps[i2]
+                            if all(
+                                sa & sb
+                                for sa, sb in zip(vsets[a], vsets[b])
+                            ) and union(a, b):
+                                changed_keys = True
+        cliques: Dict[str, Set[str]] = {}
+        for x in touched:
+            cliques.setdefault(find(x), set()).add(x)
+        asserted_same = set(same_pairs)
+        for members in cliques.values():
+            mem = sorted(members)
+            if len(mem) < 2:
+                continue
+            for a in mem:
+                for b in mem:
+                    if a != b and (a, b) not in asserted_same:
+                        inferred.add((a, OWL + "sameAs", b, False))
+            # eq-rep-s / eq-rep-o over the post-fixpoint fact base
+            for p, cur in pf.items():
+                for s2, o, il in list(cur):
+                    if s2 in members:
+                        for a in mem:
+                            if a != s2 and (a, o, il) not in cur:
+                                inferred.add((a, p, o, il))
+                    if not il and o in members:
+                        for a in mem:
+                            if a != o and (s2, a, False) not in cur:
+                                inferred.add((s2, p, a, False))
+            shared_types: Set[str] = set()
+            for a in mem:
+                shared_types |= final_types.get(a, set())
+            for a in mem:
+                for t in shared_types - final_types.get(a, set()):
+                    if (
+                        t != V.OWL_THING
+                        and not t.startswith(V.OWL)
+                        and not t.startswith(V.RDF)
+                    ):
+                        inferred.add((a, V.RDF_TYPE, t, False))
 
     # ---- consistency: prp-irp / prp-asyp / prp-pdw (r6) -------------
     # Pellet raises on these; the materializer surfaces them as loud
@@ -497,6 +665,23 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
         for s, o in a & b:
             inferred.add((s, V.YPO + "propertyViolation", p1, False))
             inferred.add((s, V.YPO + "propertyViolation", p2, False))
+
+    # ---- consistency: prp-npa1 / prp-npa2 ---------------------------
+    # owl:NegativePropertyAssertion nodes: the asserted-or-derived
+    # presence of the denied fact is an inconsistency Pellet raises on
+    # — surfaced as the same loud propertyViolation diagnostics,
+    # checked over the POST-fixpoint base (a chain/inverse-derived
+    # denied fact is caught too)
+    for node in sorted(npa_nodes):
+        src = m.obj(node, OWL + "sourceIndividual")
+        ap = m.obj(node, OWL + "assertionProperty")
+        if not src or not ap:
+            continue
+        tgts = list(m.spo.get((node, OWL + "targetIndividual"), ()))
+        tgts += list(m.spo.get((node, OWL + "targetValue"), ()))
+        for o, il in tgts:
+            if (src, o, il) in pf.get(ap, ()):
+                inferred.add((src, V.YPO + "propertyViolation", ap, False))
 
     return inferred
 

@@ -1822,6 +1822,82 @@ def _register_dlreason():
         )
         return dl_model_search(t)
 
+    # r6b: hasKey pruning — a deterministic synthetic document, the
+    # oracle is the hand-derived entailment set:
+    #   Person = {x, y} (closed OneOf), ID = {id1, id2}, hasID ranges
+    #   over ID; Person owl:hasKey (hasID); y hasID id1 asserted;
+    #   x under `hasID exactly 1`; AllDifferent(x, y). The id1 model
+    #   makes the declared-different x,y share the key → pruned, so
+    #   x hasID id2 is entailed (plus the deterministic OneOf
+    #   memberships).
+    KY = "https://example.org/haskey-fixture#"
+    _KY_EXPECTED = [
+        ("x", V.RDF_TYPE, "Person"), ("y", V.RDF_TYPE, "Person"),
+        ("id1", V.RDF_TYPE, "ID"), ("id2", V.RDF_TYPE, "ID"),
+        ("x", "hasID", "id2"),
+    ]
+    ky_values = ",\n".join(
+        f"('{KY}{s}', '{p if p.startswith('http') else KY + p}', '{KY}{o}', "
+        f"false, CAST(NULL AS VARCHAR), '{KY}')"
+        for s, p, o in _KY_EXPECTED
+    )
+    ky_sql = (
+        "SELECT subj, pred, obj, obj_is_literal, obj_datatype, doc_iri FROM "
+        f"(VALUES {ky_values}) AS t(subj, pred, obj, obj_is_literal, "
+        "obj_datatype, doc_iri)"
+    )
+
+    @_q("kg_dl_key", ky_sql)
+    def kg_dl_key(spark, sf_dir):
+        from .operators.dlreason import (
+            OWL,
+            OWL_ALL_DIFFERENT,
+            OWL_DISTINCT_MEMBERS,
+            OWL_ON_PROPERTY,
+            RDF_FIRST,
+            RDF_NIL,
+            RDF_REST,
+            RDFS_RANGE,
+            dl_model_search,
+        )
+
+        def rdf_list(tag, *items):
+            rows = []
+            for i, it in enumerate(items):
+                nxt = f"_:{tag}{i + 1}" if i + 1 < len(items) else RDF_NIL
+                rows.append((f"_:{tag}{i}", RDF_FIRST, it))
+                rows.append((f"_:{tag}{i}", RDF_REST, nxt))
+            return rows
+
+        def enum(cls, *members):
+            return [
+                (KY + cls, V.OWL_EQUIVALENT_CLASS, f"_:e_{cls}"),
+                (f"_:e_{cls}", OWL + "oneOf", f"_:l_{cls}0"),
+            ] + rdf_list(f"l_{cls}", *(KY + mbr for mbr in members))
+
+        rows = (
+            enum("Person", "x", "y")
+            + enum("ID", "id1", "id2")
+            + [
+                (KY + "hasID", RDFS_RANGE, KY + "ID"),
+                (KY + "Person", OWL + "hasKey", "_:k0"),
+                (KY + "y", KY + "hasID", KY + "id1"),
+                (KY + "x", V.RDF_TYPE, "_:r1"),
+                ("_:r1", OWL_ON_PROPERTY, KY + "hasID"),
+                ("_:r1", OWL + "cardinality", "1"),
+                ("_:ad", V.RDF_TYPE, OWL_ALL_DIFFERENT),
+                ("_:ad", OWL_DISTINCT_MEMBERS, "_:ad0"),
+            ]
+            + rdf_list("k", KY + "hasID")
+            + rdf_list("ad", KY + "x", KY + "y")
+        )
+        t = spark.createDataFrame(
+            [(s, p, o, False, None, KY) for s, p, o in rows],
+            "subj string, pred string, obj string, obj_is_literal boolean, "
+            "obj_datatype string, doc_iri string",
+        )
+        return dl_model_search(t)
+
 
 def _register_owlrl():
     """OWL-RL materialization over the basic-feature document, gated by
@@ -1988,8 +2064,14 @@ _TAIL = [
     # negated property set = one filtered scan; the path machinery is
     # gated in-window by kg_sparql_path_star
     "kg_sparql_path_negated",
-    # closure op stays gated in-window by kg_sparql_path{,_star}
+    # closure op stays gated in-window by kg_subclass_closure's big
+    # siblings kg_sparql_path{,_star}
     "kg_subclass_closure",
+    # r6b: hasKey pruning rides at the tail — the CSP three-valued
+    # check machinery (same holds()/declared-different core) is gated
+    # in-window by kg_dl_qualified + kg_dl_disjoint; pytest-gated in
+    # test_dlreason.py (4 cases) + test_owlrl_rules.py (prp-key ×4)
+    "kg_dl_key",
     # whitespace-normalized md5 fingerprint: the winnowing gate (in-window)
     # is the stronger fingerprinting signal
     "doc_fingerprints",
