@@ -1365,9 +1365,30 @@ def test_negated_property_set_in_sequence(triples):
     assert got == {E + "a"}
 
 
-def test_negated_property_set_inverse_member_rejected(triples):
-    with pytest.raises(SparqlError, match="forward members"):
-        _q(triples, "?s ?o WHERE { ?s !(^e:age) ?o }")
+def test_negated_property_set_inverse_only(triples):
+    # r6b: `!(^p)` is reverse-only — (x,y) with some (y,q,x), q ∉ {p};
+    # the forward half has no members and contributes NOTHING
+    got = {
+        tuple(r)
+        for r in _q(triples, "?s ?o WHERE { ?s !(^e:age) ?o }").collect()
+    }
+    assert got == {(E + "b", E + "a"), (E + "c", E + "b"), ("alice", E + "a")}
+
+
+def test_negated_property_set_mixed_directions(triples):
+    # forward half negates the forward members, inverse half the ^
+    # members; the two filtered scans union (SPARQL 1.1 §9.1)
+    got = {
+        tuple(r)
+        for r in _q(
+            triples,
+            "?s ?o WHERE { ?s !(e:age|e:name|^e:age|^e:name) ?o }",
+        ).collect()
+    }
+    assert got == {
+        (E + "a", E + "b"), (E + "b", E + "c"),  # forward knows/likes
+        (E + "b", E + "a"), (E + "c", E + "b"),  # reversed knows/likes
+    }
 
 
 def test_negated_property_set_variable_rejected(triples):

@@ -742,11 +742,6 @@ class _Parser:
             else:
                 alts = self._path_alts()
             if neg:
-                if any(inv for _, inv in alts):
-                    raise SparqlError(
-                        "negated property sets support forward members "
-                        "only (no ^p inside !(...))"
-                    )
                 if any(t.startswith("?") for t, _ in alts):
                     raise SparqlError(
                         "negated property sets need concrete predicates"
@@ -1130,11 +1125,24 @@ def _path_frame(
     for i, (alts, mod, neg) in enumerate(segs):
         if neg:
             # negated property set: every edge whose predicate is NOT a
-            # set member — ONE filtered scan (isin pushes down), never
-            # an anti-join of the edge frame against itself
-            e = triples.filter(
-                ~F.col("pred").isin([p for p, _ in alts])
-            ).select(node("subj").alias("src"), node("obj").alias("dst"))
+            # set member — ONE filtered scan per direction (isin pushes
+            # down), never an anti-join of the edge frame against
+            # itself. Per SPARQL 1.1 §9.1, `!(p1|…|^q1|…)` splits into
+            # the forward half negating {p1..} and the INVERSE half
+            # negating {q1..}, unioned; a half with no members
+            # contributes nothing (`!(^q)` is reverse-only)
+            fwd = [p for p, inv in alts if not inv]
+            rev = [p for p, inv in alts if inv]
+            e = None
+            if fwd or not rev:
+                e = triples.filter(~F.col("pred").isin(fwd)).select(
+                    node("subj").alias("src"), node("obj").alias("dst")
+                )
+            if rev:
+                r = triples.filter(~F.col("pred").isin(rev)).select(
+                    node("obj").alias("src"), node("subj").alias("dst")
+                )
+                e = r if e is None else e.unionByName(r)
         else:
             e = None
             for p, inv in alts:
