@@ -324,14 +324,15 @@ def test_sync_reasoner_filters_dl_diagnostics(spark):
     om = OntologyManager(
         os.path.join(REFERENCE_DIR, "examples/regional-rules.owl.yml"), spark
     )
-    # graft an owl:hasKey axiom — outside the CSP fragment
-    # (unqualified cardinality joined in r5, qualified + hasSelf +
-    # disjointness in r6; hasKey is reachable only via hand-authored
-    # facts and neither reasoner draws conclusions from it)
+    # graft an owl:onDatatype facet restriction — the last construct
+    # outside the CSP fragment (cardinality joined in r5; qualified
+    # cardinality, hasSelf, disjointness, hasKey and disjointUnionOf
+    # all joined in r6; facet-constrained data ranges remain
+    # hand-authorable-only and neither reasoner evaluates them)
     grafted = spark.createDataFrame(
         [
-            (om.iri + "GeographicEntity", OWL + "hasKey",
-             om.iri + "hasPart", False, None),
+            ("_:dtr1", OWL + "onDatatype",
+             "http://www.w3.org/2001/XMLSchema#string", False, None),
         ],
         "subj string, pred string, obj string, obj_is_literal boolean, obj_datatype string",
     )
