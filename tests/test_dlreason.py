@@ -1070,3 +1070,28 @@ def test_npa_prunes_model_assignments_and_entails():
         ("_:npa", OWL + "targetIndividual", CE + "v1"),
     ])
     assert (CE + "x", CE + "p", CE + "v2") in inferred
+
+
+def test_pairwise_differentfrom_prunes_like_alldifferent():
+    # r6b: `h1 owl:differentFrom h2` is a 2-member distinctness group —
+    # same certain-violation pruning as the AllDifferent axiom form
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, OWL_ON_PROPERTY, RDFS_RANGE,
+    )
+
+    base = [
+        *_enum(CE + "Man", CE + "m"),
+        *_enum(CE + "House", CE + "h1", CE + "h2"),
+        (CE + "q", RDFS_RANGE, CE + "House"),
+        (CE + "m", CE + "q", CE + "h1"),
+        (CE + "m", CE + "q", CE + "h2"),
+        (CE + "m", RDF_TYPE, "_:r"),
+        ("_:r", OWL_ON_PROPERTY, CE + "q"),
+        ("_:r", OWL + "maxCardinality", "1"),
+    ]
+    stats = {}
+    _solve_doc(base + [(CE + "h1", OWL + "differentFrom", CE + "h2")], stats=stats)
+    assert stats.get("n_models", -1) == 0
+    stats2 = {}
+    _solve_doc(base, stats=stats2)
+    assert stats2.get("n_models", 0) > 0

@@ -573,3 +573,239 @@ def test_negative_property_assertion_no_violation_when_absent():
         T(E + "a", E + "p", E + "c"),
     ))
     assert not {t for t in got if "Violation" in t[1]}
+
+
+# ---- r6b: RL-profile completion (prp-fp/ifp, cls-*, scm-*, eq-diff1) ----
+
+from yamlpyowl_spark.operators.owlrl import infer_doc_fixpoint
+
+
+def rdflist(tag, *items):
+    out = []
+    for i, it in enumerate(items):
+        node = f"_:{tag}{i}"
+        nxt = f"_:{tag}{i + 1}" if i + 1 < len(items) else V.RDF_NIL
+        out.append(T(node, V.RDF_FIRST, it))
+        out.append(T(node, V.RDF_REST, nxt))
+    return out
+
+
+def test_prp_fp_merges_entity_values():
+    got = _infer_doc(rows(
+        T(E + "p", V.RDF_TYPE, V.OWL_FUNCTIONAL),
+        T(E + "a", E + "p", E + "b"),
+        T(E + "a", E + "p", E + "c"),
+        T(E + "b", E + "q", E + "v"),
+    ))
+    assert (E + "b", OWL + "sameAs", E + "c", False) in got
+    assert (E + "c", OWL + "sameAs", E + "b", False) in got
+    # eq-rep: the merged twin shares b's facts
+    assert (E + "c", E + "q", E + "v", False) in got
+
+
+def test_prp_fp_skips_literal_values():
+    # two lexical forms may denote one value — never merged, never
+    # diagnosed (documented boundary)
+    got = _infer_doc(rows(
+        T(E + "p", V.RDF_TYPE, V.OWL_FUNCTIONAL),
+        T(E + "a", E + "p", "1", True),
+        T(E + "a", E + "p", "1.0", True),
+    ))
+    assert not {t for t in got if t[1] == OWL + "sameAs"}
+    assert not {t for t in got if "Violation" in t[1]}
+
+
+def test_prp_ifp_merges_subjects():
+    got = _infer_doc(rows(
+        T(E + "p", V.RDF_TYPE, V.OWL_INVERSE_FUNCTIONAL),
+        T(E + "a", E + "p", "mail@x.org", True),
+        T(E + "b", E + "p", "mail@x.org", True),
+    ))
+    assert (E + "a", OWL + "sameAs", E + "b", False) in got
+
+
+def test_cls_hv1_subclass_direction_feeds_property_fixpoint():
+    # C ⊑ hasValue(p, v); x ∈ C ⇒ p(x, v); p symmetric ⇒ p(v, x) too
+    got = _infer_doc(rows(
+        T(E + "C", V.RDFS_SUBCLASSOF, "_:r"),
+        T("_:r", V.OWL_ON_PROPERTY, E + "p"),
+        T("_:r", V.OWL_HAS_VALUE, E + "v"),
+        T(E + "p", V.RDF_TYPE, V.OWL_SYMMETRIC),
+        T(E + "x", V.RDF_TYPE, E + "C"),
+    ))
+    assert (E + "x", E + "p", E + "v", False) in got
+    assert (E + "v", E + "p", E + "x", False) in got
+
+
+def test_cls_hv1_literal_value_keeps_flag():
+    got = _infer_doc(rows(
+        T(E + "C", V.OWL_EQUIVALENT_CLASS, "_:r"),
+        T("_:r", V.OWL_ON_PROPERTY, E + "p"),
+        T("_:r", V.OWL_HAS_VALUE, "805", True),
+        T(E + "x", V.RDF_TYPE, E + "C"),
+    ))
+    assert (E + "x", E + "p", "805", True) in got
+
+
+def test_cls_avf_types_successors_of_inherited_members():
+    # Sub ⊑ C ⊑ ∀p.D; x ∈ Sub, p(x,y) ⇒ y ∈ D
+    got = _infer_doc(rows(
+        T(E + "Sub", V.RDFS_SUBCLASSOF, E + "C"),
+        T(E + "C", V.RDFS_SUBCLASSOF, "_:r"),
+        T("_:r", V.OWL_ON_PROPERTY, E + "p"),
+        T("_:r", OWL + "allValuesFrom", E + "D"),
+        T(E + "x", V.RDF_TYPE, E + "Sub"),
+        T(E + "x", E + "p", E + "y"),
+    ))
+    assert (E + "y", V.RDF_TYPE, E + "D", False) in got
+
+
+def test_cls_maxc2_merges_successors():
+    got = _infer_doc(rows(
+        T(E + "C", V.RDFS_SUBCLASSOF, "_:r"),
+        T("_:r", V.OWL_ON_PROPERTY, E + "p"),
+        T("_:r", OWL + "maxCardinality", "1", True),
+        T(E + "x", V.RDF_TYPE, E + "C"),
+        T(E + "x", E + "p", E + "y1"),
+        T(E + "x", E + "p", E + "y2"),
+    ))
+    assert (E + "y1", OWL + "sameAs", E + "y2", False) in got
+
+
+def test_cls_maxqc3_merges_only_provably_qualified():
+    # max 1 D: only the two successors provably in D merge; y3 stays
+    got = _infer_doc(rows(
+        T(E + "C", V.RDFS_SUBCLASSOF, "_:r"),
+        T("_:r", V.OWL_ON_PROPERTY, E + "p"),
+        T("_:r", OWL + "maxQualifiedCardinality", "1", True),
+        T("_:r", OWL + "onClass", E + "D"),
+        T(E + "x", V.RDF_TYPE, E + "C"),
+        T(E + "x", E + "p", E + "y1"),
+        T(E + "x", E + "p", E + "y2"),
+        T(E + "x", E + "p", E + "y3"),
+        T(E + "y1", V.RDF_TYPE, E + "D"),
+        T(E + "y2", V.RDF_TYPE, E + "D"),
+    ))
+    assert (E + "y1", OWL + "sameAs", E + "y2", False) in got
+    assert not {t for t in got if t[0] == E + "y3" and t[1] == OWL + "sameAs"}
+
+
+def test_cls_maxc1_zero_successor_is_loud():
+    got = _infer_doc(rows(
+        T(E + "C", V.RDFS_SUBCLASSOF, "_:r"),
+        T("_:r", V.OWL_ON_PROPERTY, E + "p"),
+        T("_:r", OWL + "maxCardinality", "0", True),
+        T(E + "x", V.RDF_TYPE, E + "C"),
+        T(E + "x", E + "p", E + "y"),
+    ))
+    assert (E + "x", V.YPO + "propertyViolation", E + "p", False) in got
+
+
+def test_cls_oo_types_enumerated_individuals():
+    got = _infer_doc(rows(
+        T(E + "C", V.OWL_EQUIVALENT_CLASS, "_:e"),
+        T("_:e", V.OWL_ONE_OF, "_:l0"),
+        *rdflist("l", E + "a", E + "b"),
+    ))
+    assert (E + "a", V.RDF_TYPE, E + "C", False) in got
+    assert (E + "b", V.RDF_TYPE, E + "C", False) in got
+
+
+def test_scm_uni_emits_part_edges_and_types_members():
+    got = _infer_doc(rows(
+        T(E + "C", V.OWL_EQUIVALENT_CLASS, "_:u"),
+        T("_:u", V.OWL + "unionOf", "_:l0"),
+        *rdflist("l", E + "A", E + "B"),
+        T(E + "x", V.RDF_TYPE, E + "A"),
+    ))
+    assert (E + "A", V.RDFS_SUBCLASSOF, E + "C", False) in got
+    assert (E + "B", V.RDFS_SUBCLASSOF, E + "C", False) in got
+    assert (E + "x", V.RDF_TYPE, E + "C", False) in got
+
+
+def test_scm_int_subclass_direction():
+    # C ⊑ (A ⊓ B) ⇒ C ⊑ A, C ⊑ B; member of C typed both
+    got = _infer_doc(rows(
+        T(E + "C", V.RDFS_SUBCLASSOF, "_:i"),
+        T("_:i", V.OWL + "intersectionOf", "_:l0"),
+        *rdflist("l", E + "A", E + "B"),
+        T(E + "x", V.RDF_TYPE, E + "C"),
+    ))
+    assert (E + "C", V.RDFS_SUBCLASSOF, E + "A", False) in got
+    assert (E + "C", V.RDFS_SUBCLASSOF, E + "B", False) in got
+    assert (E + "x", V.RDF_TYPE, E + "A", False) in got
+    assert (E + "x", V.RDF_TYPE, E + "B", False) in got
+
+
+def test_cls_com_co_membership_is_loud():
+    got = _infer_doc(rows(
+        T(E + "A", OWL + "complementOf", E + "B"),
+        T(E + "x", V.RDF_TYPE, E + "A"),
+        T(E + "x", V.RDF_TYPE, E + "B"),
+    ))
+    assert (E + "x", V.YPO + "disjointViolation", E + "A", False) in got
+    assert (E + "x", V.YPO + "disjointViolation", E + "B", False) in got
+
+
+def test_cls_nothing2_is_loud():
+    got = _infer_doc(rows(
+        T(E + "x", V.RDF_TYPE, V.OWL_NOTHING),
+    ))
+    assert (E + "x", V.YPO + "disjointViolation", V.OWL_NOTHING, False) in got
+
+
+def test_eq_diff1_asserted_sameas_vs_differentfrom():
+    got = _infer_doc(rows(
+        T(E + "a", OWL + "sameAs", E + "b"),
+        T(E + "a", OWL + "differentFrom", E + "b"),
+    ))
+    assert (E + "a", V.YPO + "identityViolation", E + "b", False) in got
+    assert (E + "b", V.YPO + "identityViolation", E + "a", False) in got
+
+
+def test_eq_diff1_fp_derived_merge_vs_alldifferent():
+    # the merge comes from prp-fp, the distinctness from an
+    # owl:AllDifferent member list — still loud
+    got = _infer_doc(rows(
+        T(E + "p", V.RDF_TYPE, V.OWL_FUNCTIONAL),
+        T(E + "x", E + "p", E + "a"),
+        T(E + "x", E + "p", E + "b"),
+        T("_:ad", V.RDF_TYPE, OWL + "AllDifferent"),
+        T("_:ad", OWL + "distinctMembers", "_:l0"),
+        *rdflist("l", E + "a", E + "b"),
+    ))
+    assert (E + "a", V.YPO + "identityViolation", E + "b", False) in got
+
+
+def test_fixpoint_cascades_avf_into_defined_class():
+    # pass 1: avf types y ∈ D; pass 2: D-membership satisfies the
+    # someValuesFrom definition of C2 — only the OUTER fixpoint sees it
+    rs = rows(
+        T(E + "C", V.RDFS_SUBCLASSOF, "_:r"),
+        T("_:r", V.OWL_ON_PROPERTY, E + "p"),
+        T("_:r", OWL + "allValuesFrom", E + "D"),
+        T(E + "x", V.RDF_TYPE, E + "C"),
+        T(E + "x", E + "p", E + "y"),
+        T(E + "C2", V.OWL_EQUIVALENT_CLASS, "_:s"),
+        T("_:s", V.OWL_ON_PROPERTY, E + "q"),
+        T("_:s", V.OWL_SOME_VALUES_FROM, E + "D"),
+        T(E + "z", E + "q", E + "y"),
+    )
+    got = infer_doc_fixpoint(rs)
+    assert (E + "y", V.RDF_TYPE, E + "D", False) in got
+    assert (E + "z", V.RDF_TYPE, E + "C2", False) in got
+
+
+def test_fixpoint_never_replicates_diagnostics():
+    # ypo: diagnostic rows are outputs, never rule inputs: on the
+    # fixpoint re-pass eq-rep must not copy a violation onto merged
+    # twins (the bug produced (a, idv, a) self-rows)
+    got = infer_doc_fixpoint(rows(
+        T(E + "a", OWL + "sameAs", E + "b"),
+        T(E + "a", OWL + "differentFrom", E + "b"),
+    ))
+    idv = sorted(t for t in got if t[1] == V.YPO + "identityViolation")
+    assert idv == [
+        (E + "a", V.YPO + "identityViolation", E + "b", False),
+        (E + "b", V.YPO + "identityViolation", E + "a", False),
+    ]

@@ -646,10 +646,12 @@ class OntologyManager:
 
         YPO_DISJOINT_VIOLATION = YPO + "disjointViolation"
         YPO_PROPERTY_VIOLATION = YPO + "propertyViolation"
+        YPO_IDENTITY_VIOLATION = YPO + "identityViolation"
         DIAG_PREDS = (
             YPO_DL_UNSUPPORTED,
             YPO_DISJOINT_VIOLATION,
             YPO_PROPERTY_VIOLATION,
+            YPO_IDENTITY_VIOLATION,
         )
         diag_counts = {
             r["pred"]: r["n"]
@@ -668,7 +670,8 @@ class OntologyManager:
             )
         n_dw = diag_counts.get(YPO_DISJOINT_VIOLATION, 0)
         n_pv = diag_counts.get(YPO_PROPERTY_VIOLATION, 0)
-        if n_dw or n_pv:
+        n_iv = diag_counts.get(YPO_IDENTITY_VIOLATION, 0)
+        if n_dw or n_pv or n_iv:
             # cax-dw / prp-irp / prp-asyp / prp-pdw: Pellet raises
             # OwlReadyInconsistentOntologyError here; this engine is a
             # materializer, so the inconsistency is LOUD but non-fatal
@@ -682,6 +685,11 @@ class OntologyManager:
                 parts.append(
                     f"{n_pv} property-characteristic violation(s) "
                     "(ypo:propertyViolation)"
+                )
+            if n_iv:
+                parts.append(
+                    f"{n_iv} sameAs-vs-differentFrom violation(s) "
+                    "(ypo:identityViolation)"
                 )
             warnings.warn(
                 f"sync_reasoner: ontology is INCONSISTENT — {' and '.join(parts)}; "

@@ -317,9 +317,15 @@ def _decode(rows):
 
     all_different: List[List[str]] = []
     for ad in m.subjects(V.RDF_TYPE, OWL_ALL_DIFFERENT):
-        lst = m.obj(ad, OWL_DISTINCT_MEMBERS)
+        lst = m.obj(ad, OWL_DISTINCT_MEMBERS) or m.obj(ad, OWL + "members")
         if lst:
             all_different.append(m.rdf_list(lst))
+    # pairwise owl:differentFrom = a 2-member AllDifferent group (r6b)
+    for (s, p), objs in m.spo.items():
+        if p == OWL + "differentFrom" and not s.startswith("_:"):
+            for o in objs:
+                if not o.startswith("_:"):
+                    all_different.append([s, o])
 
     irreflexive = set(m.subjects(V.RDF_TYPE, OWL_IRREFLEXIVE))
     asymmetric = set(m.subjects(V.RDF_TYPE, OWL_ASYMMETRIC))

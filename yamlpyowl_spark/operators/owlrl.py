@@ -50,6 +50,25 @@ TestCore2 observes beyond SWRL chaining and the OneOf CSP
   (checked over the final, post-inheritance type set);
   ``sync_reasoner`` surfaces them as an INCONSISTENT warning and
   keeps them out of the ontology facts;
+* **class rules completing the RL profile** (r6b): cls-hv1 (``x ∈ C,
+  C ⊑/≡ hasValue(p,v)`` ⇒ ``p(x,v)``, before the property fixpoint so
+  derived facts compose), cls-avf (``C ⊑/≡ ∀p.D, p(x,y)`` ⇒
+  ``type(y,D)``), cls-oo (enumerated individuals are typed), scm-uni
+  (``C ≡ C1 ⊔ ... ⊔ Cn`` ⇒ ``Ci ⊑ C``), scm-int (``C ⊑/≡ C1 ⊓ ... ⊓
+  Cn`` ⇒ ``C ⊑ Ci``), cls-com (complementOf folds into the cax-dw
+  disjointness checks), cls-nothing2 (``owl:Nothing`` membership ⇒
+  loud ``ypo:disjointViolation`` diagnostic);
+* **equality rules completing the RL profile** (r6b): prp-fp / prp-ifp
+  (functional / inverse-functional conflicts merge into the prp-key
+  union-find; entity values only — sameAs over literals is outside the
+  fact model), cls-maxc2 / cls-maxqc3 (max-1 restrictions merge the
+  provably-qualified successors, non-UNA), cls-maxc1 / cls-maxqc1
+  (max-0 restrictions: any successor ⇒ loud ``ypo:propertyViolation``),
+  eq-diff1 (provably-same pair asserted ``owl:differentFrom`` —
+  incl. ``owl:AllDifferent`` member lists — ⇒ loud paired
+  ``ypo:identityViolation`` diagnostics). The distributed wrapper runs
+  :func:`_infer_doc` to an outer per-document fixpoint
+  (:func:`infer_doc_fixpoint`) so cross-stage cascades converge;
 * **property consistency** (prp-irp / prp-asyp / prp-pdw, r6):
   ``IrreflexiveProperty(p), p(x,x)``; ``AsymmetricProperty(p),
   p(x,y), p(y,x)``; ``propertyDisjointWith(p1,p2), p1(x,y),
@@ -133,6 +152,7 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
     keys: List[Tuple[str, List[str]]] = []  # C owl:hasKey (p1..pn)
     same_pairs: List[Tuple[str, str]] = []  # asserted owl:sameAs
     du_subclass: List[Tuple[str, str]] = []  # (part, whole) cls-duo edges
+    diff_pairs: List[Tuple[str, str]] = []  # owl:differentFrom (eq-diff1)
 
     for (s, p), objs in m.spo.items():
         if p == V.RDF_TYPE:
@@ -209,6 +229,18 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
             for o, il in objs:
                 if not o.startswith("_:"):
                     same_pairs.append((s, o))
+        elif p == OWL + "differentFrom" and not s.startswith("_:"):
+            for o, il in objs:
+                if not o.startswith("_:"):
+                    diff_pairs.append((s, o))
+        elif p == OWL + "complementOf" and not s.startswith("_:"):
+            # cls-com: c1 complementOf c2 ⇒ provable co-membership is an
+            # inconsistency — exactly the cax-dw check, so fold into the
+            # disjoint pair list (named complements only; expression
+            # complements are folded below)
+            for o, il in objs:
+                if not o.startswith("_:"):
+                    disjoint.append((s, o))
         elif p == OWL + "propertyChainAxiom" and not s.startswith("_:"):
             for o, il in objs:
                 if o.startswith("_:"):
@@ -217,7 +249,15 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
                         c.startswith("_:") for c in chain
                     ):
                         chains.append((s, chain))
-        elif not s.startswith("_:") and not p.startswith("_:"):
+        elif (
+            not s.startswith("_:")
+            and not p.startswith("_:")
+            # ypo: diagnostic rows are OUTPUTS, never rule inputs — on a
+            # fixpoint re-pass they must not enter the fact base (eq-rep
+            # would copy a violation onto merged twins, subproperty
+            # rules would propagate it)
+            and not p.startswith(V.YPO)
+        ):
             for o, il in objs:
                 facts.setdefault(p, set()).add((s, o))
                 pf.setdefault(p, set()).add((s, o, il))
@@ -232,6 +272,14 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
         typeset = {o for o, _ in objs0}
         if OWL + "NegativePropertyAssertion" in typeset:
             npa_nodes.append(s0)
+        if OWL + "AllDifferent" in typeset:
+            lst = m.obj(s0, OWL + "distinctMembers") or m.obj(s0, OWL + "members")
+            members = [
+                c for c in (m.rdf_list(lst) if lst else []) if not c.startswith("_:")
+            ]
+            for i1 in range(len(members)):
+                for i2 in range(i1 + 1, len(members)):
+                    diff_pairs.append((members[i1], members[i2]))
         if (
             OWL + "AllDisjointClasses" in typeset
             or OWL + "AllDisjointProperties" in typeset
@@ -292,6 +340,10 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
                     return None
                 acc = sub_m if acc is None else (acc & sub_m)
             return acc or set()
+        oneof = m.obj(node, V.OWL_ONE_OF)
+        if oneof:
+            # cls-oo: the enumerated individuals ARE the known members
+            return {x for x in m.rdf_list(oneof) if not x.startswith("_:")}
         on_p = m.obj(node, V.OWL_ON_PROPERTY)
         if on_p and not on_p.startswith("_:"):
             hv = m.spo.get((node, V.OWL_HAS_VALUE))
@@ -344,13 +396,43 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
         }:
             inferred.add((part, V.RDFS_SUBCLASSOF, whole, False))
 
-    # defined-class membership
+    # ---- schema decomposition over class definitions (r6b) ----------
+    # scm-uni: C ≡ (C1 ⊔ ... ⊔ Cn) ⇒ Ci ⊑ C for NAMED parts — emitted
+    # as triples and joined into `sub` so this pass's closures see them
+    # (the "if" membership direction stays with members_of above).
+    # scm-int: C ⊑/≡ (C1 ⊓ ... ⊓ Cn) ⇒ C ⊑ Ci for named parts.
+    # cls-com over expressions: C ⊑/≡ ¬D ⇒ C,D disjoint (cax-dw check).
+    for cls, expr in eq_exprs:
+        u = m.obj(expr, V.OWL + "unionOf")
+        if u:
+            for part in m.rdf_list(u):
+                if not part.startswith("_:") and cls not in sub.get(part, set()):
+                    sub.setdefault(part, set()).add(cls)
+                    inferred.add((part, V.RDFS_SUBCLASSOF, cls, False))
+    for cls, expr in list(eq_exprs) + list(sub_exprs):
+        inter = m.obj(expr, V.OWL + "intersectionOf")
+        if inter:
+            for part in m.rdf_list(inter):
+                if part.startswith("_:"):
+                    # C ⊑ (R1 ⊓ R2) ⇒ C ⊑ Ri for expression conjuncts
+                    # too — hands each blank restriction to the hv1/
+                    # avf/maxc checks below
+                    sub_exprs.append((cls, part))
+                elif part not in sub.get(cls, set()):
+                    sub.setdefault(cls, set()).add(part)
+                    inferred.add((cls, V.RDFS_SUBCLASSOF, part, False))
+        comp = m.obj(expr, V.OWL_COMPLEMENT_OF)
+        if comp and not comp.startswith("_:"):
+            disjoint.append((cls, comp))
+
+    # defined-class membership (incl. cls-oo via members_of's oneOf)
     for cls, expr in eq_exprs:
         ms = members_of(expr)
         if ms:
             for x in ms:
                 if cls not in types.get(x, ()):
                     inferred.add((x, V.RDF_TYPE, cls, False))
+                    types.setdefault(x, set()).add(cls)
 
     # equivalence closure over named classes (sym + trans, minus self)
     adj: Dict[str, Set[str]] = {}
@@ -375,6 +457,26 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
         d = domain_of(expr)
         if d is not None and d != cls and d not in sub.get(cls, ()):
             inferred.add((cls, V.RDFS_SUBCLASSOF, d, False))
+
+    # ---- cls-hv1 (r6b): x ∈ C, C ⊑/≡ hasValue(p, v) ⇒ p(x, v) -------
+    # before the property fixpoint so derived facts compose with
+    # trans/symp/inv/spo1/spo2; literal values keep their flag
+    for cls, expr in eq_exprs + sub_exprs:
+        on_p = m.obj(expr, V.OWL_ON_PROPERTY)
+        if not on_p or on_p.startswith("_:"):
+            continue
+        hv = m.spo.get((expr, V.OWL_HAS_VALUE))
+        if not hv:
+            continue
+        v, il = hv[0]
+        tgt = pf.setdefault(on_p, set())
+        for x in list(types):
+            if x.startswith("_:") or cls not in closed_types(x):
+                continue
+            if (x, v, il) not in tgt:
+                tgt.add((x, v, il))
+                facts.setdefault(on_p, set()).add((x, v))
+                inferred.add((x, on_p, v, il))
 
     # ---- property rules: prp-spo1 / prp-symp / prp-inv / prp-trp ----
     trans = {x for x, ts in types.items() if V.OWL_TRANSITIVE in ts}
@@ -485,6 +587,114 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
             if not il and not o.startswith("_:") and rng not in types.get(o, ()):
                 inferred.add((o, V.RDF_TYPE, rng, False))
 
+    # ---- cls-avf / cls-maxc / prp-fp / prp-ifp (r6b) ----------------
+    # over the POST-fixpoint fact base and the types inferred so far.
+    # cls-avf: x ∈ C, C ⊑/≡ ∀p.D, p(x,y) ⇒ y ∈ D (entity fillers).
+    # cls-maxc2/maxqc3: max-1 restriction ⇒ the (provably-qualified)
+    # successors merge via owl:sameAs (non-UNA); max-0 ⇒ any successor
+    # is a provable inconsistency → loud ypo:propertyViolation rows.
+    # prp-fp / prp-ifp: functional / inverse-functional conflicts merge
+    # the value / subject pair. Literal-valued merge candidates are
+    # SKIPPED (owl:sameAs over literals is outside this fact model and
+    # two lexical forms may denote one value — never a safe diagnostic).
+    mid_types: Dict[str, Set[str]] = {x: set(ts) for x, ts in types.items()}
+    mid_sub: Dict[str, Set[str]] = {c: set(v) for c, v in sub.items()}
+    for s2, p2, o2, _il in inferred:
+        if p2 == V.RDF_TYPE:
+            mid_types.setdefault(s2, set()).add(o2)
+        elif p2 == V.RDFS_SUBCLASSOF and not o2.startswith("_:"):
+            mid_sub.setdefault(s2, set()).add(o2)
+
+    def closed_mid(x: str) -> Set[str]:
+        out = set(mid_types.get(x, ()))
+        frontier = list(out)
+        while frontier:
+            c = frontier.pop()
+            for up in mid_sub.get(c, ()):
+                if up not in out:
+                    out.add(up)
+                    frontier.append(up)
+        return out
+
+    derived_same: List[Tuple[str, str]] = []
+    for cls, expr in eq_exprs + sub_exprs:
+        on_p = m.obj(expr, V.OWL_ON_PROPERTY)
+        if not on_p or on_p.startswith("_:"):
+            continue
+        avf = m.obj(expr, OWL + "allValuesFrom")
+        maxc = m.obj(expr, OWL + "maxCardinality")
+        qual = None
+        if maxc is None:
+            maxc = m.obj(expr, OWL + "maxQualifiedCardinality")
+            if maxc is not None:
+                qual = m.obj(expr, OWL + "onClass")
+                if qual == V.OWL_THING:
+                    qual = None
+        if avf is None and maxc is None:
+            continue
+        try:
+            nmax = int(maxc) if maxc is not None else None
+        except ValueError:
+            nmax = None
+        if avf is not None and (avf.startswith("_:") or avf.startswith(V.XSD)):
+            avf = None
+        if avf is None and nmax is None:
+            continue
+        members = [
+            x
+            for x in list(mid_types)
+            if not x.startswith("_:") and cls in closed_mid(x)
+        ]
+        if not members:
+            continue
+        by_subj: Dict[str, List[str]] = {}
+        for s2, o2, il2 in pf.get(on_p, ()):
+            if not il2 and not o2.startswith("_:"):
+                by_subj.setdefault(s2, []).append(o2)
+        for x in members:
+            succs = by_subj.get(x, ())
+            if avf is not None and avf != V.OWL_THING:
+                for y in succs:
+                    if avf not in mid_types.get(y, set()):
+                        mid_types.setdefault(y, set()).add(avf)
+                        inferred.add((y, V.RDF_TYPE, avf, False))
+            if nmax is not None:
+                qs = sorted(
+                    {y for y in succs if qual is None or qual in closed_mid(y)}
+                )
+                if nmax == 0 and qs:
+                    inferred.add((x, V.YPO + "propertyViolation", on_p, False))
+                elif nmax == 1 and len(qs) > 1:
+                    for y2 in qs[1:]:
+                        derived_same.append((qs[0], y2))
+    for p, ts in types.items():
+        fp = OWL + "FunctionalProperty" in ts or V.OWL_FUNCTIONAL in ts
+        ifp = (
+            OWL + "InverseFunctionalProperty" in ts
+            or V.OWL_INVERSE_FUNCTIONAL in ts
+        )
+        if not fp and not ifp:
+            continue
+        cur = pf.get(p, ())
+        if fp:
+            by_s: Dict[str, Set[str]] = {}
+            for s2, o2, il2 in cur:
+                if not il2 and not o2.startswith("_:"):
+                    by_s.setdefault(s2, set()).add(o2)
+            for s2, vals in by_s.items():
+                vs = sorted(vals)
+                for y2 in vs[1:]:
+                    derived_same.append((vs[0], y2))
+        if ifp:
+            by_o: Dict[Tuple[str, bool], Set[str]] = {}
+            for s2, o2, il2 in cur:
+                if not s2.startswith("_:"):
+                    by_o.setdefault((o2, il2), set()).add(s2)
+            for _v, subjs in by_o.items():
+                ss = sorted(subjs)
+                for x2 in ss[1:]:
+                    derived_same.append((ss[0], x2))
+
     # ---- type inheritance: cax-sco + cax-eqc ------------------------
     # asserted types plus everything this pass inferred, lifted through
     # the named-subclass closure AND across named equivalences (C ≡ D
@@ -550,7 +760,10 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
     # merges — a merge can complete another pair's key overlap.
     # Bounded by #entities per document; Pellet merges individuals and
     # re-saturates, which this converging loop mirrors doc-locally.
-    if keys or same_pairs:
+    # derived_same (prp-fp / prp-ifp / cls-maxc2, r6b) seeds the same
+    # union-find as prp-key merges and asserted sameAs — the cliques
+    # then share facts and types via eq-rep exactly once
+    if keys or same_pairs or derived_same:
         parent: Dict[str, str] = {}
         touched: Set[str] = set()
 
@@ -569,6 +782,8 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
             return True
 
         for a, b in same_pairs:
+            union(a, b)
+        for a, b in derived_same:
             union(a, b)
         if keys:
             changed_keys = True
@@ -642,6 +857,21 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
                     ):
                         inferred.add((a, V.RDF_TYPE, t, False))
 
+        # eq-diff1 (r6b): provably-same pair asserted differentFrom —
+        # Pellet raises; the materializer emits loud paired
+        # ypo:identityViolation diagnostic rows
+        for a, b in diff_pairs:
+            if a != b and find(a) == find(b):
+                inferred.add((a, V.YPO + "identityViolation", b, False))
+                inferred.add((b, V.YPO + "identityViolation", a, False))
+
+    # cls-nothing2 (r6b): membership in owl:Nothing is a provable
+    # inconsistency — surfaced in the cax-dw diagnostic shape
+    # ("x is in a class that can have no members")
+    for x, ts in final_types.items():
+        if V.OWL_NOTHING in ts and not x.startswith("_:"):
+            inferred.add((x, V.YPO + "disjointViolation", V.OWL_NOTHING, False))
+
     # ---- consistency: prp-irp / prp-asyp / prp-pdw (r6) -------------
     # Pellet raises on these; the materializer surfaces them as loud
     # ypo:propertyViolation diagnostics over the POST-fixpoint fact
@@ -686,6 +916,29 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
     return inferred
 
 
+def infer_doc_fixpoint(rows) -> Set[Tuple[str, str, str, bool]]:
+    """Run :func:`_infer_doc` to an OUTER fixpoint: triples inferred by
+    one pass (cls-hv1 facts, scm-uni/int subclass edges, sameAs merges,
+    avf typings) are fed back as input until no pass adds anything new.
+
+    Single-pass staging already orders the common compositions
+    (hv1 before the property fixpoint, avf/fp/ifp after it, cax-sco
+    last), so most documents converge on pass 2 — the loop exists for
+    the cross-stage cascades a fixed order cannot express (an avf-typed
+    filler satisfying another class definition, an eq-rep-copied fact
+    completing a functional conflict). Bounded: the triple universe per
+    document is finite and every pass is monotone; 16 passes is far
+    beyond any real document's rule-dependency depth."""
+    base: Set[Tuple[str, str, str, bool]] = set(rows)
+    acc: Set[Tuple[str, str, str, bool]] = set()
+    for _ in range(16):
+        delta = _infer_doc(sorted(base | acc)) - acc - base
+        if not delta:
+            break
+        acc |= delta
+    return acc
+
+
 OUT_COLS = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype", "doc_iri"]
 
 
@@ -702,7 +955,7 @@ def owlrl_materialize(triples: DataFrame) -> DataFrame:
             return pd.DataFrame(columns=OUT_COLS)
         doc_iri = pdf["doc_iri"].iloc[0]
         rows = list(zip(pdf["subj"], pdf["pred"], pdf["obj"], pdf["obj_is_literal"]))
-        out = sorted(_infer_doc(rows))
+        out = sorted(infer_doc_fixpoint(rows))
         return pd.DataFrame(
             {
                 "subj": [t[0] for t in out],

@@ -1933,10 +1933,28 @@ def _register_owlrl():
            ("iClass5b", V.RDF_TYPE, "Class5"), ("iClass5b", V.RDF_TYPE, "Class4"),
            ("iClass5b1", V.RDF_TYPE, "Class5b"), ("iClass5b1", V.RDF_TYPE, "Class5"),
            ("iClass5b1", V.RDF_TYPE, "Class4")]
+        # scm-uni (r6b): Class7 ≡ Class2 ⊔ Class3 (fixture line 96)
+        # decomposes into the part edges
+        + [("Class2", V.RDFS_SUBCLASSOF, "Class7"),
+           ("Class3", V.RDFS_SUBCLASSOF, "Class7")]
     )
+    # cls-hv1 (r6b): Class8d carries TWO equivalences (hasValue 804,
+    # hasValue 805) — each member must satisfy BOTH, so instance4
+    # (typed via 804) gains the 805 fact and instance5 (typed via 805)
+    # gains 804. Hand-derived literal rows, obj unprefixed.
+    EXPECTED_LIT = [
+        ("instance4", "has_demo_function_value", "805"),
+        ("instance5", "has_demo_function_value", "804"),
+    ]
     values = ",\n".join(
-        f"('{B}{s}', '{p}', '{B}{o}', false, CAST(NULL AS VARCHAR), '{B}')"
-        for s, p, o in EXPECTED
+        [
+            f"('{B}{s}', '{p}', '{B}{o}', false, CAST(NULL AS VARCHAR), '{B}')"
+            for s, p, o in EXPECTED
+        ]
+        + [
+            f"('{B}{s}', '{B}{p}', '{o}', true, CAST(NULL AS VARCHAR), '{B}')"
+            for s, p, o in EXPECTED_LIT
+        ]
     )
     owlrl_sql = (
         "SELECT subj, pred, obj, obj_is_literal, obj_datatype, doc_iri FROM "
