@@ -344,3 +344,72 @@ def test_builtin_rhs_var_must_be_bound():
             [("p", ["?x", "?v"]), ("greaterThan", ["?v", "?unbound"])],
             [("q", ["?x", "?x"])],
         )
+
+
+def test_arith_builtins_bind_and_check(spark):
+    """r6b swrlb arithmetic: add/subtract/multiply/mod bind the
+    result-first argument; a pre-bound result argument becomes an
+    equality check; non-integral operands and mod-by-zero drop rows;
+    mod is truncation-based on negatives. Spark pipeline and the
+    sequential oracle must agree exactly."""
+    from yamlpyowl_spark.operators.swrl import forward_chain
+    from yamlpyowl_spark.sources.artifacts import sequential_forward_chain
+
+    E = "http://ex.org/ar#"
+    SRC = "https://w3id.org/yamlpyowl-spark/vocab#ruleSrc"
+    schema = ("subj string, pred string, obj string, obj_is_literal boolean, "
+              "obj_datatype string, doc_iri string")
+    rows = [
+        (E, SRC, "hasV(?x, ?v), add(?z, ?v, 5) -> hasPlus5(?x, ?z)",
+         True, None, E),
+        (E, SRC, "hasV(?x, ?v), hasW(?x, ?w), multiply(?z, ?v, ?w) "
+                 "-> hasProduct(?x, ?z)", True, None, E),
+        (E, SRC, "hasV(?x, ?v), mod(?z, ?v, 4) -> hasMod4(?x, ?z)",
+         True, None, E),
+        # check form: ?w already bound — subtract(?w, ?v, 5) filters to
+        # subjects where w == v - 5
+        (E, SRC, "hasV(?x, ?v), hasW(?x, ?w), subtract(?w, ?v, 5) "
+                 "-> Shifted(?x)", True, None, E),
+        (E, SRC, "hasV(?x, ?v), mod(?z, ?v, 0) -> ModZero(?x)",
+         True, None, E),
+        (E + "a", E + "hasV", "30", True, None, E),
+        (E + "a", E + "hasW", "25", True, None, E),
+        (E + "b", E + "hasV", "-7", True, None, E),
+        (E + "b", E + "hasW", "3", True, None, E),
+        (E + "c", E + "hasV", "not-a-number", True, None, E),
+    ]
+    t = spark.createDataFrame(rows, schema)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in forward_chain(t).collect()}
+    assert (E + "a", E + "hasPlus5", "35") in got
+    assert (E + "b", E + "hasPlus5", "-2") in got
+    assert (E + "a", E + "hasProduct", "750") in got
+    assert (E + "b", E + "hasProduct", "-21") in got
+    assert (E + "a", E + "hasMod4", "2") in got
+    # truncation-based mod: -7 % 4 = -3 (Java), NOT 1 (Python floor)
+    assert (E + "b", E + "hasMod4", "-3") in got
+    assert (E + "a", V.RDF_TYPE, E + "Shifted") in got      # 25 == 30-5
+    assert (E + "b", V.RDF_TYPE, E + "Shifted") not in got  # 3 != -12
+    # mod-by-zero: NULL result drops the row, never raises under ANSI
+    assert not any(p == V.RDF_TYPE and o == E + "ModZero" for _, p, o in got)
+    # non-integral binding drops out of every arithmetic atom
+    assert not any(s == E + "c" for s, _, _ in got)
+    # engine parity: sequential oracle derives the identical delta
+    seq = {(s, p, o) for s, p, o, il, dt, d in sequential_forward_chain(rows)}
+    assert seq == got
+
+
+def test_arith_builtin_rejects_bad_shapes():
+    from yamlpyowl_spark.operators.swrl import UnsupportedSWRLError, encode_rule
+
+    with pytest.raises(UnsupportedSWRLError, match="3 args"):
+        encode_rule("http://d#", [("p", ["?x", "?v"]), ("add", ["?z", "?v"])],
+                    [("q", ["?x", "?z"])])
+    with pytest.raises(UnsupportedSWRLError, match="must be a variable"):
+        encode_rule("http://d#", [("p", ["?x", "?v"]), ("add", ["9", "?v", "1"])],
+                    [("q", ["?x", "?v"])])
+    with pytest.raises(UnsupportedSWRLError, match="binding"):
+        encode_rule("http://d#", [("p", ["?x", "?v"]), ("add", ["?z", "?u", "1"])],
+                    [("q", ["?x", "?z"])])
+    with pytest.raises(UnsupportedSWRLError, match="integer fragment"):
+        encode_rule("http://d#", [("p", ["?x", "?v"]), ("add", ["?z", "?v", "0.5"])],
+                    [("q", ["?x", "?z"])])

@@ -25,6 +25,9 @@ heads which the reference's Pellet path also accepts):
                                         head position;
 * property atoms     ``p(?x, ?y)``    — object or data properties,
                                         constants allowed in any slot;
+* arithmetic atoms   ``add/subtract/multiply/mod(?z, ?x, ?y)`` —
+  swrlb result-first convention; binds ``?z`` (or checks it when
+  already bound); INTEGER fragment via try_cast/try_add & co (r6b)
 * builtin atoms      ``greaterThan/lessThan/greaterThanOrEqual/
   lessThanOrEqual/equal/notEqual(?v, const-or-?w)`` (numeric
   comparison; r6 adds the OrEqual/equal/notEqual codes and var-var
@@ -71,6 +74,16 @@ _BUILTINS = {
     "notEqual": "ne",
 }
 _BI_SQL = {"gt": ">", "lt": "<", "ge": ">=", "le": "<=", "eq": "=", "ne": "!="}
+# swrlb arithmetic (r6b): add/subtract/multiply/mod with the FIRST
+# argument as the result (swrlb argument convention). INTEGER fragment:
+# operands try_cast to BIGINT (a non-integral binding drops the row,
+# the comparison-builtin skip semantics) and the try_* forms return
+# NULL instead of raising under ANSI mode on overflow / mod-by-zero —
+# NULL results are filtered, never emitted. Division stays outside the
+# fragment (its value is non-integral almost surely; a float dialect
+# would hitch engine parity to Java-vs-Python double formatting).
+_ARITH = {"add": "ad", "subtract": "sb", "multiply": "ml", "mod": "md"}
+_AR_SQL = {"ad": "try_add", "sb": "try_subtract", "ml": "try_multiply", "md": "try_mod"}
 _INVALID = "!unsupported"
 
 # fixed templates for rules synthesized from property axioms; unit
@@ -107,7 +120,38 @@ def encode_rule(doc_iri: str, body: list, head: list) -> Tuple[str, List[str]]:
 
     sig, slots = [], []
     for name, args in body:
-        if name in _BUILTINS:
+        if name in _ARITH:
+            if len(args) != 3:
+                raise UnsupportedSWRLError(f"builtin {name} needs 3 args, got {args}")
+            out, a1, a2 = args
+            if not out.startswith("?"):
+                raise UnsupportedSWRLError(
+                    f"builtin {name}({', '.join(args)}): the result argument "
+                    "must be a variable"
+                )
+            opsigs = []
+            for a in (a1, a2):
+                if a.startswith("?"):
+                    if a not in varmap:
+                        raise UnsupportedSWRLError(
+                            f"builtin {name}({', '.join(args)}) must follow "
+                            f"an atom binding {a}"
+                        )
+                    opsigs.append(v(a))
+                else:
+                    try:
+                        slots.append(str(int(a)))
+                    except ValueError:
+                        raise UnsupportedSWRLError(
+                            f"non-integer arithmetic constant {a!r} "
+                            "(integer fragment)"
+                        )
+                    opsigs.append("C")
+            # out NEW at this point in the walk -> binding form; out
+            # already bound -> equality check (eval mirrors via its own
+            # bound-set walk)
+            sig.append(f"{_ARITH[name]}({v(out)},{opsigs[0]},{opsigs[1]})")
+        elif name in _BUILTINS:
             if len(args) != 2:
                 raise UnsupportedSWRLError(f"builtin {name} needs 2 args, got {args}")
             var, rhs = args
@@ -213,7 +257,7 @@ def encode_rule(doc_iri: str, body: list, head: list) -> Tuple[str, List[str]]:
     return ";".join(sig) + "=>" + ";".join(hsig), slots
 
 
-_ATOM_RE = re.compile(r"(P|T|gt|lt|ge|le|eq|ne)\(([^)]*)\)")
+_ATOM_RE = re.compile(r"(P|T|gt|lt|ge|le|eq|ne|ad|sb|ml|md)\(([^)]*)\)")
 
 
 @lru_cache(maxsize=4096)
@@ -233,6 +277,16 @@ def _parse_template(key: str):
                 slot += 1
             else:
                 body.append(("bi", kind, int(args[0][1:]), ("v", int(args[1][1:]))))
+        elif kind in _AR_SQL:
+            outv = int(args[0][1:])
+            ops = []
+            for a in args[1:]:
+                if a == "C":
+                    ops.append(("c", slot))
+                    slot += 1
+                else:
+                    ops.append(("v", int(a[1:])))
+            body.append(("ar", kind, outv, ops[0], ops[1]))
         elif kind == "T":
             cls_slot = slot
             slot += 1
@@ -471,6 +525,26 @@ def _eval_template_once(
             # skip-on-ValueError) — ANSI mode's plain cast would kill
             # the whole fixpoint job instead
             b = b.filter(f"try_cast(v{vi} as double) {sign} try_cast({rexpr} as double)")
+            continue
+        if atom[0] == "ar":
+            _, op, outv, o1, o2 = atom
+            es = [
+                f"try_cast({'_s' if k == 'c' else 'v'}{i} AS BIGINT)"
+                for k, i in (o1, o2)
+            ]
+            expr = f"{_AR_SQL[op]}({es[0]}, {es[1]})"
+            if outv in bound:
+                # check form: the result variable was bound earlier
+                b = b.filter(f"try_cast(v{outv} AS BIGINT) = {expr}")
+            else:
+                # binding form: compute, DROP NULL results (non-integral
+                # operand, overflow, mod-by-zero), bind the lexical form
+                bound.add(outv)
+                b = (
+                    b.selectExpr(*bcols, f"CAST({expr} AS STRING) AS v{outv}")
+                    .filter(f"v{outv} IS NOT NULL")
+                )
+                bcols.append(f"v{outv}")
             continue
         if atom[0] == "cls":
             _, cls_slot, inst = atom

@@ -828,6 +828,47 @@ def _register_kg():
         t = kg_triples(spark).filter(F.col("src_repo") == "org/regional-rules")
         return forward_chain(t)
 
+    # r6b swrlb arithmetic gate (tail): a synthetic doc with add /
+    # multiply / mod rules over deterministic integer facts — the
+    # oracle re-derives every head fact with DuCKDB's OWN integer
+    # arithmetic (genuinely independent: no hand-derived constants,
+    # truncation-based % matches Spark/Java)
+    AR = "https://w3id.org/yamlpyowl-spark/tests/arith#"
+    _ar_vals = [(f"i{k:02d}", 7 * k - 40) for k in range(12)]  # negatives incl.
+    ar_facts = ", ".join(f"('{AR}{n}', {v})" for n, v in _ar_vals)
+    ar_sql = f"""WITH f(subj, v) AS (VALUES {ar_facts})
+        SELECT subj, '{AR}hasPlus5' AS pred, CAST(v + 5 AS VARCHAR) AS obj,
+               false AS obj_is_literal, CAST(NULL AS VARCHAR) AS obj_datatype,
+               '{AR}' AS doc_iri FROM f
+        UNION ALL
+        SELECT subj, '{AR}hasTriple', CAST(v * 3 AS VARCHAR), false,
+               CAST(NULL AS VARCHAR), '{AR}' FROM f
+        UNION ALL
+        SELECT subj, '{AR}hasMod4', CAST(v % 4 AS VARCHAR), false,
+               CAST(NULL AS VARCHAR), '{AR}' FROM f"""
+
+    @_q("kg_swrl_arith", ar_sql)
+    def kg_swrl_arith(spark, sf_dir):
+        from .operators.swrl import forward_chain
+
+        rows = [
+            (AR, V.YPO_RULE_SRC,
+             "hasV(?x, ?v), add(?z, ?v, 5) -> hasPlus5(?x, ?z)", True, None, AR),
+            (AR, V.YPO_RULE_SRC,
+             "hasV(?x, ?v), multiply(?z, ?v, 3) -> hasTriple(?x, ?z)", True, None, AR),
+            (AR, V.YPO_RULE_SRC,
+             "hasV(?x, ?v), mod(?z, ?v, 4) -> hasMod4(?x, ?z)", True, None, AR),
+        ] + [
+            (AR + n, AR + "hasV", str(v), True, V.XSD_INTEGER, AR)
+            for n, v in _ar_vals
+        ]
+        t = spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, obj_is_literal boolean, "
+            "obj_datatype string, doc_iri string",
+        )
+        return forward_chain(t)
+
 
 # -- document corpus (training-data ops) --------------------------------------
 
@@ -2090,6 +2131,11 @@ _TAIL = [
     # in-window by kg_dl_qualified + kg_dl_disjoint; pytest-gated in
     # test_dlreason.py (4 cases) + test_owlrl_rules.py (prp-key ×4)
     "kg_dl_key",
+    # r6b: swrlb arithmetic rides at the tail — the template join
+    # pipeline is gated in-window by kg_swrl_forward_chain; the DuckDB
+    # oracle here re-computes +/*/% independently (engine parity also
+    # pytest-gated vs the sequential oracle)
+    "kg_swrl_arith",
     # whitespace-normalized md5 fingerprint: the winnowing gate (in-window)
     # is the stronger fingerprinting signal
     "doc_fingerprints",

@@ -164,6 +164,25 @@ _SEQ_BUILTINS = {
     "equal": "eq",
     "notEqual": "ne",
 }
+_SEQ_ARITH = {"add": "ad", "subtract": "sb", "multiply": "ml", "mod": "md"}
+_I64 = 2**63
+
+
+def _seq_arith(op, a, b):
+    """Mirror Spark's try_add/try_subtract/try_multiply/try_mod over
+    BIGINT: None (row drops) on mod-by-zero or int64 overflow; mod is
+    TRUNCATION-based (Java %), not Python's floor-based %."""
+    if op == "ad":
+        r = a + b
+    elif op == "sb":
+        r = a - b
+    elif op == "ml":
+        r = a * b
+    else:
+        if b == 0:
+            return None
+        r = a - (abs(a) // abs(b)) * abs(b) * (1 if a >= 0 else -1)
+    return r if -_I64 <= r < _I64 else None
 
 
 def _seq_resolve_rules(doc_facts, doc_iri):
@@ -185,7 +204,12 @@ def _seq_resolve_rules(doc_facts, doc_iri):
 
         rb, rh = [], []
         for name, args in body:
-            if name in _SEQ_BUILTINS:
+            if name in _SEQ_ARITH:
+                # swrlb arithmetic (r6b): result-first argument order,
+                # integer fragment — twin of operators/swrl's ar atoms
+                ops = [a if a.startswith("?") else int(a) for a in args[1:]]
+                rb.append(("ar", _SEQ_ARITH[name], args[0], ops[0], ops[1]))
+            elif name in _SEQ_BUILTINS:
                 # rhs: numeric constant, or a ?var compared at eval time
                 rhs = args[1] if args[1].startswith("?") else float(args[1])
                 rb.append(("bi", _SEQ_BUILTINS[name], args[0], rhs))
@@ -252,7 +276,27 @@ def _seq_eval_rule(body, head, facts, types):
     bindings = [{}]
     for atom in body:
         nb = []
-        if atom[0] == "bi":
+        if atom[0] == "ar":
+            _, op, out, x1, x2 = atom
+            for b in bindings:
+                try:
+                    a = int(b[x1]) if isinstance(x1, str) else x1
+                    c = int(b[x2]) if isinstance(x2, str) else x2
+                except (KeyError, ValueError, TypeError):
+                    continue
+                r = _seq_arith(op, a, c)
+                if r is None:
+                    continue
+                if out in b:
+                    # check form: the bound value must equal the result
+                    try:
+                        if int(b[out]) == r:
+                            nb.append(b)
+                    except (ValueError, TypeError):
+                        pass
+                else:
+                    nb.append({**b, out: str(r)})
+        elif atom[0] == "bi":
             _, op, var, rhs = atom
             for b in bindings:
                 try:
