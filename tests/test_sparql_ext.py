@@ -420,6 +420,97 @@ def test_path_star_in_sequence(graph):
     assert got == {E + "x"}
 
 
+# ---------------------------------------------------------------------------
+# r6c: path grammar completion — groups nest under modifiers/inverse,
+# and `/` binds tighter than `|` (SPARQL 1.1 §18.2.2 precedence)
+# ---------------------------------------------------------------------------
+
+
+def test_path_grouped_sequence_closure(graph):
+    # (p/p)+ closes over the COMPOSED relation {(a,c),(b,d)}
+    got = {
+        tuple(r)
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?x ?y WHERE {{ ?x (e:p/e:p)+ ?y }}"
+        ).collect()
+    }
+    assert got == {(E + "a", E + "c"), (E + "b", E + "d")}
+
+
+def test_path_inverse_of_group(graph):
+    # ^(p|q): only c reaches x over q, so x ^(p|q) = {c}
+    got = {
+        r[0]
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?y WHERE {{ e:x ^(e:p|e:q) ?y }}"
+        ).collect()
+    }
+    assert got == {E + "c"}
+
+
+def test_path_alt_seq_precedence(graph):
+    # unparenthesized q|p/q parses as q|(p/q): {c (via q), b (via p/q)}
+    got = {
+        r[0]
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?s WHERE {{ ?s e:q|e:p/e:q e:x }}"
+        ).collect()
+    }
+    assert got == {E + "b", E + "c"}
+
+
+def test_path_grouped_sequence_optional(graph):
+    # (p/q)?: identity (b itself) plus the composed hop b -p-> c -q-> x
+    got = {
+        r[0]
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?y WHERE {{ e:b (e:p/e:q)? ?y }}"
+        ).collect()
+    }
+    assert got == {E + "b", E + "x"}
+
+
+def test_path_inverse_of_closure(graph):
+    # ^(p+) = everything that reaches d via p+
+    got = {
+        r[0]
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?y WHERE {{ e:d ^(e:p+) ?y }}"
+        ).collect()
+    }
+    assert got == {E + "a", E + "b", E + "c"}
+
+
+def test_path_nested_group_closure(graph):
+    # ((p/p)|q)+ over composed edges {(a,c),(b,d),(c,x)}: from a → c → x
+    got = {
+        r[0]
+        for r in make_query(
+            graph,
+            f"PREFIX e: <{E}> SELECT ?y WHERE {{ e:a ((e:p/e:p)|e:q)+ ?y }}",
+        ).collect()
+    }
+    assert got == {E + "c", E + "x"}
+
+
+def test_path_negated_set_with_modifier(graph):
+    # !(q)+ = closure over every non-q edge (here: the p chain)
+    got = {
+        r[0]
+        for r in make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?y WHERE {{ e:a !(e:q)+ ?y }}"
+        ).collect()
+    }
+    assert got == {E + "b", E + "c", E + "d"}
+
+
+def test_path_var_inside_group_rejected(graph):
+    with pytest.raises(SparqlError, match="propert"):
+        make_query(
+            graph, f"PREFIX e: <{E}> SELECT ?x WHERE {{ ?x (e:p/?v) ?y }}"
+        )
+
+
 def test_agg_count_group_by(triples):
     rows = {
         (r["x"], r["n"])

@@ -22,10 +22,12 @@ comparisons with arithmetic operands, ``IN``/``NOT IN``, ``bound()``,
 ``IF()``), ``UNION``, ``OPTIONAL``, ``MINUS``,
 ``VALUES`` (single-var and tuple forms, ``UNDEF`` rows grouped by
 defined-mask), expression ``BIND``, property
-paths (``p+`` one-or-more, ``p*`` zero-or-more, ``p?`` zero-or-one,
-``^p`` inverse, ``p1|p2`` alternation incl. ``(p1|p2)+``, negated
-property sets ``!p`` / ``!(p1|p2)``, and ``p1/p2``
-sequences), aggregates (``(COUNT|SUM|MIN|MAX|AVG|SAMPLE)(?v)``,
+paths (the complete SPARQL 1.1 §9.1 grammar, r6c: ``p+``
+one-or-more, ``p*`` zero-or-more, ``p?`` zero-or-one, ``^path``
+inverse, ``|`` alternation, ``/`` sequence — ``/`` binding tighter
+than ``|`` per §18.2.2 — negated property sets ``!p`` /
+``!(p1|^p2|…)``, and parenthesized groups nesting under any
+modifier: ``(p1/p2)+``, ``^(p|q)``, ``((a/b)|c)+``), aggregates (``(COUNT|SUM|MIN|MAX|AVG|SAMPLE)(?v)``,
 ``COUNT(*)``, ``COUNT(DISTINCT ?v)``, ``GROUP_CONCAT(?v; SEPARATOR
 "...")``) with ``GROUP BY``, value expressions in the projection
 (``(expr AS ?alias)`` — post-aggregation when aggregates are
@@ -303,19 +305,16 @@ class _Parser:
             # otherwise: a triple pattern — subject, property PATH
             # (single predicate, `p+` closure, `p1/p2` sequence), object
             s = _term_of(self.next(), self.prefixes)
-            segs = self._path()
+            path_ast = self._path()
             o = _term_of(self.next(), self.prefixes)
-            if (
-                len(segs) == 1
-                and not segs[0][1]
-                and not segs[0][2]
-                and len(segs[0][0]) == 1
-            ):
-                pred, inv = segs[0][0][0]
-                # single plain atom = a BGP pattern; ^p just swaps ends
-                items.append(("t", (o, pred, s) if inv else (s, pred, o)))
+            if path_ast[0] == "link":
+                # single plain atom = a BGP pattern
+                items.append(("t", (s, path_ast[1], o)))
+            elif path_ast[0] == "inv" and path_ast[1][0] == "link":
+                # ^p just swaps ends
+                items.append(("t", (o, path_ast[1][1], s)))
             else:
-                items.append(("path", s, segs, o))
+                items.append(("path", s, path_ast, o))
 
     def _subquery_text(self) -> str:
         """The already-consumed '{' opened a nested SELECT: slice its
@@ -696,77 +695,106 @@ class _Parser:
                 return (name,)
         raise SparqlError(f"expected a FILTER operand, got {tok.group(0)!r}")
 
-    def _path_atom(self):
-        """``p`` or ``^p`` — (pred_term, inverse)."""
+    def _path_neg_member(self):
+        """A member of a negated property set: concrete ``p`` or
+        ``^p`` (SPARQL 1.1 §9.1 PathOneInPropertySet)."""
         inv = False
         nxt = self.peek()
         if nxt is not None and _kind(nxt) == "caret":
             self.next()
             inv = True
         term = _term_of(self.next(), self.prefixes)
-        if inv and term.startswith("?"):
-            raise SparqlError("`^` inverse needs a concrete predicate")
+        if term.startswith("?"):
+            raise SparqlError("negated property sets need concrete predicates")
         return (term, inv)
 
-    def _path_alts(self) -> list:
-        """alt-list: atom ('|' atom)*."""
-        alts = [self._path_atom()]
+    def _path_primary(self):
+        """PathPrimary: ``iri`` | ``!set`` | ``( Path )`` — the full
+        recursive grammar, so groups nest under modifiers/inverse."""
+        nxt = self.peek()
+        if nxt is not None and _kind(nxt) == "bang":
+            self.next()
+            nxt = self.peek()
+            members = []
+            if nxt is not None and _kind(nxt) == "lparen":
+                self.next()
+                members.append(self._path_neg_member())
+                while True:
+                    t = self.peek()
+                    if t is None or _kind(t) != "alt":
+                        break
+                    self.next()
+                    members.append(self._path_neg_member())
+                self.expect("rparen")
+            else:
+                members.append(self._path_neg_member())
+            return ("neg", members)
+        if nxt is not None and _kind(nxt) == "lparen":
+            self.next()
+            sub = self._path()
+            self.expect("rparen")
+            return sub
+        return ("link", _term_of(self.next(), self.prefixes))
+
+    def _path_elt(self):
+        """PathEltOrInverse: ``^``? PathPrimary PathMod? — per the
+        grammar ``^p+`` parses as ``^(p+)`` (equivalent edge set)."""
+        inv = False
+        nxt = self.peek()
+        if nxt is not None and _kind(nxt) == "caret":
+            self.next()
+            inv = True
+        prim = self._path_primary()
+        nxt = self.peek()
+        if nxt is not None and (
+            (_kind(nxt) == "arith" and nxt.group("arith") in "+*")
+            or _kind(nxt) == "qmark"
+        ):
+            mod = "?" if _kind(nxt) == "qmark" else nxt.group("arith")
+            self.next()
+            if prim[0] == "link" and prim[1].startswith("?"):
+                raise SparqlError("path modifiers need a concrete predicate")
+            prim = ("mod", prim, mod)
+        if inv:
+            if prim[0] == "link" and prim[1].startswith("?"):
+                raise SparqlError("`^` inverse needs a concrete predicate")
+            prim = ("inv", prim)
+        return prim
+
+    def _path_seq(self):
+        """PathSequence: elt ('/' elt)* — ``/`` binds tighter than
+        ``|`` (SPARQL 1.1 §18.2.2: ``a|b/c`` is ``a|(b/c)``)."""
+        elts = [self._path_elt()]
+        while True:
+            nxt = self.peek()
+            if nxt is None or _kind(nxt) != "arith" or nxt.group("arith") != "/":
+                break
+            self.next()
+            elts.append(self._path_elt())
+        return elts[0] if len(elts) == 1 else ("seq", elts)
+
+    def _path(self):
+        """Property path in predicate position — the COMPLETE SPARQL
+        1.1 §9.1 grammar: ``p``, ``^path``, ``p+``/``p*``/``p?``,
+        alternatives ``|``, sequences ``/``, parenthesized groups
+        nesting under any modifier (``(p1/p2)+``, ``^(p|q)``), and
+        negated property sets ``!p`` / ``!(p1|^p2|…)``. Returns a
+        recursive AST of ``("link", iri)``, ``("inv", sub)``,
+        ``("seq", [sub…])``, ``("alt", [sub…])``, ``("mod", sub,
+        '+'|'*'|'?')``, ``("neg", [(iri, inverse)…])``. A variable
+        predicate is allowed only as the entire path (plain BGP);
+        the spec forbids variables inside paths."""
+        alts = [self._path_seq()]
         while True:
             nxt = self.peek()
             if nxt is None or _kind(nxt) != "alt":
-                return alts
+                break
             self.next()
-            alts.append(self._path_atom())
-
-    def _path(self) -> list:
-        """Property path in predicate position: ``p``, ``^p``, ``p+``,
-        ``p*``, ``p?``, ``p1|p2``, ``(p1|p2)+``, negated property sets
-        ``!p`` / ``!(p1|p2)`` (SPARQL 1.1 §9.1 — any edge whose
-        predicate is NOT in the set; forward members only), and
-        ``/``-sequences of those. Returns ``[(alts, mod, neg), ...]``
-        with alts = [(pred, inverse)], mod in (None, '+', '*', '?')
-        and neg a bool. A variable predicate is allowed only as a
-        single plain segment (plain BGP)."""
-        segs = []
-        while True:
-            neg = False
-            nxt = self.peek()
-            if nxt is not None and _kind(nxt) == "bang":
-                self.next()
-                neg = True
-                nxt = self.peek()
-            if nxt is not None and _kind(nxt) == "lparen":
-                self.next()
-                alts = self._path_alts()
-                self.expect("rparen")
-            else:
-                alts = self._path_alts()
-            if neg:
-                if any(t.startswith("?") for t, _ in alts):
-                    raise SparqlError(
-                        "negated property sets need concrete predicates"
-                    )
-            mod = None
-            nxt = self.peek()
-            if nxt is not None and (
-                (_kind(nxt) == "arith" and nxt.group("arith") in "+*")
-                or _kind(nxt) == "qmark"
-            ):
-                if any(t.startswith("?") for t, _ in alts):
-                    raise SparqlError("path modifiers need a concrete predicate")
-                mod = "?" if _kind(nxt) == "qmark" else nxt.group("arith")
-                self.next()
-            segs.append((alts, mod, neg))
-            nxt = self.peek()
-            if nxt is not None and _kind(nxt) == "arith" and nxt.group("arith") == "/":
-                self.next()
-                continue
-            n_atoms = sum(len(a) for a, _, _ in segs)
-            if n_atoms > 1 and any(
-                t.startswith("?") for alts2, _, _ in segs for t, _ in alts2
-            ):
-                raise SparqlError("variable predicates not allowed in property paths")
-            return segs
+            alts.append(self._path_seq())
+        ast = alts[0] if len(alts) == 1 else ("alt", alts)
+        if ast[0] != "link" and _path_has_var(ast):
+            raise SparqlError("variable predicates not allowed in property paths")
+        return ast
 
     def _values(self) -> tuple:
         """VALUES ?x { t1 t2 ... }  |  VALUES (?x ?y) { (a b) (c UNDEF) }
@@ -1072,10 +1100,24 @@ def _identity_frame(triples: DataFrame, s: str, o: str) -> DataFrame:
 _GSEP = "\x01"
 
 
+def _path_has_var(ast) -> bool:
+    """True when any predicate inside the path AST is a ?variable."""
+    kind = ast[0]
+    if kind == "link":
+        return ast[1].startswith("?")
+    if kind == "inv":
+        return _path_has_var(ast[1])
+    if kind == "mod":
+        return _path_has_var(ast[1])
+    if kind in ("seq", "alt"):
+        return any(_path_has_var(sub) for sub in ast[1])
+    return False  # neg members are concrete by construction
+
+
 def _path_frame(
     triples: DataFrame,
     s: str,
-    segs: list,
+    path_ast: tuple,
     o: str,
     idx: int,
     graph_var: str | None = None,
@@ -1084,7 +1126,10 @@ def _path_frame(
     become a distributed semi-naive transitive closure
     (operators/closure) — SPARQL 1.1 paths expressed as the
     iterative-DataFrame pattern instead of a recursive evaluator;
-    ``p*``/``p?`` union the identity over graph terms.
+    ``p*``/``p?`` union the identity over graph terms. The AST is
+    recursive (parser ``_path``), so groups compose under modifiers:
+    ``(p1/p2)+`` closes over the JOINED edge relation, ``^(p|q)``
+    swaps the unioned frame's endpoints.
 
     Under ``GRAPH ?g`` (r6) the path must hold WITHIN one named graph:
     nodes travel as ``doc_iri + \\x01 + term`` composed keys, so every
@@ -1121,9 +1166,48 @@ def _path_frame(
         nodes = nodes.distinct()
         return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
 
-    cur = None
-    for i, (alts, mod, neg) in enumerate(segs):
-        if neg:
+    seq_counter = [0]
+
+    def edges(ast) -> DataFrame:
+        """(src, dst) edge frame for a path AST node, recursively."""
+        kind = ast[0]
+        if kind == "link":
+            return triples.filter(F.col("pred") == ast[1]).select(
+                node("subj").alias("src"), node("obj").alias("dst")
+            )
+        if kind == "inv":
+            e = edges(ast[1])
+            return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if kind == "alt":
+            e = None
+            for sub in ast[1]:
+                f = edges(sub)
+                e = f if e is None else e.unionByName(f)
+            return e
+        if kind == "seq":
+            # composition: chain joins on distinct hop names; a fresh
+            # counter per seq keeps nested compositions unambiguous
+            seq_counter[0] += 1
+            n = seq_counter[0]
+            cur = None
+            for i, sub in enumerate(ast[1]):
+                f = edges(sub).select(
+                    F.col("src").alias(f"_p{n}_{i}"),
+                    F.col("dst").alias(f"_p{n}_{i + 1}"),
+                )
+                cur = f if cur is None else cur.join(f, f"_p{n}_{i}")
+            k = len(ast[1])
+            return cur.select(
+                F.col(f"_p{n}_0").alias("src"), F.col(f"_p{n}_{k}").alias("dst")
+            )
+        if kind == "mod":
+            e = edges(ast[1])
+            if ast[2] == "+":
+                return transitive_closure(e)
+            if ast[2] == "*":
+                return transitive_closure(e).unionByName(identity_frame()).distinct()
+            return e.unionByName(identity_frame()).distinct()
+        if kind == "neg":
             # negated property set: every edge whose predicate is NOT a
             # set member — ONE filtered scan per direction (isin pushes
             # down), never an anti-join of the edge frame against
@@ -1131,8 +1215,8 @@ def _path_frame(
             # the forward half negating {p1..} and the INVERSE half
             # negating {q1..}, unioned; a half with no members
             # contributes nothing (`!(^q)` is reverse-only)
-            fwd = [p for p, inv in alts if not inv]
-            rev = [p for p, inv in alts if inv]
+            fwd = [p for p, inv in ast[1] if not inv]
+            rev = [p for p, inv in ast[1] if inv]
             e = None
             if fwd or not rev:
                 e = triples.filter(~F.col("pred").isin(fwd)).select(
@@ -1143,25 +1227,13 @@ def _path_frame(
                     node("obj").alias("src"), node("subj").alias("dst")
                 )
                 e = r if e is None else e.unionByName(r)
-        else:
-            e = None
-            for p, inv in alts:
-                src_col, dst_col = ("obj", "subj") if inv else ("subj", "obj")
-                f = triples.filter(F.col("pred") == p).select(
-                    node(src_col).alias("src"), node(dst_col).alias("dst")
-                )
-                e = f if e is None else e.unionByName(f)
-        if mod == "+":
-            e = transitive_closure(e)
-        elif mod == "*":
-            e = transitive_closure(e).unionByName(identity_frame()).distinct()
-        elif mod == "?":
-            e = e.unionByName(identity_frame()).distinct()
-        e = e.select(
-            F.col("src").alias(f"_h{idx}_{i}"), F.col("dst").alias(f"_h{idx}_{i + 1}")
-        )
-        cur = e if cur is None else cur.join(e, f"_h{idx}_{i}")
-    first, last = f"_h{idx}_0", f"_h{idx}_{len(segs)}"
+            return e
+        raise SparqlError(f"unknown path node {kind!r}")  # pragma: no cover
+
+    cur = edges(path_ast).select(
+        F.col("src").alias(f"_h{idx}_0"), F.col("dst").alias(f"_h{idx}_1")
+    )
+    first, last = f"_h{idx}_0", f"_h{idx}_1"
     if graph_var is not None:
         # split the composed keys back into (graph, term); first and
         # last necessarily share the graph prefix (joins preserve it)
