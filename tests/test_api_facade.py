@@ -324,11 +324,10 @@ def test_sync_reasoner_filters_dl_diagnostics(spark):
     om = OntologyManager(
         os.path.join(REFERENCE_DIR, "examples/regional-rules.owl.yml"), spark
     )
-    # graft an owl:onDatatype facet restriction — the last construct
-    # outside the CSP fragment (cardinality joined in r5; qualified
-    # cardinality, hasSelf, disjointness, hasKey and disjointUnionOf
-    # all joined in r6; facet-constrained data ranges remain
-    # hand-authorable-only and neither reasoner evaluates them)
+    # graft a BARE owl:onDatatype with no withRestrictions list — an
+    # UNPARSEABLE facet range (r6c: decodable ranges are reasoned over
+    # via operators/facets; anything the evaluator cannot decode keeps
+    # the loud diagnostic)
     grafted = spark.createDataFrame(
         [
             ("_:dtr1", OWL + "onDatatype",
@@ -342,3 +341,37 @@ def test_sync_reasoner_filters_dl_diagnostics(spark):
         om.sync_reasoner()
     assert any("dlUnsupportedConstruct" in str(w.message) for w in caught)
     assert om.triples.filter(om.triples.pred == YPO_DL_UNSUPPORTED).count() == 0
+
+
+def test_facet_violation_surfaces_as_inconsistent_warning(spark):
+    """r6c: a DECODABLE facet range with a violating asserted value is
+    reasoned over — sync_reasoner warns INCONSISTENT naming
+    ypo:facetViolation, and the diagnostic never enters om.triples."""
+    import warnings
+
+    OWL = "http://www.w3.org/2002/07/owl#"
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    YPO = "https://w3id.org/yamlpyowl-spark/vocab#"
+    P = "https://w3id.org/yet/undefined/regional-rules-ontology#"
+    om = OntologyManager(
+        os.path.join(REFERENCE_DIR, "examples/regional-rules.owl.yml"), spark
+    )
+    om._append_rows(
+        [
+            # hasPopulation rdfs:range (integer >= 0); dresden gets -5
+            (P + "hasPopulation", "http://www.w3.org/2000/01/rdf-schema#range", "_:dr", False, None),
+            ("_:dr", OWL + "onDatatype", XSD + "integer", False, None),
+            ("_:dr", OWL + "withRestrictions", "_:l0", False, None),
+            ("_:l0", RDF + "first", "_:f0", False, None),
+            ("_:l0", RDF + "rest", RDF + "nil", False, None),
+            ("_:f0", XSD + "minInclusive", "0", True, XSD + "integer"),
+            (P + "dresden", P + "hasPopulation", "-5", True, XSD + "integer"),
+        ]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        om.sync_reasoner()
+    assert any("facetViolation" in str(w.message) for w in caught)
+    assert any("INCONSISTENT" in str(w.message) for w in caught)
+    assert om.triples.filter(om.triples.pred == YPO + "facetViolation").count() == 0

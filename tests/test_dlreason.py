@@ -1095,3 +1095,138 @@ def test_pairwise_differentfrom_prunes_like_alldifferent():
     stats2 = {}
     _solve_doc(base, stats=stats2)
     assert stats2.get("n_models", 0) > 0
+
+
+# ---------------------------------------------------------------------------
+# r6c: facet-constrained data ranges enter the CSP (operators/facets)
+# ---------------------------------------------------------------------------
+
+XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _facet_range(node, base, facet_rows):
+    """Entity rows + literal rows for `node onDatatype base;
+    withRestrictions (...)` — returns (ent_rows, lit_rows)."""
+    from yamlpyowl_spark.operators.dlreason import OWL, RDF_FIRST, RDF_REST, RDF_NIL
+
+    ent = [
+        (node, OWL + "onDatatype", base),
+        (node, OWL + "withRestrictions", node + "_l0"),
+    ]
+    lit = []
+    for i, (facet, bound) in enumerate(facet_rows):
+        nxt = node + f"_l{i + 1}" if i + 1 < len(facet_rows) else RDF_NIL
+        ent += [
+            (node + f"_l{i}", RDF_FIRST, node + f"_f{i}"),
+            (node + f"_l{i}", RDF_REST, nxt),
+        ]
+        lit.append((node + f"_f{i}", facet, bound))
+    return ent, lit
+
+
+def _csp_scaffold():
+    """A minimal var-bearing doc so _solve_doc actually searches."""
+    from yamlpyowl_spark.operators.dlreason import OWL, RDFS_DOMAIN, RDFS_RANGE
+
+    return [
+        *_enum(CE + "Person", CE + "a", CE + "b"),
+        (CE + "p", RDF_TYPE, OWL + "FunctionalProperty"),
+        (CE + "p", RDFS_DOMAIN, CE + "Person"),
+        (CE + "p", RDFS_RANGE, CE + "Person"),
+    ]
+
+
+def test_avf_facet_violation_prunes_all_models():
+    # x typed by [∀hasAge.(integer < 65)] with hasAge "70": the data
+    # value is outside the range in EVERY model → unsat (Pellet raises)
+    from yamlpyowl_spark.operators.dlreason import OWL, OWL_ON_PROPERTY, _solve_doc
+
+    ent_r, lit_r = _facet_range("_:dr", XSD_NS + "integer",
+                                [(XSD_NS + "maxExclusive", "65")])
+    rows = [
+        *_csp_scaffold(),
+        (CE + "x", RDF_TYPE, "_:r"),
+        ("_:r", OWL_ON_PROPERTY, CE + "hasAge"),
+        ("_:r", OWL + "allValuesFrom", "_:dr"),
+        *ent_r,
+    ]
+    stats = {}
+    _solve_doc(rows, stats=stats, lit_rows=lit_r + [(CE + "x", CE + "hasAge", "70")])
+    assert stats["n_models"] == 0
+    stats = {}
+    _solve_doc(rows, stats=stats, lit_rows=lit_r + [(CE + "x", CE + "hasAge", "30")])
+    assert stats["n_models"] > 0
+
+
+def test_svf_facet_witness_decides_models():
+    # x typed by [∃hasAge.(integer ≥ 18)]: "30" witnesses (models
+    # survive); "7" fails and the conservative dialect withholds models
+    from yamlpyowl_spark.operators.dlreason import OWL, OWL_ON_PROPERTY, OWL_SOME_VALUES_FROM, _solve_doc
+
+    ent_r, lit_r = _facet_range("_:dr", XSD_NS + "integer",
+                                [(XSD_NS + "minInclusive", "18")])
+    rows = [
+        *_csp_scaffold(),
+        (CE + "x", RDF_TYPE, "_:r"),
+        ("_:r", OWL_ON_PROPERTY, CE + "hasAge"),
+        ("_:r", OWL_SOME_VALUES_FROM, "_:dr"),
+        *ent_r,
+    ]
+    stats = {}
+    _solve_doc(rows, stats=stats, lit_rows=lit_r + [(CE + "x", CE + "hasAge", "30")])
+    assert stats["n_models"] > 0
+    stats = {}
+    _solve_doc(rows, stats=stats, lit_rows=lit_r + [(CE + "x", CE + "hasAge", "7")])
+    assert stats["n_models"] == 0
+
+
+def test_max_qualified_data_range_counts_canonical_values():
+    # [hasAge max 1 over (integer ≥ 0)]: "30" + "40" = two provably
+    # different in-range values → unsat; "30" + "30.00" denote ONE
+    # canonical value → fine
+    from yamlpyowl_spark.operators.dlreason import OWL, OWL_ON_PROPERTY, _solve_doc
+
+    ent_r, lit_r = _facet_range("_:dr", XSD_NS + "integer",
+                                [(XSD_NS + "minInclusive", "0")])
+    rows = [
+        *_csp_scaffold(),
+        (CE + "x", RDF_TYPE, "_:r"),
+        ("_:r", OWL_ON_PROPERTY, CE + "hasAge"),
+        ("_:r", OWL + "onDataRange", "_:dr"),
+    ]
+    lit_card = [("_:r", OWL + "maxQualifiedCardinality", "1")]
+    rows_full = rows + ent_r
+    stats = {}
+    _solve_doc(rows_full, stats=stats, lit_rows=lit_r + lit_card + [
+        (CE + "x", CE + "hasAge", "30"), (CE + "x", CE + "hasAge", "40")])
+    assert stats["n_models"] == 0
+    stats = {}
+    _solve_doc(rows_full, stats=stats, lit_rows=lit_r + lit_card + [
+        (CE + "x", CE + "hasAge", "30"), (CE + "x", CE + "hasAge", "30.00")])
+    assert stats["n_models"] > 0
+
+
+def test_parseable_facet_range_not_flagged_unparseable_still_is(spark):
+    # a decodable range produces NO dlUnsupportedConstruct diagnostic;
+    # an unknown facet on the same shape still flags loudly
+    from yamlpyowl_spark.operators.dlreason import OWL, YPO_DL_UNSUPPORTED, dl_model_search
+
+    E2 = "http://ex.org/facetdoc#"
+    schema = ("subj string, pred string, obj string, obj_is_literal boolean, "
+              "obj_datatype string, doc_iri string")
+
+    def doc(facet):
+        return [
+            ("_:dr", OWL + "onDatatype", XSD_NS + "integer", False, None, E2),
+            ("_:dr", OWL + "withRestrictions", "_:l0", False, None, E2),
+            ("_:l0", "http://www.w3.org/1999/02/22-rdf-syntax-ns#first", "_:f0", False, None, E2),
+            ("_:l0", "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest",
+             "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil", False, None, E2),
+            ("_:f0", facet, "18", True, None, E2),
+        ]
+
+    ok = dl_model_search(spark.createDataFrame(doc(XSD_NS + "minInclusive"), schema)).collect()
+    assert not [r for r in ok if r["pred"] == YPO_DL_UNSUPPORTED]
+    bad = dl_model_search(spark.createDataFrame(doc(XSD_NS + "totalDigits"), schema)).collect()
+    flagged = {r["obj"] for r in bad if r["pred"] == YPO_DL_UNSUPPORTED}
+    assert flagged == {OWL + "onDatatype", OWL + "withRestrictions"}

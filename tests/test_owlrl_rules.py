@@ -809,3 +809,105 @@ def test_fixpoint_never_replicates_diagnostics():
         (E + "a", V.YPO + "identityViolation", E + "b", False),
         (E + "b", V.YPO + "identityViolation", E + "a", False),
     ]
+
+
+# ---------------------------------------------------------------------------
+# r6c: facet-constrained data ranges (owl:onDatatype + owl:withRestrictions)
+# ---------------------------------------------------------------------------
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _facet_range_rows(node, base, facet_rows):
+    """node onDatatype base; withRestrictions ( _:fN facet bound ... )."""
+    out = [
+        T(node, OWL + "onDatatype", base),
+        T(node, OWL + "withRestrictions", node + "_l0"),
+    ]
+    for i, (facet, bound) in enumerate(facet_rows):
+        nxt = node + f"_l{i + 1}" if i + 1 < len(facet_rows) else V.RDF + "nil"
+        out += [
+            T(node + f"_l{i}", V.RDF_FIRST, node + f"_f{i}"),
+            T(node + f"_l{i}", V.RDF_REST, nxt),
+            T(node + f"_f{i}", facet, bound, True),
+        ]
+    return out
+
+
+def test_svf_facet_range_membership():
+    # Adult ≡ ∃hasAge.(integer ≥ 18): alice(30) in, bob(7) out
+    rs = rows(
+        T(E + "Adult", V.OWL_EQUIVALENT_CLASS, "_:r"),
+        T("_:r", V.OWL_ON_PROPERTY, E + "hasAge"),
+        T("_:r", V.OWL_SOME_VALUES_FROM, "_:dr"),
+        *_facet_range_rows("_:dr", XSD + "integer", [(XSD + "minInclusive", "18")]),
+        T(E + "alice", V.RDF_TYPE, OWL + "NamedIndividual"),
+        T(E + "bob", V.RDF_TYPE, OWL + "NamedIndividual"),
+        T(E + "alice", E + "hasAge", "30", True),
+        T(E + "bob", E + "hasAge", "7", True),
+    )
+    got = _infer_doc(rs)
+    assert (E + "alice", V.RDF_TYPE, E + "Adult", False) in got
+    assert (E + "bob", V.RDF_TYPE, E + "Adult", False) not in got
+
+
+def test_svf_plain_xsd_datatype_membership():
+    # Numbered ≡ ∃hasCode.xsd:integer — witnessed by a parsing literal
+    rs = rows(
+        T(E + "Numbered", V.OWL_EQUIVALENT_CLASS, "_:r"),
+        T("_:r", V.OWL_ON_PROPERTY, E + "hasCode"),
+        T("_:r", V.OWL_SOME_VALUES_FROM, XSD + "integer"),
+        T(E + "x", V.RDF_TYPE, OWL + "NamedIndividual"),
+        T(E + "y", V.RDF_TYPE, OWL + "NamedIndividual"),
+        T(E + "x", E + "hasCode", "42", True),
+        T(E + "y", E + "hasCode", "forty-two", True),
+    )
+    got = _infer_doc(rs)
+    assert (E + "x", V.RDF_TYPE, E + "Numbered", False) in got
+    assert (E + "y", V.RDF_TYPE, E + "Numbered", False) not in got
+
+
+def test_avf_facet_range_violation():
+    # C ⊑ ∀hasAge.(integer < 65): a 70 on a member is a loud violation
+    rs = rows(
+        T(E + "C", V.RDFS_SUBCLASSOF, "_:r"),
+        T("_:r", V.OWL_ON_PROPERTY, E + "hasAge"),
+        T("_:r", OWL + "allValuesFrom", "_:dr"),
+        *_facet_range_rows("_:dr", XSD + "integer", [(XSD + "maxExclusive", "65")]),
+        T(E + "ok", V.RDF_TYPE, E + "C"),
+        T(E + "bad", V.RDF_TYPE, E + "C"),
+        T(E + "ok", E + "hasAge", "30", True),
+        T(E + "bad", E + "hasAge", "70", True),
+    )
+    got = _infer_doc(rs)
+    fv = {(s, o) for s, p, o, _ in got if p == V.YPO + "facetViolation"}
+    assert fv == {(E + "bad", E + "hasAge")}
+
+
+def test_range_facet_violation():
+    # rdfs:range (string, pattern [A-Z]+): lowercase value flags subject
+    rs = rows(
+        T(E + "code", V.RDFS_RANGE, "_:dr"),
+        *_facet_range_rows("_:dr", XSD + "string", [(XSD + "pattern", "[A-Z]+")]),
+        T(E + "a", E + "code", "ABC", True),
+        T(E + "b", E + "code", "abc", True),
+    )
+    got = _infer_doc(rs)
+    fv = {(s, o) for s, p, o, _ in got if p == V.YPO + "facetViolation"}
+    assert fv == {(E + "b", E + "code")}
+
+
+def test_unparseable_facet_range_is_inert_in_owlrl():
+    # unknown facet (totalDigits): no membership, no violation — the
+    # loud unsupported diagnostic is dlreason's (gated there)
+    rs = rows(
+        T(E + "Adult", V.OWL_EQUIVALENT_CLASS, "_:r"),
+        T("_:r", V.OWL_ON_PROPERTY, E + "hasAge"),
+        T("_:r", V.OWL_SOME_VALUES_FROM, "_:dr"),
+        *_facet_range_rows("_:dr", XSD + "integer", [(XSD + "totalDigits", "2")]),
+        T(E + "alice", V.RDF_TYPE, OWL + "NamedIndividual"),
+        T(E + "alice", E + "hasAge", "30", True),
+    )
+    got = _infer_doc(rs)
+    assert (E + "alice", V.RDF_TYPE, E + "Adult", False) not in got
+    assert not any(p == V.YPO + "facetViolation" for _, p, _, _ in got)

@@ -647,11 +647,13 @@ class OntologyManager:
         YPO_DISJOINT_VIOLATION = YPO + "disjointViolation"
         YPO_PROPERTY_VIOLATION = YPO + "propertyViolation"
         YPO_IDENTITY_VIOLATION = YPO + "identityViolation"
+        YPO_FACET_VIOLATION = YPO + "facetViolation"
         DIAG_PREDS = (
             YPO_DL_UNSUPPORTED,
             YPO_DISJOINT_VIOLATION,
             YPO_PROPERTY_VIOLATION,
             YPO_IDENTITY_VIOLATION,
+            YPO_FACET_VIOLATION,
         )
         diag_counts = {
             r["pred"]: r["n"]
@@ -671,7 +673,8 @@ class OntologyManager:
         n_dw = diag_counts.get(YPO_DISJOINT_VIOLATION, 0)
         n_pv = diag_counts.get(YPO_PROPERTY_VIOLATION, 0)
         n_iv = diag_counts.get(YPO_IDENTITY_VIOLATION, 0)
-        if n_dw or n_pv or n_iv:
+        n_fv = diag_counts.get(YPO_FACET_VIOLATION, 0)
+        if n_dw or n_pv or n_iv or n_fv:
             # cax-dw / prp-irp / prp-asyp / prp-pdw: Pellet raises
             # OwlReadyInconsistentOntologyError here; this engine is a
             # materializer, so the inconsistency is LOUD but non-fatal
@@ -690,6 +693,11 @@ class OntologyManager:
                 parts.append(
                     f"{n_iv} sameAs-vs-differentFrom violation(s) "
                     "(ypo:identityViolation)"
+                )
+            if n_fv:
+                parts.append(
+                    f"{n_fv} datatype facet-range violation(s) "
+                    "(ypo:facetViolation)"
                 )
             warnings.warn(
                 f"sync_reasoner: ontology is INCONSISTENT — {' and '.join(parts)}; "

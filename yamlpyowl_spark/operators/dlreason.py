@@ -61,14 +61,24 @@ into the pairwise disjointness checks above;
 ``owl:NegativePropertyAssertion`` prunes any model assigning the
 denied fact (asserted occurrences are statically unsatisfiable).
 
+Facet-constrained data ranges entered the fragment in r6c via the
+shared evaluator (:mod:`.facets`): ``∀p.(range)`` over asserted
+literal values is two-valued (a failing value kills every model —
+the Pellet analog raises), ``∃p.(range)`` is witnessed by a passing
+asserted value (unwitnessed stays unknown — conservative: models are
+withheld, never over-claimed), and ``onDataRange``-qualified
+cardinality counts DISTINCT CANONICAL literal values (provably
+pairwise-different and in-range, so the upper bound prunes with
+certainty; the lower bound stays open-world). Literal rows ship only
+for documents that use the facet vocabulary (broadcast semi-join).
+
 Documents outside the fragment contribute no variables, and the
-boundary is LOUD: constructs the fragment ignores (the
-datatype-restriction vocabulary ``owl:onDataRange`` /
-``owl:onDatatype`` / ``owl:withRestrictions`` — reachable only via
-hand-authored facts) yield per-document diagnostic rows or an
-:class:`UnsupportedDLError` (``on_unsupported=``), never a silent
-no-op. This operator composes with :mod:`swrl`'s forward chain
-in ``api.OntologyManager.sync_reasoner``.
+boundary is LOUD: a range the evaluator cannot decode (unknown facet
+such as ``totalDigits``, user-defined datatype, malformed bound)
+yields per-document diagnostic rows or an :class:`UnsupportedDLError`
+(``on_unsupported=``), never a silent no-op. This operator composes
+with :mod:`swrl`'s forward chain in
+``api.OntologyManager.sync_reasoner``.
 """
 
 from __future__ import annotations
@@ -78,6 +88,7 @@ from typing import Dict, List, Optional, Set, Tuple
 from pyspark.sql import DataFrame, functions as F
 
 from .. import vocab as V
+from . import facets as _FX
 
 RDF_FIRST = V.RDF + "first"
 RDF_REST = V.RDF + "rest"
@@ -103,34 +114,21 @@ RDFS_RANGE = V.RDFS + "range"
 # these would previously fall through silently with only deterministic
 # inferences (r2 verdict #4) — now they produce an explicit diagnostic
 # triple (doc_iri ypo:dlUnsupportedConstruct <construct>) or a raise.
-UNSUPPORTED_DL_PREDS = frozenset(
-    OWL + p
-    for p in (
-        # unqualified cardinality (r5) AND onClass-QUALIFIED
-        # cardinality (r6) are inside the CSP fragment: three-valued
-        # checkers + per-subject variables for (qualified) card-1
-        # restrictions.
-        # propertyChainAxiom: handled by owlrl prp-spo2 (r5) — no
-        # longer flagged here. hasSelf: a three-valued checker in the
-        # CSP since r6. disjointWith / propertyDisjointWith: model
-        # pruning in the CSP since r6 (three-valued class membership /
-        # val-equality over the single-valued representation) — owlrl's
-        # cax-dw / prp-pdw additionally diagnose ASSERTED violations.
-        # hasKey / disjointUnionOf entered the fragment in r6b:
-        # disjointUnionOf decomposes into pairwise disjointness here
-        # (plus Ci ⊑ C edges in owlrl); hasKey prunes models where two
-        # DECLARED-different members of C provably share every key
-        # value (owlrl's prp-key infers the sameAs twin); n-ary
-        # AllDisjointClasses/AllDisjointProperties decompose pairwise;
-        # NegativePropertyAssertion prunes on the denied fact.
-        # What remains flagged is the datatype-restriction vocabulary
-        # (facet-constrained data ranges) — literal-typed reasoning
-        # neither engine evaluates, reachable only via hand-authored
-        # facts (om.add_fact; the YAML grammar never emits these).
-        "onDataRange",
-        "onDatatype",
-        "withRestrictions",
-    )
+#
+# History of the shrinking boundary: unqualified cardinality joined in
+# r5; qualified cardinality, hasSelf, disjointWith/propertyDisjointWith
+# in r6; hasKey/disjointUnionOf/NPA/n-ary AllDisjoint in r6b; and in
+# r6c the last members — the datatype-restriction vocabulary
+# (onDatatype/withRestrictions/onDataRange) — moved to CONDITIONAL
+# support: ranges the shared facet evaluator (operators/facets) can
+# decide are reasoned over, anything it cannot parse (unknown facet,
+# user-defined datatype, malformed bound) is still flagged loudly.
+# The unconditional set is therefore empty; _FACET_VOCAB below drives
+# the parse-dependent diagnostics.
+UNSUPPORTED_DL_PREDS = frozenset()
+
+_FACET_VOCAB = frozenset(
+    (_FX.ON_DATATYPE, _FX.WITH_RESTRICTIONS, _FX.ON_DATA_RANGE)
 )
 
 OWL_CARDINALITY = OWL + "cardinality"
@@ -153,6 +151,8 @@ def _card_int(m: "_DocModel", node: str, key: str) -> Optional[int]:
         return int(v)
     except ValueError:
         return None
+
+
 YPO_DL_UNSUPPORTED = V.YPO + "dlUnsupportedConstruct"
 
 
@@ -162,8 +162,10 @@ class UnsupportedDLError(ValueError):
 
 
 class _DocModel:
-    """Decoded view of one document's triples (entity triples only —
-    literals play no role in this fragment)."""
+    """Decoded view of one document's triples. The CSP core builds it
+    over entity triples only; the facet path (r6c) builds a second,
+    combined instance (``fm``) that also holds the literal rows —
+    facet bounds and data values."""
 
     def __init__(self, rows: List[Tuple[str, str, str]]):
         self.spo: Dict[Tuple[str, str], List[str]] = {}
@@ -337,10 +339,43 @@ def _decode(rows):
     )
 
 
-def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optional[dict] = None):
+def _solve_doc(
+    rows,
+    max_models: int = 8,
+    max_steps: int = 500_000,
+    stats: Optional[dict] = None,
+    lit_rows=(),
+):
     """Returns the set of (subj, pred, obj) facts entailed in all found
     models, minus nothing (caller subtracts asserted). Empty when the
-    doc has no CSP structure."""
+    doc has no CSP structure.
+
+    ``lit_rows`` (r6c) carries the document's LITERAL-valued triples —
+    the CSP core stays entity-only (variables range over enumerations),
+    but facet-constrained data ranges (operators/facets) need the
+    asserted data values and the facet bound literals: they feed the
+    ``holds`` checkers for ∀/∃/cardinality over data ranges and never
+    enter ``ground``/``variables``."""
+    # data facts (p, s) -> [lexical...] + a model over ALL rows for
+    # decoding facet lists (bounds are literals, list spine is entity)
+    lit_facts: Dict[Tuple[str, str], List[str]] = {}
+    for s_l, p_l, o_l in lit_rows:
+        lit_facts.setdefault((p_l, s_l), []).append(o_l)
+    fm = _DocModel([*rows, *lit_rows])
+
+    def data_range_of(node: Optional[str]):
+        """Parsed data range for an allValuesFrom / someValuesFrom /
+        onDataRange target: a blank node decodes via the facet
+        evaluator; a bare supported XSD datatype is the facet-free
+        range (lexical-space membership only)."""
+        if node is None:
+            return None
+        if node.startswith("_:"):
+            return _FX.parse_data_range(fm, node)
+        if node in _FX.SUPPORTED_BASES:
+            return (node, ())
+        return None
+
     (
         m,
         enums,
@@ -532,6 +567,19 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
             return None if got is None else got == entity
         av = m.obj(node, OWL_ALL_VALUES_FROM)
         if av is not None:
+            # r6c — only(data range): every asserted LITERAL value must
+            # be in the range; data values are given, so this is
+            # two-valued (vacuously true with no values). Blank nodes
+            # that do NOT decode as a data range fall through to the
+            # class-expression recursion below.
+            rng_av = data_range_of(av)
+            if rng_av is not None:
+                if m.objs(entity, on_p):
+                    return False  # entity value under a data-only range
+                return all(
+                    _FX.literal_in_range(lex, rng_av)
+                    for lex in lit_facts.get((on_p, entity), ())
+                )
             # only(C): every value of the property satisfies C; a
             # functional property has at most one — absent is vacuous
             if inv_q:
@@ -557,6 +605,17 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
             return holds(got, av)
         sv = m.obj(node, OWL_SOME_VALUES_FROM)
         if sv is not None:
+            # r6c — some(data range): an asserted literal in the range
+            # is a witness (True); with none, the open world still
+            # allows an unstated value — unknown, never False
+            rng_sv = data_range_of(sv)
+            if rng_sv is not None:
+                if any(
+                    _FX.literal_in_range(lex, rng_sv)
+                    for lex in lit_facts.get((on_p, entity), ())
+                ):
+                    return True
+                return None
             if inv_q:
                 # Inverse(q).some(C). If q has a declared functional
                 # inverse r, then Inverse(q) ≡ r and the witness is
@@ -590,9 +649,12 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
             if got == OWL_NOTHING:
                 return False
             return holds(got, sv)
-        minc = _card_int(m, node, OWL_MIN_CARDINALITY)
-        maxc = _card_int(m, node, OWL_MAX_CARDINALITY)
-        card = _card_int(m, node, OWL_CARDINALITY)
+        # bounds read through fm: hand-authored cardinality numbers
+        # are LITERAL rows, which only facet-using docs ship — for all
+        # other docs fm and m hold identical rows
+        minc = _card_int(fm, node, OWL_MIN_CARDINALITY)
+        maxc = _card_int(fm, node, OWL_MAX_CARDINALITY)
+        card = _card_int(fm, node, OWL_CARDINALITY)
         if card is not None or minc is not None or maxc is not None:
             # dialect (conservative both ways, documented): the lower
             # bound counts DISTINCT NAMES present in the model (closed
@@ -624,9 +686,9 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
             if lo is not None and len(names) < lo:
                 return False
             return True
-        qcard = _card_int(m, node, OWL_QUALIFIED_CARDINALITY)
-        qmin = _card_int(m, node, OWL_MIN_QUALIFIED_CARDINALITY)
-        qmax = _card_int(m, node, OWL_MAX_QUALIFIED_CARDINALITY)
+        qcard = _card_int(fm, node, OWL_QUALIFIED_CARDINALITY)
+        qmin = _card_int(fm, node, OWL_MIN_QUALIFIED_CARDINALITY)
+        qmax = _card_int(fm, node, OWL_MAX_QUALIFIED_CARDINALITY)
         if qcard is not None or qmin is not None or qmax is not None:
             # r6 qualified cardinality: count only successors IN the
             # onClass — lower bound over successors PROVABLY in C,
@@ -637,7 +699,29 @@ def _solve_doc(rows, max_models: int = 8, max_steps: int = 500_000, stats: Optio
                 return None  # inverse qualified cardinality: undecidable here
             on_c = m.obj(node, OWL_ON_CLASS)
             if on_c is None:
-                return None
+                # r6c — onDataRange-qualified: count DISTINCT CANONICAL
+                # literal values in the range (distinct canonical
+                # values are provably pairwise different AND provably
+                # in the range — UNA is irrelevant for literals), so
+                # the upper bound prunes with certainty; the lower
+                # bound stays open-world (an unstated value may exist
+                # in another model — unknown, never False)
+                rng_q = data_range_of(m.obj(node, _FX.ON_DATA_RANGE))
+                if rng_q is None:
+                    return None
+                lo2 = qcard if qcard is not None else qmin
+                hi2 = qcard if qcard is not None else qmax
+                vals = lit_facts.get((on_p, entity), ())
+                canon_vals = {
+                    _FX.canon(lex, rng_q[0])
+                    for lex in vals
+                    if _FX.literal_in_range(lex, rng_q)
+                }
+                if hi2 is not None and len(canon_vals) > hi2:
+                    return False
+                if lo2 is not None and len(canon_vals) < lo2:
+                    return None
+                return True
             lo = qcard if qcard is not None else qmin
             hi = qcard if qcard is not None else qmax
             names = set(m.objs(entity, on_p))
@@ -920,9 +1004,24 @@ def dl_model_search(
     the document; ``"ignore"`` restores the silent fall-through."""
     if on_unsupported not in ("warn", "raise", "ignore"):
         raise ValueError(f"on_unsupported must be warn|raise|ignore: {on_unsupported!r}")
+    # r6c: literal rows travel too — facet-constrained data ranges need
+    # the asserted data values and facet bound literals; the CSP core
+    # stays entity-only (split per doc below). Only docs that actually
+    # USE the facet vocabulary ship their literals (broadcast semi-join
+    # on a pushdown-filtered scan) — for the common corpus the literal
+    # volume added to the DL shuffle is exactly zero.
+    facet_docs = (
+        triples.filter(F.col("pred").isin(*sorted(_FACET_VOCAB)))
+        .select("doc_iri")
+        .distinct()
+    )
+    ent_side = triples.filter(~F.col("obj_is_literal"))
+    lit_side = triples.filter(F.col("obj_is_literal")).join(
+        F.broadcast(facet_docs), "doc_iri", "left_semi"
+    )
     ent = (
-        triples.filter(~F.col("obj_is_literal"))
-        .select("doc_iri", "subj", "pred", "obj")
+        ent_side.unionByName(lit_side)
+        .select("doc_iri", "subj", "pred", "obj", "obj_is_literal")
         .distinct()
     )
 
@@ -932,15 +1031,42 @@ def dl_model_search(
         if pdf.empty:
             return pd.DataFrame(columns=DL_OUT_COLS)
         doc_iri = pdf["doc_iri"].iloc[0]
-        rows = list(zip(pdf["subj"], pdf["pred"], pdf["obj"]))
-        unsupported = sorted({p for _, p, _ in rows if p in UNSUPPORTED_DL_PREDS})
+        all_rows = list(
+            zip(pdf["subj"], pdf["pred"], pdf["obj"], pdf["obj_is_literal"])
+        )
+        rows = [(s, p, o) for s, p, o, il in all_rows if not il]
+        lit_rows = [(s, p, o) for s, p, o, il in all_rows if il]
+        unsupported = set(p for _, p, _ in rows if p in UNSUPPORTED_DL_PREDS)
+        # facet vocabulary is CONDITIONALLY supported: a range node the
+        # shared evaluator decodes is reasoned over; anything it cannot
+        # parse (unknown facet, user datatype, malformed bound) keeps
+        # the loud diagnostic naming the construct
+        facet_nodes = {
+            (s, p, o) for s, p, o in rows if p in _FACET_VOCAB
+        }
+        if facet_nodes:
+            fm = _DocModel(rows + lit_rows)
+            for s, p, o in facet_nodes:
+                if p == _FX.ON_DATA_RANGE:
+                    ok = (
+                        _FX.parse_data_range(fm, o) is not None
+                        if o.startswith("_:")
+                        else o in _FX.SUPPORTED_BASES
+                    )
+                else:
+                    ok = _FX.parse_data_range(fm, s) is not None
+                if not ok:
+                    unsupported.add(p)
+        unsupported = sorted(unsupported)
         if unsupported and on_unsupported == "raise":
             raise UnsupportedDLError(
                 f"{doc_iri} uses DL constructs outside the supported "
                 f"fragment: {', '.join(unsupported)}"
             )
         asserted = set(rows)
-        inferred = _solve_doc(rows, max_models=max_models, max_steps=max_steps)
+        inferred = _solve_doc(
+            rows, max_models=max_models, max_steps=max_steps, lit_rows=lit_rows
+        )
         out = sorted(t for t in inferred if t not in asserted)
         if unsupported and on_unsupported == "warn":
             out.extend((doc_iri, YPO_DL_UNSUPPORTED, c) for c in unsupported)

@@ -69,6 +69,14 @@ TestCore2 observes beyond SWRL chaining and the OneOf CSP
   ``ypo:identityViolation`` diagnostics). The distributed wrapper runs
   :func:`_infer_doc` to an outer per-document fixpoint
   (:func:`infer_doc_fixpoint`) so cross-stage cascades converge;
+* **facet-constrained data ranges** (r6c, via the shared
+  :mod:`.facets` evaluator): ``C ≡ ∃p.(xsd-datatype or
+  onDatatype+withRestrictions range)`` infers membership for subjects
+  with a witnessing asserted literal value; ``C ⊑/≡ ∀p.(range)`` and
+  ``rdfs:range (range)`` check asserted literal values and emit loud
+  ``ypo:facetViolation`` diagnostics on failures (Pellet raises);
+  ranges the evaluator cannot decode are inert here — dlreason owns
+  the ``ypo:dlUnsupportedConstruct`` diagnostic;
 * **property consistency** (prp-irp / prp-asyp / prp-pdw, r6):
   ``IrreflexiveProperty(p), p(x,x)``; ``AsymmetricProperty(p),
   p(x,y), p(y,x)``; ``propertyDisjointWith(p1,p2), p1(x,y),
@@ -94,6 +102,7 @@ from typing import Dict, List, Optional, Set, Tuple
 from pyspark.sql import DataFrame, functions as F
 
 from .. import vocab as V
+from . import facets as _FX
 
 OWL = "http://www.w3.org/2002/07/owl#"
 
@@ -143,6 +152,7 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
     sub_exprs: List[Tuple[str, str]] = []
     domains: Dict[str, str] = {}
     ranges: Dict[str, str] = {}
+    range_drs: Dict[str, str] = {}  # p -> blank datatype-restriction node
     individuals: Set[str] = set()
     inv_pairs: List[Tuple[str, str]] = []
     subprop: Dict[str, Set[str]] = {}
@@ -181,6 +191,11 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
             o = objs[0][0]
             if not o.startswith("_:") and not o.startswith(V.XSD):
                 ranges[s] = o
+            elif o.startswith("_:"):
+                # facet-constrained data range as the property's range
+                # (checked post-fixpoint; unparseable → skipped here,
+                # dlreason owns the unsupported diagnostic)
+                range_drs[s] = o
         elif p == V.OWL_INVERSE_OF and not s.startswith("_:"):
             for o, il in objs:
                 if not o.startswith("_:"):
@@ -354,11 +369,31 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
             if sv is not None and not sv.startswith("_:"):
                 if sv == V.OWL_THING:
                     return {x for x, _ in facts.get(on_p, ())}
+                if sv.startswith(V.XSD):
+                    # ∃p.xsd-datatype: a literal value in the
+                    # datatype's lexical space witnesses membership
+                    # (witnessed members only — sound for the "if"
+                    # direction; unsupported datatypes witness nothing)
+                    return {
+                        x
+                        for x, o, il in pf.get(on_p, ())
+                        if il and _FX.lexically_valid(o, sv) is True
+                    }
                 return {
                     x
                     for x, y in facts.get(on_p, ())
                     if sv in closed_types(y)
                 }
+            if sv is not None and sv.startswith("_:"):
+                # ∃p.(facet-constrained data range): an asserted
+                # literal value inside the range witnesses membership
+                rng = _FX.parse_data_range(m, sv)
+                if rng is not None:
+                    return {
+                        x
+                        for x, o, il in pf.get(on_p, ())
+                        if il and _FX.literal_in_range(o, rng)
+                    }
         return None
 
     def domain_of(node: str, depth: int = 0) -> Optional[str]:
@@ -586,6 +621,16 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
         for _s, o, il in pf.get(p, ()):
             if not il and not o.startswith("_:") and rng not in types.get(o, ()):
                 inferred.add((o, V.RDF_TYPE, rng, False))
+    # prp-rng over facet-constrained data ranges: an asserted literal
+    # value outside the declared range is a provable inconsistency →
+    # loud ypo:facetViolation on the SUBJECT (the fact's owner)
+    for p, node in range_drs.items():
+        rng2 = _FX.parse_data_range(m, node)
+        if rng2 is None:
+            continue
+        for s3, o3, il3 in pf.get(p, ()):
+            if il3 and not _FX.literal_in_range(o3, rng2):
+                inferred.add((s3, V.YPO + "facetViolation", p, False))
 
     # ---- cls-avf / cls-maxc / prp-fp / prp-ifp (r6b) ----------------
     # over the POST-fixpoint fact base and the types inferred so far.
@@ -636,9 +681,19 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
             nmax = int(maxc) if maxc is not None else None
         except ValueError:
             nmax = None
+        # ∀p.(data range): literal fillers must be IN the range — an
+        # asserted value outside it is a provable inconsistency, so it
+        # becomes a loud ypo:facetViolation diagnostic (the Pellet
+        # analog raises). Ranges this module cannot decide parse to
+        # None and stay out (dlreason owns the unsupported diagnostic).
+        avf_rng = avf_dt = None
+        if avf is not None and avf.startswith("_:"):
+            avf_rng = _FX.parse_data_range(m, avf)
+        elif avf is not None and avf.startswith(V.XSD):
+            avf_dt = avf if avf in _FX.SUPPORTED_BASES else None
         if avf is not None and (avf.startswith("_:") or avf.startswith(V.XSD)):
             avf = None
-        if avf is None and nmax is None:
+        if avf is None and nmax is None and avf_rng is None and avf_dt is None:
             continue
         members = [
             x
@@ -648,9 +703,12 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
         if not members:
             continue
         by_subj: Dict[str, List[str]] = {}
+        lit_by_subj: Dict[str, List[str]] = {}
         for s2, o2, il2 in pf.get(on_p, ()):
             if not il2 and not o2.startswith("_:"):
                 by_subj.setdefault(s2, []).append(o2)
+            elif il2 and (avf_rng is not None or avf_dt is not None):
+                lit_by_subj.setdefault(s2, []).append(o2)
         for x in members:
             succs = by_subj.get(x, ())
             if avf is not None and avf != V.OWL_THING:
@@ -658,6 +716,17 @@ def _infer_doc(rows) -> Set[Tuple[str, str, str, bool]]:
                     if avf not in mid_types.get(y, set()):
                         mid_types.setdefault(y, set()).add(avf)
                         inferred.add((y, V.RDF_TYPE, avf, False))
+            if avf_rng is not None or avf_dt is not None:
+                for lex in lit_by_subj.get(x, ()):
+                    bad = (
+                        not _FX.literal_in_range(lex, avf_rng)
+                        if avf_rng is not None
+                        else _FX.lexically_valid(lex, avf_dt) is False
+                    )
+                    if bad:
+                        inferred.add(
+                            (x, V.YPO + "facetViolation", on_p, False)
+                        )
             if nmax is not None:
                 qs = sorted(
                     {y for y in succs if qual is None or qual in closed_mid(y)}
