@@ -1526,7 +1526,12 @@ def _register_relational():
         docs = _docs(spark, sf_dir)
         corpus = docs.filter(F.col("doc_id") < 400)
         d = tempfile.mkdtemp(prefix="inc_src_")
-        docs.filter(F.col("doc_id") >= 400).write.mode("overwrite").parquet(d)
+        # many files, not one: the file-source micro-batch parallelism
+        # IS the file layout (one file = one task = a serial minhash —
+        # measured 5.5s -> 0.7s addBatch at sf0.1 with 32 files)
+        docs.filter(F.col("doc_id") >= 400).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(d)
         return drain_incremental_candidates(spark, d, corpus)
 
     @_q(

@@ -16,6 +16,13 @@ Output rows are (new_doc_id, corpus_doc_id) CANDIDATES — one row per
 shared band, so a pair sharing several bands repeats; the drain dedups
 batch-side. Verification (exact Jaccard) stays a downstream batch
 step, exactly like the offline LSH-propose / exact-verify split.
+
+Parallelism note: the file source's micro-batch task count IS the
+input file layout — a single-file drop runs the per-row minhash on
+ONE task (measured 5.5 s vs 0.7 s for 32 files at sf0.1). Ingestion
+should land many files per batch (the norm for log/object-store
+drops); the operator deliberately does NOT repartition per batch,
+which would shuffle the raw text on every micro-batch.
 """
 
 from __future__ import annotations
