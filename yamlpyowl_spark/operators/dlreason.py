@@ -1014,13 +1014,11 @@ def dl_model_search(
         triples.filter(F.col("pred").isin(*sorted(_FACET_VOCAB)))
         .select("doc_iri")
         .distinct()
-    )
-    ent_side = triples.filter(~F.col("obj_is_literal"))
-    lit_side = triples.filter(F.col("obj_is_literal")).join(
-        F.broadcast(facet_docs), "doc_iri", "left_semi"
+        .withColumn("__facet_doc", F.lit(True))
     )
     ent = (
-        ent_side.unionByName(lit_side)
+        triples.join(F.broadcast(facet_docs), "doc_iri", "left")
+        .filter(~F.col("obj_is_literal") | F.col("__facet_doc").isNotNull())
         .select("doc_iri", "subj", "pred", "obj", "obj_is_literal")
         .distinct()
     )
