@@ -1987,3 +1987,97 @@ def test_rand_uuid_struuid_bnode_shapes(spark):
             f'PREFIX e: <{E}> SELECT ?x WHERE {{ ?x e:p ?v . '
             f'BIND(BNODE("k") AS ?bn) }}',
         )
+
+
+# ---------------------------------------------------------------------------
+# r6c: FROM / FROM NAMED dataset clauses (SPARQL 1.1 section 13.2)
+# ---------------------------------------------------------------------------
+
+
+def test_from_restricts_default_graph(quads):
+    got = {
+        tuple(r)
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?s ?o FROM <{E}g1> WHERE {{ ?s e:p ?o }}",
+        ).collect()
+    }
+    assert got == {(E + "a", E + "b")}
+
+
+def test_from_merges_multiple_graphs(quads):
+    got = {
+        tuple(r)
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?s ?o FROM <{E}g1> FROM <{E}g2> "
+            "WHERE { ?s e:p ?o }",
+        ).collect()
+    }
+    assert got == {(E + "a", E + "b"), (E + "b", E + "c")}
+
+
+def test_from_named_scopes_graph_var(quads):
+    # GRAPH ranges over the FROM NAMED set only
+    got = {
+        tuple(r)
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?g ?s FROM NAMED <{E}g2> "
+            "WHERE { GRAPH ?g { ?s e:p ?o } }",
+        ).collect()
+    }
+    assert got == {(E + "g2", E + "b")}
+
+
+def test_from_only_empties_graph(quads):
+    # a dataset with FROM but no FROM NAMED has no named graphs
+    got = make_query(
+        quads,
+        f"PREFIX e: <{E}> SELECT ?g FROM <{E}g1> "
+        "WHERE { GRAPH ?g { ?s e:p ?o } }",
+    ).collect()
+    assert got == []
+
+
+def test_from_named_only_empties_default(quads):
+    # a dataset with only FROM NAMED has an EMPTY default graph
+    got = make_query(
+        quads,
+        f"PREFIX e: <{E}> SELECT ?s FROM NAMED <{E}g1> WHERE {{ ?s e:p ?o }}",
+    ).collect()
+    assert got == []
+
+
+def test_from_with_prefixed_name(quads):
+    got = {
+        r[0]
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?s FROM e:g2 WHERE {{ ?s e:p ?o }}",
+        ).collect()
+    }
+    assert got == {E + "b"}
+
+
+def test_from_inside_body_string_is_not_a_dataset_clause(quads):
+    # only pre-brace text is scanned: FROM inside a literal stays put
+    got = make_query(
+        quads,
+        f'PREFIX e: <{E}> SELECT ?s WHERE {{ ?s e:p ?o . '
+        f'FILTER(!CONTAINS(STR(?s), "FROM <x>")) }}',
+    ).collect()
+    assert len(got) == 2
+
+
+def test_from_applies_to_ask_and_construct(quads):
+    row = make_query(
+        quads, f"PREFIX e: <{E}> ASK FROM <{E}g1> {{ ?s e:q ?o }}"
+    ).collect()[0]
+    assert row["ask"] is False  # e:q lives in g2 only
+    rows = make_query(
+        quads,
+        f"PREFIX e: <{E}> CONSTRUCT {{ ?s e:r ?o }} FROM <{E}g2> "
+        "WHERE { ?s e:p ?o }",
+    ).collect()
+    assert {(r["subj"], r["obj"]) for r in rows} == {(E + "b", E + "c")}

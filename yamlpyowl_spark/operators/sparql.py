@@ -39,7 +39,10 @@ present), the ``ORDER BY`` /
 graph IRI is a pushdown-friendly filter; ``GRAPH ?g`` binds
 ``doc_iri`` — BGPs and property paths inside the variable form, r6:
 paths run over graph-composed node keys so closures stay
-graph-local), and subqueries
+graph-local), ``FROM`` / ``FROM NAMED`` dataset clauses (r6c —
+§13.2: the default graph is the merge of the FROM graphs, GRAPH
+ranges over the FROM NAMED set, a missing twin leaves that side
+empty; compiled to pushdown ``isin`` filters), and subqueries
 (``{ SELECT ... }`` compiled independently, joined to the outer
 pattern on the shared variables) — and compiles
 them onto DataFrame
@@ -113,6 +116,12 @@ _SELECT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _UNSUPPORTED = re.compile(r"\bSERVICE\b", re.IGNORECASE)
+# dataset clauses sit between the query form and WHERE — only text
+# before the first `{` is scanned, so FROM inside a string literal in
+# the body can never be misread as a dataset clause
+_DATASET_RE = re.compile(
+    r"\bFROM\s+(NAMED\s+)?(?:<([^>]+)>|(\w*):(\w+))", re.IGNORECASE
+)
 _ASK_RE = re.compile(r"^ASK\s*\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL)
 _DESCRIBE_RE = re.compile(
     r"^DESCRIBE\s+(.+?)(?:\s+WHERE\s*\{(.*)\})?\s*$", re.IGNORECASE | re.DOTALL
@@ -1623,7 +1632,16 @@ def _bind_col(df: DataFrame, expr):
     return _operand_col(df, expr)
 
 
-def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> DataFrame:
+def _compile(
+    triples: DataFrame,
+    items: list,
+    graph_var: str | None = None,
+    named: DataFrame | None = None,
+) -> DataFrame:
+    # `named` is the frame GRAPH ranges over — differs from `triples`
+    # only under a FROM / FROM NAMED dataset clause (r6c)
+    if named is None:
+        named = triples
     df = None
     filters = []
     exists_filters = []
@@ -1644,16 +1662,16 @@ def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> D
         elif kind == "graph":
             gterm, g = item[1], item[2]
             if gterm.startswith("?"):
-                sub = _compile(triples, g, graph_var=gterm[1:])
+                sub = _compile(named, g, graph_var=gterm[1:], named=named)
             else:
                 # constant named graph = a pushdown-friendly filter on
-                # the graph column
-                sub = _compile(triples.filter(F.col("doc_iri") == gterm), g,
-                               graph_var=graph_var)
+                # the graph column (over the FROM NAMED set when given)
+                sub = _compile(named.filter(F.col("doc_iri") == gterm), g,
+                               graph_var=graph_var, named=named)
             df = sub if df is None else _merge(df, sub)
         elif kind == "union":
-            a = _compile(triples, item[1], graph_var)
-            b = _compile(triples, item[2], graph_var)
+            a = _compile(triples, item[1], graph_var, named)
+            b = _compile(triples, item[2], graph_var, named)
             if set(a.columns) != set(b.columns):
                 raise SparqlError(
                     f"UNION branches must bind the same variables: "
@@ -1662,12 +1680,12 @@ def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> D
             u = a.unionByName(b)
             df = u if df is None else _merge(df, u)
         elif kind == "optional":
-            o = _compile(triples, item[1], graph_var)
+            o = _compile(triples, item[1], graph_var, named)
             if df is None:
                 raise SparqlError("OPTIONAL cannot be the first group member")
             df = _merge(df, o, "left")
         elif kind == "minus":
-            m = _compile(triples, item[1], graph_var)
+            m = _compile(triples, item[1], graph_var, named)
             if df is None:
                 raise SparqlError("MINUS cannot be the first group member")
             shared = [c for c in m.columns if c in df.columns]
@@ -1732,7 +1750,7 @@ def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> D
             # its patterns bind the graph column, aggregates implicitly
             # group by it, and the retained column joins with the outer
             # frame's graph binding (r6)
-            sub = _select_frame(triples, item[1], graph_var=graph_var)
+            sub = _select_frame(triples, item[1], graph_var=graph_var, named=named)
             df = sub if df is None else _merge(df, sub)
         elif kind == "filter":
             filters.append(item[1])
@@ -1745,7 +1763,7 @@ def _compile(triples: DataFrame, items: list, graph_var: str | None = None) -> D
         # must be scoped to the active graph, so the graph-binding
         # column joins with the outer frame's instead of matching
         # across all named graphs
-        sub = _compile(triples, g, graph_var=graph_var)
+        sub = _compile(triples, g, graph_var=graph_var, named=named)
         shared = [c for c in sub.columns if c in df.columns]
         if shared:
             # dialect note: bindings join on the shared variables
@@ -1787,7 +1805,9 @@ _AGG_FNS_DISTINCT = {
 }
 
 
-def ask_query(triples: DataFrame, sparql_src: str) -> bool:
+def ask_query(
+    triples: DataFrame, sparql_src: str, named: DataFrame | None = None
+) -> bool:
     """``ASK { ... }`` — True iff the graph pattern has any solution.
     ``limit(1)`` short-circuits the scan; the boolean necessarily
     reaches the driver (that IS the result)."""
@@ -1795,11 +1815,13 @@ def ask_query(triples: DataFrame, sparql_src: str) -> bool:
     m = _ASK_RE.match(body)
     if not m:
         raise SparqlError("expected `ASK { ... }`")
-    df = _compile(triples, _parse_group(m.group(1), prefixes))
+    df = _compile(triples, _parse_group(m.group(1), prefixes), named=named)
     return bool(df.limit(1).count())
 
 
-def construct_query(triples: DataFrame, sparql_src: str) -> DataFrame:
+def construct_query(
+    triples: DataFrame, sparql_src: str, named: DataFrame | None = None
+) -> DataFrame:
     """``CONSTRUCT { template } WHERE { ... }`` — instantiate each
     template triple once per solution; set semantics (rdflib builds a
     Graph, which dedups). Returns (subj, pred, obj); template terms
@@ -1813,7 +1835,7 @@ def construct_query(triples: DataFrame, sparql_src: str) -> DataFrame:
     tmpl_items = _parse_group(m.group(1), prefixes)
     if any(it[0] != "t" for it in tmpl_items):
         raise SparqlError("CONSTRUCT templates may contain only plain triples")
-    df = _compile(triples, _parse_group(m.group(2), prefixes))
+    df = _compile(triples, _parse_group(m.group(2), prefixes), named=named)
 
     def term_col(t: str):
         if t.startswith("?"):
@@ -1831,7 +1853,9 @@ def construct_query(triples: DataFrame, sparql_src: str) -> DataFrame:
     return out.distinct()
 
 
-def describe_query(triples: DataFrame, sparql_src: str) -> DataFrame:
+def describe_query(
+    triples: DataFrame, sparql_src: str, named: DataFrame | None = None
+) -> DataFrame:
     """``DESCRIBE <r> ... [WHERE { ... }]`` / ``DESCRIBE ?x WHERE
     { ... }`` — every triple whose subject is one of the described
     resources (constants, plus each DESCRIBE variable's bindings over
@@ -1863,7 +1887,7 @@ def describe_query(triples: DataFrame, sparql_src: str) -> DataFrame:
     spark = triples.sparkSession
     res = None
     if where_src is not None:
-        df = _compile(triples, _parse_group(where_src, prefixes))
+        df = _compile(triples, _parse_group(where_src, prefixes), named=named)
         for v in head_vars:
             if v not in df.columns:
                 raise SparqlError(f"DESCRIBE variable never bound: ?{v}")
@@ -1880,6 +1904,73 @@ def describe_query(triples: DataFrame, sparql_src: str) -> DataFrame:
     )
 
 
+def _extract_dataset(sparql_src: str, prefixes: dict):
+    """Strip ``FROM <g>`` / ``FROM NAMED <g>`` dataset clauses (SPARQL
+    1.1 §13.2) from the query text. The grammar puts dataset clauses
+    OUTSIDE every brace pair (between the query form — or a CONSTRUCT
+    template — and WHERE), so only brace-depth-0 text is scanned;
+    a ``FROM`` inside a pattern's string literal is never misread.
+    Returns (cleaned_src, default_iris | None, named_iris | None)."""
+    defaults: list = []
+    named: list = []
+    seen = [False, False]
+
+    def repl(m):
+        is_named, iri, pfx, local = m.groups()
+        if iri is None:
+            if pfx not in prefixes:
+                raise SparqlError(f"undeclared prefix: {pfx}")
+            iri = prefixes[pfx] + local
+        if is_named:
+            named.append(iri)
+            seen[1] = True
+        else:
+            defaults.append(iri)
+            seen[0] = True
+        return " "
+
+    pieces: list = []
+    depth = 0
+    seg_start = 0
+    in_str: str | None = None
+    for i, ch in enumerate(sparql_src):
+        if in_str is not None:
+            if ch == in_str and sparql_src[i - 1] != "\\":
+                in_str = None
+            continue
+        if ch in "\"'":
+            in_str = ch
+        elif ch == "{":
+            if depth == 0:
+                pieces.append(_DATASET_RE.sub(repl, sparql_src[seg_start:i]))
+                seg_start = i
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                pieces.append(sparql_src[seg_start : i + 1])
+                seg_start = i + 1
+    tail = sparql_src[seg_start:]
+    pieces.append(_DATASET_RE.sub(repl, tail) if depth == 0 else tail)
+    if not (seen[0] or seen[1]):
+        return sparql_src, None, None
+    return "".join(pieces), (defaults if seen[0] else None), (named if seen[1] else None)
+
+
+def _dataset_frames(triples: DataFrame, defaults, named):
+    """(default_frame, named_frame) for a dataset clause: the default
+    graph is the union (merge) of the FROM graphs, GRAPH ranges over
+    the FROM NAMED set; per §13.2 a clause given WITHOUT its twin
+    leaves the twin EMPTY (``FROM NAMED`` only → empty default graph;
+    ``FROM`` only → GRAPH matches nothing)."""
+    if defaults is None and named is None:
+        return triples, triples
+    empty = triples.filter(F.lit(False))
+    dflt = triples.filter(F.col("doc_iri").isin(defaults)) if defaults else empty
+    nmd = triples.filter(F.col("doc_iri").isin(named)) if named else empty
+    return dflt, nmd
+
+
 def make_query(triples: DataFrame, sparql_src: str) -> DataFrame:
     """Evaluate a SPARQL-subset query over the triples table; DISTINCT
     semantics like the reference's set() (core.py:1340). SELECT
@@ -1888,20 +1979,34 @@ def make_query(triples: DataFrame, sparql_src: str) -> DataFrame:
     GROUP BY, and ORDER BY / LIMIT (compiled to orderBy().limit() —
     Catalyst plans a TakeOrdered, never a full sort). ``ASK`` returns
     a one-row DataFrame with boolean column ``ask``; ``CONSTRUCT``
-    returns (subj, pred, obj) rows."""
+    returns (subj, pred, obj) rows. ``FROM`` / ``FROM NAMED`` dataset
+    clauses (r6c) select the doc_iri graphs visible to plain patterns
+    / ``GRAPH`` respectively — pushdown-friendly isin filters."""
     head, prefixes = _strip_prefixes(sparql_src)
+    cleaned, defaults, named_iris = _extract_dataset(sparql_src, prefixes)
+    if defaults is not None or named_iris is not None:
+        triples, named = _dataset_frames(triples, defaults, named_iris)
+        sparql_src = cleaned
+        head, _ = _strip_prefixes(sparql_src)
+    else:
+        named = None
     if _ASK_RE.match(head):
         spark = triples.sparkSession
-        return spark.createDataFrame([(ask_query(triples, sparql_src),)], "ask boolean")
+        return spark.createDataFrame(
+            [(ask_query(triples, sparql_src, named=named),)], "ask boolean"
+        )
     if _CONSTRUCT_RE.match(head):
-        return construct_query(triples, sparql_src)
+        return construct_query(triples, sparql_src, named=named)
     if _DESCRIBE_RE.match(head):
-        return describe_query(triples, sparql_src)
-    return _select_frame(triples, _parse(sparql_src))
+        return describe_query(triples, sparql_src, named=named)
+    return _select_frame(triples, _parse(sparql_src), named=named)
 
 
 def _select_frame(
-    triples: DataFrame, parsed, graph_var: str | None = None
+    triples: DataFrame,
+    parsed,
+    graph_var: str | None = None,
+    named: DataFrame | None = None,
 ) -> DataFrame:
     """Compile one parsed SELECT (projection, aggregates, modifiers)
     to a DataFrame — shared by make_query and nested subqueries.
@@ -1915,7 +2020,7 @@ def _select_frame(
         raise SparqlError(
             "LIMIT/OFFSET in a subquery under GRAPH ?var is not supported"
         )
-    df = _compile(triples, items, graph_var)
+    df = _compile(triples, items, graph_var, named)
     if any(it[0] == "star" for it in select_items):
         # SELECT *: every variable the pattern binds, in binding order
         select_items = [("var", c) for c in df.columns]

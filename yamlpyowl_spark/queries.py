@@ -649,6 +649,34 @@ def _register_kg():
         )
         return make_query(kg_triples(spark), q)
 
+    _ZF = "https://w3id.org/forks/einsteins_zebra_riddle/"
+
+    @_q(
+        "kg_sparql_from",
+        f"""SELECT DISTINCT g, s FROM (
+              SELECT doc_iri AS g, subj AS s FROM {_t()}
+              WHERE pred = '{V.RDF_TYPE}' AND obj = '{V.OWL_NAMED_INDIVIDUAL}'
+                AND doc_iri = '{_ZF}0#'
+              UNION ALL
+              SELECT 'default' AS g, subj AS s FROM {_t()}
+              WHERE pred = '{V.RDF_TYPE}' AND obj = '{V.OWL_NAMED_INDIVIDUAL}'
+                AND doc_iri = '{_ZF}1#'
+            )""",
+    )
+    def kg_sparql_from(spark, sf_dir):
+        # FROM / FROM NAMED dataset clauses (r6c): the default graph is
+        # the FROM set (pushdown isin filter), GRAPH ranges over the
+        # FROM NAMED set only — both exercised in one UNION
+        from .operators.sparql import make_query
+
+        q = (
+            f"PREFIX rdf: <{V.RDF}> PREFIX owl: <{V.OWL}> "
+            f"SELECT ?g ?s FROM <{_ZF}1#> FROM NAMED <{_ZF}0#> WHERE {{ "
+            f"{{ GRAPH ?g {{ ?s rdf:type owl:NamedIndividual }} }} UNION "
+            f'{{ ?s rdf:type owl:NamedIndividual . BIND("default" AS ?g) }} }}'
+        )
+        return make_query(kg_triples(spark), q)
+
     @_q(
         "kg_sparql_describe",
         f"""SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
@@ -2128,6 +2156,9 @@ _TAIL = [
     # negated property set = one filtered scan; the path machinery is
     # gated in-window by kg_sparql_path_star
     "kg_sparql_path_negated",
+    # r6c: FROM/FROM NAMED = isin filters over the same pattern
+    # machinery the in-window graph/union rows gate
+    "kg_sparql_from",
     # closure op stays gated in-window by kg_subclass_closure's big
     # siblings kg_sparql_path{,_star}
     "kg_subclass_closure",
