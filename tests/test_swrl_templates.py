@@ -413,3 +413,74 @@ def test_arith_builtin_rejects_bad_shapes():
     with pytest.raises(UnsupportedSWRLError, match="integer fragment"):
         encode_rule("http://d#", [("p", ["?x", "?v"]), ("add", ["?z", "?v", "0.5"])],
                     [("q", ["?x", "?z"])])
+
+
+def test_string_builtins_bind_check_and_filter(spark):
+    """r6c swrlb strings: stringConcat (n-ary), stringLength,
+    upperCase/lowerCase bind result-first (pre-bound result = equality
+    check); contains/startsWith/endsWith filter. Spark pipeline and
+    the sequential oracle must agree exactly — including a quoted
+    constant containing a comma."""
+    from yamlpyowl_spark.operators.swrl import forward_chain
+    from yamlpyowl_spark.sources.artifacts import sequential_forward_chain
+
+    E = "http://ex.org/str#"
+    SRC = "https://w3id.org/yamlpyowl-spark/vocab#ruleSrc"
+    schema = ("subj string, pred string, obj string, obj_is_literal boolean, "
+              "obj_datatype string, doc_iri string")
+    rows = [
+        (E, SRC, 'hasName(?x, ?n), stringConcat(?z, ?n, "-v2") '
+                 "-> hasTag(?x, ?z)", True, None, E),
+        (E, SRC, "hasName(?x, ?n), stringLength(?l, ?n) "
+                 "-> hasNameLen(?x, ?l)", True, None, E),
+        (E, SRC, "hasName(?x, ?n), upperCase(?u, ?n) -> hasUpper(?x, ?u)",
+         True, None, E),
+        (E, SRC, 'hasName(?x, ?n), startsWith(?n, "al") -> AlPrefixed(?x)',
+         True, None, E),
+        (E, SRC, 'hasName(?x, ?n), contains(?n, "ob") -> HasOb(?x)',
+         True, None, E),
+        # check form: ?t bound, concat must equal it
+        (E, SRC, "hasName(?x, ?n), hasTitle(?x, ?t), "
+                 'stringConcat(?t, "Dr. ", ?n) -> Doctor(?x)', True, None, E),
+        # quoted constant containing a comma survives the arg split
+        (E, SRC, 'hasName(?x, ?n), stringConcat(?z, ?n, ", Esq.") '
+                 "-> hasLegal(?x, ?z)", True, None, E),
+        (E + "a", E + "hasName", "alice", True, None, E),
+        (E + "b", E + "hasName", "bob", True, None, E),
+        (E + "a", E + "hasTitle", "Dr. alice", True, None, E),
+        (E + "b", E + "hasTitle", "Mr. bob", True, None, E),
+    ]
+    t = spark.createDataFrame(rows, schema)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in forward_chain(t).collect()}
+    assert (E + "a", E + "hasTag", "alice-v2") in got
+    assert (E + "a", E + "hasNameLen", "5") in got
+    assert (E + "b", E + "hasNameLen", "3") in got
+    assert (E + "a", E + "hasUpper", "ALICE") in got
+    assert (E + "a", V.RDF_TYPE, E + "AlPrefixed") in got
+    assert (E + "b", V.RDF_TYPE, E + "AlPrefixed") not in got
+    assert (E + "b", V.RDF_TYPE, E + "HasOb") in got
+    assert (E + "a", V.RDF_TYPE, E + "Doctor") in got   # "Dr. alice" matches
+    assert (E + "b", V.RDF_TYPE, E + "Doctor") not in got  # "Mr. bob" doesn't
+    assert (E + "a", E + "hasLegal", "alice, Esq.") in got
+    seq = {(s, p, o) for s, p, o, il, dt, d in sequential_forward_chain(rows)}
+    assert seq == got
+
+
+def test_string_builtin_rejects_bad_shapes():
+    from yamlpyowl_spark.operators.swrl import UnsupportedSWRLError, encode_rule
+
+    with pytest.raises(UnsupportedSWRLError, match="args"):
+        encode_rule("http://d#", [("p", ["?x", "?v"]), ("stringLength", ["?z"])],
+                    [("q", ["?x", "?z"])])
+    with pytest.raises(UnsupportedSWRLError, match="must be a variable"):
+        encode_rule("http://d#",
+                    [("p", ["?x", "?v"]), ("upperCase", ['"A"', "?v"])],
+                    [("q", ["?x", "?v"])])
+    with pytest.raises(UnsupportedSWRLError, match="binding"):
+        encode_rule("http://d#",
+                    [("p", ["?x", "?v"]), ("stringConcat", ["?z", "?u", '"s"'])],
+                    [("q", ["?x", "?z"])])
+    with pytest.raises(UnsupportedSWRLError, match="binding"):
+        encode_rule("http://d#",
+                    [("p", ["?x", "?v"]), ("endsWith", ["?u", '"s"'])],
+                    [("q", ["?x"])])

@@ -28,6 +28,12 @@ heads which the reference's Pellet path also accepts):
 * arithmetic atoms   ``add/subtract/multiply/mod(?z, ?x, ?y)`` —
   swrlb result-first convention; binds ``?z`` (or checks it when
   already bound); INTEGER fragment via try_cast/try_add & co (r6b)
+* string atoms       ``stringConcat(?z, ?a, ?b, ...)`` (n-ary),
+  ``stringLength/upperCase/lowerCase(?z, ?x)`` — result-first, bind
+  or check like the arithmetic batch; ``contains/startsWith/
+  endsWith(?x, ?y)`` filter; double-quoted constants allowed (commas
+  inside quotes survive the arg split); ``substring`` stays outside
+  the fragment (XPath float-rounding semantics — a parity trap) (r6c)
 * builtin atoms      ``greaterThan/lessThan/greaterThanOrEqual/
   lessThanOrEqual/equal/notEqual(?v, const-or-?w)`` (numeric
   comparison; r6 adds the OrEqual/equal/notEqual codes and var-var
@@ -84,7 +90,27 @@ _BI_SQL = {"gt": ">", "lt": "<", "ge": ">=", "le": "<=", "eq": "=", "ne": "!="}
 # would hitch engine parity to Java-vs-Python double formatting).
 _ARITH = {"add": "ad", "subtract": "sb", "multiply": "ml", "mod": "md"}
 _AR_SQL = {"ad": "try_add", "sb": "try_subtract", "ml": "try_multiply", "md": "try_mod"}
+# swrlb string builtins (r6c): result-first like the arithmetic batch.
+# stringConcat is n-ary (result + >=2 operands); stringLength binds the
+# decimal lexical of the CHARACTER count; upperCase/lowerCase follow
+# Python/Java default-locale casing (identical over ASCII — the corpus
+# dialect; engine parity asserted in tests). contains/startsWith/
+# endsWith are check builtins over bound strings/constants. substring
+# stays outside (XPath float-rounding semantics are a parity trap).
+_STR_FN = {"stringConcat": "sc", "stringLength": "sl", "upperCase": "uc", "lowerCase": "lc"}
+_SF_SQL = frozenset(("sc", "sl", "uc", "lc"))
+_STR_CHECK = {"contains": "ct", "startsWith": "sw", "endsWith": "ew"}
+_SCK_SQL = {"ct": "contains", "sw": "startswith", "ew": "endswith"}
 _INVALID = "!unsupported"
+
+
+def _unquote(a: str) -> str:
+    """Strip surrounding double quotes from a SWRL string constant
+    (backslash escapes unescaped); bare words pass through."""
+    if len(a) >= 2 and a[0] == '"' and a[-1] == '"':
+        return a[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+    return a
+
 
 # fixed templates for rules synthesized from property axioms; unit
 # tests assert these equal encode_rule() output for the same shapes
@@ -151,6 +177,50 @@ def encode_rule(doc_iri: str, body: list, head: list) -> Tuple[str, List[str]]:
             # already bound -> equality check (eval mirrors via its own
             # bound-set walk)
             sig.append(f"{_ARITH[name]}({v(out)},{opsigs[0]},{opsigs[1]})")
+        elif name in _STR_FN:
+            nmin = 3 if name == "stringConcat" else 2
+            if (name == "stringConcat" and len(args) < nmin) or (
+                name != "stringConcat" and len(args) != 2
+            ):
+                raise UnsupportedSWRLError(
+                    f"builtin {name} needs {'>= ' if name == 'stringConcat' else ''}"
+                    f"{nmin} args, got {args}"
+                )
+            out = args[0]
+            if not out.startswith("?"):
+                raise UnsupportedSWRLError(
+                    f"builtin {name}({', '.join(args)}): the result argument "
+                    "must be a variable"
+                )
+            opsigs = []
+            for a in args[1:]:
+                if a.startswith("?"):
+                    if a not in varmap:
+                        raise UnsupportedSWRLError(
+                            f"builtin {name}({', '.join(args)}) must follow "
+                            f"an atom binding {a}"
+                        )
+                    opsigs.append(v(a))
+                else:
+                    slots.append(_unquote(a))
+                    opsigs.append("C")
+            sig.append(f"{_STR_FN[name]}({v(out)},{','.join(opsigs)})")
+        elif name in _STR_CHECK:
+            if len(args) != 2:
+                raise UnsupportedSWRLError(f"builtin {name} needs 2 args, got {args}")
+            opsigs = []
+            for a in args:
+                if a.startswith("?"):
+                    if a not in varmap:
+                        raise UnsupportedSWRLError(
+                            f"builtin {name}({', '.join(args)}) must follow "
+                            f"an atom binding {a}"
+                        )
+                    opsigs.append(v(a))
+                else:
+                    slots.append(_unquote(a))
+                    opsigs.append("C")
+            sig.append(f"{_STR_CHECK[name]}({opsigs[0]},{opsigs[1]})")
         elif name in _BUILTINS:
             if len(args) != 2:
                 raise UnsupportedSWRLError(f"builtin {name} needs 2 args, got {args}")
@@ -257,7 +327,7 @@ def encode_rule(doc_iri: str, body: list, head: list) -> Tuple[str, List[str]]:
     return ";".join(sig) + "=>" + ";".join(hsig), slots
 
 
-_ATOM_RE = re.compile(r"(P|T|gt|lt|ge|le|eq|ne|ad|sb|ml|md)\(([^)]*)\)")
+_ATOM_RE = re.compile(r"(P|T|gt|lt|ge|le|eq|ne|ad|sb|ml|md|sc|sl|uc|lc|ct|sw|ew)\(([^)]*)\)")
 
 
 @lru_cache(maxsize=4096)
@@ -287,6 +357,25 @@ def _parse_template(key: str):
                 else:
                     ops.append(("v", int(a[1:])))
             body.append(("ar", kind, outv, ops[0], ops[1]))
+        elif kind in _SF_SQL:
+            outv = int(args[0][1:])
+            ops = []
+            for a in args[1:]:
+                if a == "C":
+                    ops.append(("c", slot))
+                    slot += 1
+                else:
+                    ops.append(("v", int(a[1:])))
+            body.append(("sf", kind, outv, ops))
+        elif kind in _SCK_SQL:
+            ops = []
+            for a in args:
+                if a == "C":
+                    ops.append(("c", slot))
+                    slot += 1
+                else:
+                    ops.append(("v", int(a[1:])))
+            body.append(("sck", kind, ops[0], ops[1]))
         elif kind == "T":
             cls_slot = slot
             slot += 1
@@ -545,6 +634,29 @@ def _eval_template_once(
                     .filter(f"v{outv} IS NOT NULL")
                 )
                 bcols.append(f"v{outv}")
+            continue
+        if atom[0] == "sf":
+            _, op, outv, ops = atom
+            es = [f"{'_s' if k == 'c' else 'v'}{i}" for k, i in ops]
+            if op == "sc":
+                expr = f"concat({', '.join(es)})"
+            elif op == "sl":
+                expr = f"CAST(length({es[0]}) AS STRING)"
+            elif op == "uc":
+                expr = f"upper({es[0]})"
+            else:
+                expr = f"lower({es[0]})"
+            if outv in bound:
+                b = b.filter(f"v{outv} = {expr}")
+            else:
+                bound.add(outv)
+                b = b.selectExpr(*bcols, f"{expr} AS v{outv}")
+                bcols.append(f"v{outv}")
+            continue
+        if atom[0] == "sck":
+            _, op, o1, o2 = atom
+            e1, e2 = (f"{'_s' if k == 'c' else 'v'}{i}" for k, i in (o1, o2))
+            b = b.filter(f"{_SCK_SQL[op]}({e1}, {e2})")
             continue
         if atom[0] == "cls":
             _, cls_slot, inst = atom

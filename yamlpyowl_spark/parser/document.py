@@ -85,6 +85,7 @@ class SwrlRule:
 
 
 _SWRL_ATOM_RE = re.compile(r"([A-Za-z_][\w]*)\(([^()]*)\)")
+_SWRL_ARG_RE = re.compile(r'\s*(?:"(?:[^"\\]|\\.)*"|[^,\s][^,]*)')
 
 
 def _parse_swrl(src: str):
@@ -100,7 +101,13 @@ def _parse_swrl(src: str):
         atoms = []
         for m in _SWRL_ATOM_RE.finditer(side):
             name = m.group(1)
-            args = [a.strip() for a in m.group(2).split(",") if a.strip()]
+            # quote-aware arg split (r6c): a double-quoted string
+            # constant may contain commas; unquoted args split as before
+            args = [
+                a.strip()
+                for a in _SWRL_ARG_RE.findall(m.group(2))
+                if a.strip()
+            ]
             atoms.append((name, args))
         return atoms
 

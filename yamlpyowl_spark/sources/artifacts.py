@@ -165,6 +165,8 @@ _SEQ_BUILTINS = {
     "notEqual": "ne",
 }
 _SEQ_ARITH = {"add": "ad", "subtract": "sb", "multiply": "ml", "mod": "md"}
+_SEQ_STR_FN = {"stringConcat": "sc", "stringLength": "sl", "upperCase": "uc", "lowerCase": "lc"}
+_SEQ_STR_CHECK = {"contains": "ct", "startsWith": "sw", "endsWith": "ew"}
 _I64 = 2**63
 
 
@@ -209,6 +211,25 @@ def _seq_resolve_rules(doc_facts, doc_iri):
                 # integer fragment — twin of operators/swrl's ar atoms
                 ops = [a if a.startswith("?") else int(a) for a in args[1:]]
                 rb.append(("ar", _SEQ_ARITH[name], args[0], ops[0], ops[1]))
+            elif name in _SEQ_STR_FN:
+                # r6c string builtins: result-first; constants wrapped
+                # ("k", s) so a literal starting with "?" can't be
+                # mistaken for a variable
+                from ..operators.swrl import _unquote
+
+                ops = [
+                    a if a.startswith("?") else ("k", _unquote(a))
+                    for a in args[1:]
+                ]
+                rb.append(("sf", _SEQ_STR_FN[name], args[0], ops))
+            elif name in _SEQ_STR_CHECK:
+                from ..operators.swrl import _unquote
+
+                ops = [
+                    a if a.startswith("?") else ("k", _unquote(a))
+                    for a in args
+                ]
+                rb.append(("sck", _SEQ_STR_CHECK[name], ops[0], ops[1]))
             elif name in _SEQ_BUILTINS:
                 # rhs: numeric constant, or a ?var compared at eval time
                 rhs = args[1] if args[1].startswith("?") else float(args[1])
@@ -296,6 +317,41 @@ def _seq_eval_rule(body, head, facts, types):
                         pass
                 else:
                     nb.append({**b, out: str(r)})
+        elif atom[0] == "sf":
+            _, op, out, ops = atom
+            for b in bindings:
+                try:
+                    vals = [b[x] if isinstance(x, str) else x[1] for x in ops]
+                except KeyError:
+                    continue
+                if op == "sc":
+                    r = "".join(vals)
+                elif op == "sl":
+                    r = str(len(vals[0]))
+                elif op == "uc":
+                    r = vals[0].upper()
+                else:
+                    r = vals[0].lower()
+                if out in b:
+                    if b[out] == r:
+                        nb.append(b)
+                else:
+                    nb.append({**b, out: r})
+        elif atom[0] == "sck":
+            _, op, x1, x2 = atom
+            for b in bindings:
+                try:
+                    a = b[x1] if isinstance(x1, str) else x1[1]
+                    c = b[x2] if isinstance(x2, str) else x2[1]
+                except KeyError:
+                    continue
+                ok = {
+                    "ct": c in a,
+                    "sw": a.startswith(c),
+                    "ew": a.endswith(c),
+                }[op]
+                if ok:
+                    nb.append(b)
         elif atom[0] == "bi":
             _, op, var, rhs = atom
             for b in bindings:
