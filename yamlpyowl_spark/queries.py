@@ -897,6 +897,48 @@ def _register_kg():
         )
         return forward_chain(t)
 
+    # r6c swrlb string gate (tail): concat / length / upperCase rules
+    # over deterministic name facts — the oracle re-derives every head
+    # fact with DuckDB's OWN string functions (||, length, upper)
+    ST = "https://w3id.org/yamlpyowl-spark/tests/str#"
+    _st_vals = [(f"i{k:02d}", f"name{k}{'x' * (k % 4)}") for k in range(10)]
+    st_facts = ", ".join(f"('{ST}{n}', '{s}')" for n, s in _st_vals)
+    st_sql = f"""WITH f(subj, s) AS (VALUES {st_facts})
+        SELECT subj, '{ST}hasTag' AS pred, s || '-v2' AS obj,
+               false AS obj_is_literal, CAST(NULL AS VARCHAR) AS obj_datatype,
+               '{ST}' AS doc_iri FROM f
+        UNION ALL
+        SELECT subj, '{ST}hasLen', CAST(length(s) AS VARCHAR), false,
+               CAST(NULL AS VARCHAR), '{ST}' FROM f
+        UNION ALL
+        SELECT subj, '{ST}hasUpper', upper(s), false,
+               CAST(NULL AS VARCHAR), '{ST}' FROM f"""
+
+    @_q("kg_swrl_strings", st_sql)
+    def kg_swrl_strings(spark, sf_dir):
+        from .operators.swrl import forward_chain
+
+        rows = [
+            (ST, V.YPO_RULE_SRC,
+             'hasName(?x, ?n), stringConcat(?z, ?n, "-v2") -> hasTag(?x, ?z)',
+             True, None, ST),
+            (ST, V.YPO_RULE_SRC,
+             "hasName(?x, ?n), stringLength(?l, ?n) -> hasLen(?x, ?l)",
+             True, None, ST),
+            (ST, V.YPO_RULE_SRC,
+             "hasName(?x, ?n), upperCase(?u, ?n) -> hasUpper(?x, ?u)",
+             True, None, ST),
+        ] + [
+            (ST + n, ST + "hasName", s, True, V.XSD_STRING, ST)
+            for n, s in _st_vals
+        ]
+        t = spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, obj_is_literal boolean, "
+            "obj_datatype string, doc_iri string",
+        )
+        return forward_chain(t)
+
 
 # -- document corpus (training-data ops) --------------------------------------
 
@@ -2172,6 +2214,9 @@ _TAIL = [
     # oracle here re-computes +/*/% independently (engine parity also
     # pytest-gated vs the sequential oracle)
     "kg_swrl_arith",
+    # r6c: string-builtin twin of kg_swrl_arith — DuckDB recomputes
+    # ||/length/upper independently; engine parity pytest-gated
+    "kg_swrl_strings",
     # whitespace-normalized md5 fingerprint: the winnowing gate (in-window)
     # is the stronger fingerprinting signal
     "doc_fingerprints",
