@@ -484,3 +484,77 @@ def test_string_builtin_rejects_bad_shapes():
         encode_rule("http://d#",
                     [("p", ["?x", "?v"]), ("endsWith", ["?u", '"s"'])],
                     [("q", ["?x"])])
+
+
+def test_substring_builtin_integer_fragment(spark):
+    """r6d swrlb:substring — XPath integer positions [start,
+    start+length), 1-based; negative start shifts the window; a
+    non-integral start (bound from a fact) drops the row via
+    try_cast; 2-arg form takes everything from max(start, 1); check
+    form compares against a pre-bound result. Spark pipeline ==
+    sequential oracle on every case."""
+    from yamlpyowl_spark.operators.swrl import forward_chain
+    from yamlpyowl_spark.sources.artifacts import sequential_forward_chain
+
+    E = "http://ex.org/ss#"
+    SRC = "https://w3id.org/yamlpyowl-spark/vocab#ruleSrc"
+    schema = ("subj string, pred string, obj string, obj_is_literal boolean, "
+              "obj_datatype string, doc_iri string")
+    rows = [
+        # plain: chars 2..4 of the name
+        (E, SRC, "hasName(?x, ?n), substring(?z, ?n, 2, 3) -> hasMid(?x, ?z)",
+         True, None, E),
+        # negative start: positions [-1, 2) ∩ [1, ..] = {1} → first char
+        (E, SRC, "hasName(?x, ?n), substring(?z, ?n, -1, 3) -> hasNeg(?x, ?z)",
+         True, None, E),
+        # zero/negative effective length → empty string, not a drop
+        (E, SRC, "hasName(?x, ?n), substring(?z, ?n, 3, 0) -> hasNil(?x, ?z)",
+         True, None, E),
+        # 2-arg form: suffix from position 3
+        (E, SRC, "hasName(?x, ?n), substring(?z, ?n, 3) -> hasSfx(?x, ?z)",
+         True, None, E),
+        # start bound from a data fact; non-integral binding drops
+        (E, SRC, "hasName(?x, ?n), hasOff(?x, ?o), substring(?z, ?n, ?o, 2) "
+                 "-> hasAt(?x, ?z)", True, None, E),
+        # check form: bound ?p must equal the computed prefix
+        (E, SRC, "hasName(?x, ?n), hasPfx(?x, ?p), substring(?p, ?n, 1, 2) "
+                 "-> PfxOk(?x)", True, None, E),
+        (E + "a", E + "hasName", "alice", True, None, E),
+        (E + "b", E + "hasName", "bob", True, None, E),
+        (E + "a", E + "hasOff", "2", True, None, E),
+        (E + "b", E + "hasOff", "1.5", True, None, E),   # drops via try_cast
+        (E + "a", E + "hasPfx", "al", True, None, E),
+        (E + "b", E + "hasPfx", "xx", True, None, E),
+    ]
+    t = spark.createDataFrame(rows, schema)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in forward_chain(t).collect()}
+    assert (E + "a", E + "hasMid", "lic") in got
+    assert (E + "b", E + "hasMid", "ob") in got           # past-end truncates
+    assert (E + "a", E + "hasNeg", "a") in got
+    assert (E + "a", E + "hasNil", "") in got
+    assert (E + "a", E + "hasSfx", "ice") in got
+    assert (E + "b", E + "hasSfx", "b") in got
+    assert (E + "a", E + "hasAt", "li") in got
+    assert not any(p == E + "hasAt" and s == E + "b" for s, p, _ in got)
+    assert (E + "a", V.RDF_TYPE, E + "PfxOk") in got
+    assert (E + "b", V.RDF_TYPE, E + "PfxOk") not in got
+    seq = {(s, p, o) for s, p, o, il, dt, d in sequential_forward_chain(rows)}
+    assert seq == got
+
+
+def test_substring_rejects_float_and_bad_arity():
+    from yamlpyowl_spark.operators.swrl import UnsupportedSWRLError, encode_rule
+
+    with pytest.raises(UnsupportedSWRLError, match="integer fragment"):
+        encode_rule("http://d#",
+                    [("p", ["?x", "?v"]), ("substring", ["?z", "?v", "1.5"])],
+                    [("q", ["?x", "?z"])])
+    with pytest.raises(UnsupportedSWRLError, match="3 or 4 args"):
+        encode_rule("http://d#",
+                    [("p", ["?x", "?v"]), ("substring", ["?z", "?v"])],
+                    [("q", ["?x", "?z"])])
+    with pytest.raises(UnsupportedSWRLError, match="3 or 4 args"):
+        encode_rule("http://d#",
+                    [("p", ["?x", "?v"]),
+                     ("substring", ["?z", "?v", "1", "2", "3"])],
+                    [("q", ["?x", "?z"])])

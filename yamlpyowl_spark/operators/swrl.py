@@ -32,8 +32,15 @@ heads which the reference's Pellet path also accepts):
   ``stringLength/upperCase/lowerCase(?z, ?x)`` — result-first, bind
   or check like the arithmetic batch; ``contains/startsWith/
   endsWith(?x, ?y)`` filter; double-quoted constants allowed (commas
-  inside quotes survive the arg split); ``substring`` stays outside
-  the fragment (XPath float-rounding semantics — a parity trap) (r6c)
+  inside quotes survive the arg split) (r6c);
+  ``substring(?z, ?s, start[, length])`` in the INTEGER fragment
+  (r6d): XPath character positions ``p >= start`` and
+  ``p < start + length`` (1-based; a negative/zero ``start`` shifts
+  the window, never wraps), start/length are integer constants or
+  previously-bound variables — non-integral bindings drop the row
+  via try_cast exactly like the arithmetic batch. XPath's
+  FLOAT-argument rounding stays outside the fragment (a
+  Java-vs-Python formatting parity trap) and raises up front;
 * builtin atoms      ``greaterThan/lessThan/greaterThanOrEqual/
   lessThanOrEqual/equal/notEqual(?v, const-or-?w)`` (numeric
   comparison; r6 adds the OrEqual/equal/notEqual codes and var-var
@@ -96,9 +103,18 @@ _AR_SQL = {"ad": "try_add", "sb": "try_subtract", "ml": "try_multiply", "md": "t
 # Python/Java default-locale casing (identical over ASCII — the corpus
 # dialect; engine parity asserted in tests). contains/startsWith/
 # endsWith are check builtins over bound strings/constants. substring
-# stays outside (XPath float-rounding semantics are a parity trap).
-_STR_FN = {"stringConcat": "sc", "stringLength": "sl", "upperCase": "uc", "lowerCase": "lc"}
-_SF_SQL = frozenset(("sc", "sl", "uc", "lc"))
+# (r6d) is the XPath INTEGER fragment: start/length must be integer
+# constants or bound variables (try_cast semantics — non-integral
+# drops the row); float arguments would need XPath round() parity and
+# stay loud-out.
+_STR_FN = {
+    "stringConcat": "sc",
+    "stringLength": "sl",
+    "upperCase": "uc",
+    "lowerCase": "lc",
+    "substring": "ss",
+}
+_SF_SQL = frozenset(("sc", "sl", "uc", "lc", "ss"))
 _STR_CHECK = {"contains": "ct", "startsWith": "sw", "endsWith": "ew"}
 _SCK_SQL = {"ct": "contains", "sw": "startswith", "ew": "endswith"}
 _INVALID = "!unsupported"
@@ -178,13 +194,15 @@ def encode_rule(doc_iri: str, body: list, head: list) -> Tuple[str, List[str]]:
             # bound-set walk)
             sig.append(f"{_ARITH[name]}({v(out)},{opsigs[0]},{opsigs[1]})")
         elif name in _STR_FN:
-            nmin = 3 if name == "stringConcat" else 2
-            if (name == "stringConcat" and len(args) < nmin) or (
-                name != "stringConcat" and len(args) != 2
-            ):
+            if name == "stringConcat":
+                ok, want = len(args) >= 3, ">= 3"
+            elif name == "substring":
+                ok, want = len(args) in (3, 4), "3 or 4"
+            else:
+                ok, want = len(args) == 2, "2"
+            if not ok:
                 raise UnsupportedSWRLError(
-                    f"builtin {name} needs {'>= ' if name == 'stringConcat' else ''}"
-                    f"{nmin} args, got {args}"
+                    f"builtin {name} needs {want} args, got {args}"
                 )
             out = args[0]
             if not out.startswith("?"):
@@ -193,7 +211,7 @@ def encode_rule(doc_iri: str, body: list, head: list) -> Tuple[str, List[str]]:
                     "must be a variable"
                 )
             opsigs = []
-            for a in args[1:]:
+            for pos, a in enumerate(args[1:]):
                 if a.startswith("?"):
                     if a not in varmap:
                         raise UnsupportedSWRLError(
@@ -202,7 +220,18 @@ def encode_rule(doc_iri: str, body: list, head: list) -> Tuple[str, List[str]]:
                         )
                     opsigs.append(v(a))
                 else:
-                    slots.append(_unquote(a))
+                    if name == "substring" and pos >= 1:
+                        # XPath INTEGER fragment: a float start/length
+                        # needs XPath round() parity — loud-out
+                        try:
+                            slots.append(str(int(a)))
+                        except ValueError:
+                            raise UnsupportedSWRLError(
+                                f"non-integer substring constant {a!r} "
+                                "(integer fragment)"
+                            )
+                    else:
+                        slots.append(_unquote(a))
                     opsigs.append("C")
             sig.append(f"{_STR_FN[name]}({v(out)},{','.join(opsigs)})")
         elif name in _STR_CHECK:
@@ -327,7 +356,7 @@ def encode_rule(doc_iri: str, body: list, head: list) -> Tuple[str, List[str]]:
     return ";".join(sig) + "=>" + ";".join(hsig), slots
 
 
-_ATOM_RE = re.compile(r"(P|T|gt|lt|ge|le|eq|ne|ad|sb|ml|md|sc|sl|uc|lc|ct|sw|ew)\(([^)]*)\)")
+_ATOM_RE = re.compile(r"(P|T|gt|lt|ge|le|eq|ne|ad|sb|ml|md|sc|sl|uc|lc|ss|ct|sw|ew)\(([^)]*)\)")
 
 
 @lru_cache(maxsize=4096)
@@ -644,6 +673,29 @@ def _eval_template_once(
                 expr = f"CAST(length({es[0]}) AS STRING)"
             elif op == "uc":
                 expr = f"upper({es[0]})"
+            elif op == "ss":
+                # XPath integer substring: keep positions p with
+                # p >= start and p < start + length (1-based). All
+                # bound checks go through try_cast/try_add so a
+                # non-integral binding or an INT-range overflow
+                # yields NULL — dropped below, never an ANSI error.
+                stc = f"try_cast({es[1]} AS BIGINT)"
+                base = f"greatest({stc}, 1)"
+                if len(es) == 3:
+                    lnc = f"try_cast({es[2]} AS BIGINT)"
+                    n = f"try_subtract(try_add({stc}, {lnc}), {base})"
+                    expr = (
+                        f"CASE WHEN {n} <= 0 THEN '' "
+                        f"ELSE substring({es[0]}, try_cast({base} AS INT), "
+                        f"try_cast({n} AS INT)) END"
+                    )
+                else:
+                    # greatest() IGNORES NULLs, so a failed start cast
+                    # must be caught explicitly or it silently becomes 1
+                    expr = (
+                        f"CASE WHEN {stc} IS NULL THEN NULL "
+                        f"ELSE substring({es[0]}, try_cast({base} AS INT)) END"
+                    )
             else:
                 expr = f"lower({es[0]})"
             if outv in bound:
@@ -651,6 +703,8 @@ def _eval_template_once(
             else:
                 bound.add(outv)
                 b = b.selectExpr(*bcols, f"{expr} AS v{outv}")
+                if op == "ss":
+                    b = b.filter(f"v{outv} IS NOT NULL")
                 bcols.append(f"v{outv}")
             continue
         if atom[0] == "sck":

@@ -165,7 +165,13 @@ _SEQ_BUILTINS = {
     "notEqual": "ne",
 }
 _SEQ_ARITH = {"add": "ad", "subtract": "sb", "multiply": "ml", "mod": "md"}
-_SEQ_STR_FN = {"stringConcat": "sc", "stringLength": "sl", "upperCase": "uc", "lowerCase": "lc"}
+_SEQ_STR_FN = {
+    "stringConcat": "sc",
+    "stringLength": "sl",
+    "upperCase": "uc",
+    "lowerCase": "lc",
+    "substring": "ss",
+}
 _SEQ_STR_CHECK = {"contains": "ct", "startsWith": "sw", "endsWith": "ew"}
 _I64 = 2**63
 
@@ -330,6 +336,35 @@ def _seq_eval_rule(body, head, facts, types):
                     r = str(len(vals[0]))
                 elif op == "uc":
                     r = vals[0].upper()
+                elif op == "ss":
+                    # twin of the Spark CASE/try_cast substring: XPath
+                    # integer positions [start, start+length); rows
+                    # drop wherever Spark's try_cast/try_add/INT-cast
+                    # would NULL (non-integral, int64 overflow, beyond
+                    # INT range)
+                    try:
+                        nums = [int(x) for x in vals[1:]]
+                    except (ValueError, TypeError):
+                        continue
+                    st = nums[0]
+                    lo = max(st, 1)
+                    if len(nums) == 2:
+                        hi = st + nums[1]
+                        if not -_I64 <= hi < _I64:
+                            continue
+                        n = hi - lo
+                        if not -_I64 <= n < _I64:
+                            continue
+                        if n <= 0:
+                            r = ""
+                        elif lo >= 2**31 or n >= 2**31:
+                            continue
+                        else:
+                            r = vals[0][lo - 1 : lo - 1 + n]
+                    else:
+                        if lo >= 2**31:
+                            continue
+                        r = vals[0][lo - 1 :]
                 else:
                     r = vals[0].lower()
                 if out in b:
