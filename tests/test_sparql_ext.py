@@ -2081,3 +2081,18 @@ def test_from_applies_to_ask_and_construct(quads):
         "WHERE { ?s e:p ?o }",
     ).collect()
     assert {(r["subj"], r["obj"]) for r in rows} == {(E + "b", E + "c")}
+
+
+def test_select_distinct_and_reduced_keywords(triples):
+    """DISTINCT and REDUCED both parse; results are set-semantic either
+    way (exactly DISTINCT; a permitted REDUCED answer per §15.3.2)."""
+    plain = {r["x"] for r in _q(triples, "?x WHERE { ?x e:age ?a }").collect()}
+    dist = {
+        r["x"]
+        for r in _q(triples, "DISTINCT ?x WHERE { ?x e:age ?a }").collect()
+    }
+    red = {
+        r["x"]
+        for r in _q(triples, "REDUCED ?x WHERE { ?x e:age ?a }").collect()
+    }
+    assert plain == dist == red and len(plain) == 3

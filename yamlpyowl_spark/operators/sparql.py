@@ -32,7 +32,9 @@ modifier: ``(p1/p2)+``, ``^(p|q)``, ``((a/b)|c)+``), aggregates (``(COUNT|SUM|MI
 "...")``) with ``GROUP BY``, value expressions in the projection
 (``(expr AS ?alias)`` — post-aggregation when aggregates are
 present), the ``ORDER BY`` /
-``LIMIT`` / ``OFFSET`` / ``HAVING`` solution modifiers, and the
+``LIMIT`` / ``OFFSET`` / ``HAVING`` solution modifiers (``SELECT
+DISTINCT`` and ``SELECT REDUCED`` both parse — results are
+set-semantic either way, a permitted REDUCED answer), and the
 ``ASK`` / ``CONSTRUCT`` / ``DESCRIBE`` query forms, ``FILTER (NOT) EXISTS``
 (left-semi / left-anti join on the shared variables), and ``GRAPH``
 (the triples table is a quad store keyed by ``doc_iri``: a constant
@@ -111,8 +113,11 @@ from pyspark.sql import DataFrame, functions as F
 _PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>]+)>", re.IGNORECASE)
 # greedy body capture pairs with the LAST '}': everything after it is the
 # solution-modifier tail (GROUP BY / ORDER BY / LIMIT)
+# DISTINCT and REDUCED both parse: results are set-semantic in this
+# dialect, which is exactly DISTINCT and a permitted REDUCED answer
+# (SPARQL 1.1 §15.3.2 allows any amount of duplicate elimination)
 _SELECT_RE = re.compile(
-    r"SELECT\s+(DISTINCT\s+)?(.+?)\s+WHERE\s*\{(.*)\}\s*(.*?)\s*$",
+    r"SELECT\s+((?:DISTINCT|REDUCED)\s+)?(.+?)\s+WHERE\s*\{(.*)\}\s*(.*?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UNSUPPORTED = re.compile(r"\bSERVICE\b", re.IGNORECASE)

@@ -912,6 +912,9 @@ def _register_kg():
                CAST(NULL AS VARCHAR), '{ST}' FROM f
         UNION ALL
         SELECT subj, '{ST}hasUpper', upper(s), false,
+               CAST(NULL AS VARCHAR), '{ST}' FROM f
+        UNION ALL
+        SELECT subj, '{ST}hasMid', substr(s, 2, 3), false,
                CAST(NULL AS VARCHAR), '{ST}' FROM f"""
 
     @_q("kg_swrl_strings", st_sql)
@@ -927,6 +930,11 @@ def _register_kg():
              True, None, ST),
             (ST, V.YPO_RULE_SRC,
              "hasName(?x, ?n), upperCase(?u, ?n) -> hasUpper(?x, ?u)",
+             True, None, ST),
+            # r6d: substring integer fragment — DuckDB's substr agrees
+            # with the XPath window for start >= 1
+            (ST, V.YPO_RULE_SRC,
+             "hasName(?x, ?n), substring(?m, ?n, 2, 3) -> hasMid(?x, ?m)",
              True, None, ST),
         ] + [
             (ST + n, ST + "hasName", s, True, V.XSD_STRING, ST)
