@@ -2096,3 +2096,31 @@ def test_select_distinct_and_reduced_keywords(triples):
         for r in _q(triples, "REDUCED ?x WHERE { ?x e:age ?a }").collect()
     }
     assert plain == dist == red and len(plain) == 3
+
+
+def test_construct_where_shorthand(triples):
+    """§10.2.3: `CONSTRUCT WHERE { BGP }` uses the pattern as its own
+    template; equals the explicit long form. Non-BGP patterns raise."""
+    from yamlpyowl_spark.operators.sparql import make_query
+
+    short = {
+        tuple(r)
+        for r in make_query(
+            triples, f"PREFIX e: <{E}> CONSTRUCT WHERE {{ ?x e:age ?a }}"
+        ).collect()
+    }
+    long = {
+        tuple(r)
+        for r in make_query(
+            triples,
+            f"PREFIX e: <{E}> CONSTRUCT {{ ?x e:age ?a }} "
+            "WHERE { ?x e:age ?a }",
+        ).collect()
+    }
+    assert short == long and len(short) == 3
+    with pytest.raises(SparqlError, match="BGP"):
+        make_query(
+            triples,
+            f"PREFIX e: <{E}> CONSTRUCT WHERE "
+            "{ ?x e:age ?a . FILTER(?a > 10) }",
+        )

@@ -134,6 +134,12 @@ _DESCRIBE_RE = re.compile(
 _CONSTRUCT_RE = re.compile(
     r"^CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL
 )
+# §10.2.3 shorthand: CONSTRUCT WHERE { BGP } — the pattern doubles as
+# the template (cannot collide with the long form above, which needs a
+# `{` right after CONSTRUCT)
+_CONSTRUCT_WHERE_RE = re.compile(
+    r"^CONSTRUCT\s+WHERE\s*\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL
+)
 _AGG_ITEM_RE = re.compile(
     r"\(\s*(COUNT|SUM|MIN|MAX|AVG|SAMPLE|GROUP_CONCAT)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*"
     r'(?:;\s*SEPARATOR\s*=\s*"((?:[^"\\]|\\.)*)")?\s*\)\s+AS\s+\?(\w+)\s*\)',
@@ -1832,15 +1838,28 @@ def construct_query(
     Graph, which dedups). Returns (subj, pred, obj); template terms
     may be constants or variables bound by the WHERE pattern. One
     projection + union per template triple — no extra shuffle beyond
-    the final distinct."""
+    the final distinct. The §10.2.3 shorthand ``CONSTRUCT WHERE
+    { BGP }`` uses the pattern as its own template (plain triples
+    only, per spec)."""
     body, prefixes = _strip_prefixes(sparql_src)
     m = _CONSTRUCT_RE.match(body)
-    if not m:
-        raise SparqlError("expected `CONSTRUCT { ... } WHERE { ... }`")
-    tmpl_items = _parse_group(m.group(1), prefixes)
+    if m:
+        tmpl_src, where_src = m.group(1), m.group(2)
+        shorthand = False
+    else:
+        m = _CONSTRUCT_WHERE_RE.match(body)
+        if not m:
+            raise SparqlError("expected `CONSTRUCT [{ template }] WHERE { ... }`")
+        tmpl_src = where_src = m.group(1)
+        shorthand = True
+    tmpl_items = _parse_group(tmpl_src, prefixes)
     if any(it[0] != "t" for it in tmpl_items):
-        raise SparqlError("CONSTRUCT templates may contain only plain triples")
-    df = _compile(triples, _parse_group(m.group(2), prefixes), named=named)
+        raise SparqlError(
+            "CONSTRUCT WHERE shorthand requires a plain BGP pattern (§10.2.3)"
+            if shorthand
+            else "CONSTRUCT templates may contain only plain triples"
+        )
+    df = _compile(triples, _parse_group(where_src, prefixes), named=named)
 
     def term_col(t: str):
         if t.startswith("?"):
@@ -2000,7 +2019,7 @@ def make_query(triples: DataFrame, sparql_src: str) -> DataFrame:
         return spark.createDataFrame(
             [(ask_query(triples, sparql_src, named=named),)], "ask boolean"
         )
-    if _CONSTRUCT_RE.match(head):
+    if _CONSTRUCT_RE.match(head) or _CONSTRUCT_WHERE_RE.match(head):
         return construct_query(triples, sparql_src, named=named)
     if _DESCRIBE_RE.match(head):
         return describe_query(triples, sparql_src, named=named)
