@@ -2124,3 +2124,53 @@ def test_construct_where_shorthand(triples):
             f"PREFIX e: <{E}> CONSTRUCT WHERE "
             "{ ?x e:age ?a . FILTER(?a > 10) }",
         )
+
+
+def test_having_boolean_combinations(triples):
+    """r6d: HAVING takes && / || / ! combinations of aggregate and
+    alias comparisons, standard precedence, same single groupBy."""
+    # age: a=30, b?, c? — sum 82 over 3 subjects; predicate counts:
+    # age ×3, knows ×1, likes ×1, name ×1
+    both = {
+        r["p"]
+        for r in _q(
+            triples,
+            "?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+            "HAVING (?n > 2 && COUNT(?o) < 5)",
+        ).collect()
+    }
+    assert both == {E + "age"}
+    either = {
+        r["p"]
+        for r in _q(
+            triples,
+            "?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+            "HAVING (?n > 2 || ?n = 1)",
+        ).collect()
+    }
+    assert either == {E + "age", E + "knows", E + "likes", E + "name"}
+    negated = {
+        r["p"]
+        for r in _q(
+            triples,
+            "?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+            "HAVING (!(?n > 2))",
+        ).collect()
+    }
+    assert negated == {E + "knows", E + "likes", E + "name"}
+    # parens override &&-over-|| precedence
+    grouped = {
+        r["p"]
+        for r in _q(
+            triples,
+            "?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+            "HAVING ((?n = 1 || ?n = 3) && ?n != 1)",
+        ).collect()
+    }
+    assert grouped == {E + "age"}
+    with pytest.raises(SparqlError, match="HAVING"):
+        _q(
+            triples,
+            "?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+            "HAVING (?n > 2 &&)",
+        )

@@ -34,7 +34,9 @@ modifier: ``(p1/p2)+``, ``^(p|q)``, ``((a/b)|c)+``), aggregates (``(COUNT|SUM|MI
 present), the ``ORDER BY`` /
 ``LIMIT`` / ``OFFSET`` / ``HAVING`` solution modifiers (``SELECT
 DISTINCT`` and ``SELECT REDUCED`` both parse — results are
-set-semantic either way, a permitted REDUCED answer), and the
+set-semantic either way, a permitted REDUCED answer; ``HAVING``
+takes ``&&`` / ``||`` / ``!`` combinations of aggregate / alias
+comparisons against numeric constants, r6d), and the
 ``ASK`` / ``CONSTRUCT`` / ``DESCRIBE`` query forms, ``FILTER (NOT) EXISTS``
 (left-semi / left-anti join on the shared variables), and ``GRAPH``
 (the triples table is a quad store keyed by ``doc_iri``: a constant
@@ -154,10 +156,11 @@ _ORDERBY_RE = re.compile(
 _ORDER_ITEM_RE = re.compile(r"(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)", re.IGNORECASE)
 _LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.IGNORECASE)
 _OFFSET_RE = re.compile(r"OFFSET\s+(\d+)", re.IGNORECASE)
-_HAVING_RE = re.compile(
-    r"HAVING\s*\(\s*"
-    r"(?:(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)|\?(\w+))"
-    r"\s*(!=|<=|>=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*\)",
+# one HAVING comparison leaf: AGG(?v) / COUNT(*) / ?alias vs a numeric
+# constant; leaves combine with && || ! and parens (r6d)
+_HAVING_LEAF_RE = re.compile(
+    r"\s*(?:(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)|\?(\w+))"
+    r"\s*(!=|<=|>=|=|<|>)\s*(-?\d+(?:\.\d+)?)",
     re.IGNORECASE,
 )
 
@@ -956,28 +959,101 @@ def _parse_projection(proj: str, prefixes: dict | None = None):
     return items
 
 
+def _parse_having(span: str):
+    """Boolean HAVING constraint (r6d): comparison leaves
+    (``AGG(?v) op number`` / ``?alias op number``) combined with
+    ``&&`` / ``||`` / ``!`` and parentheses, standard precedence.
+    Returns a tree of ('or'|'and', l, r) / ('not', x) /
+    ('cmp', FN|None, distinct, arg, alias, op, const) nodes."""
+    pos = 0
+
+    def ws():
+        nonlocal pos
+        while pos < len(span) and span[pos].isspace():
+            pos += 1
+
+    def orx():
+        nonlocal pos
+        node = andx()
+        while True:
+            ws()
+            if span.startswith("||", pos):
+                pos += 2
+                node = ("or", node, andx())
+            else:
+                return node
+
+    def andx():
+        nonlocal pos
+        node = unary()
+        while True:
+            ws()
+            if span.startswith("&&", pos):
+                pos += 2
+                node = ("and", node, unary())
+            else:
+                return node
+
+    def unary():
+        nonlocal pos
+        ws()
+        if span.startswith("!", pos) and not span.startswith("!=", pos):
+            pos += 1
+            return ("not", unary())
+        if span.startswith("(", pos):
+            # a leaf never starts with '(' (aggregates start with their
+            # keyword, aliases with '?') — this is always a group
+            pos += 1
+            node = orx()
+            ws()
+            if not span.startswith(")", pos):
+                raise SparqlError(f"unbalanced parens in HAVING: {span!r}")
+            pos += 1
+            return node
+        m = _HAVING_LEAF_RE.match(span, pos)
+        if not m:
+            raise SparqlError(
+                "HAVING supports `AGG(?v) op number` / `?alias op number` "
+                f"leaves combined with && || ! — cannot parse {span[pos:]!r}"
+            )
+        pos = m.end()
+        fn, dist, arg, alias, op, const = m.groups()
+        return ("cmp", fn.upper() if fn else None, bool(dist), arg, alias,
+                op, float(const))
+
+    node = orx()
+    ws()
+    if pos != len(span):
+        raise SparqlError(f"trailing tokens in HAVING: {span[pos:]!r}")
+    return node
+
+
 def _parse_modifiers(tail: str):
     """GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET tail after the
-    WHERE block. HAVING supports one comparison of an aggregate or a
-    SELECT alias against a numeric constant."""
+    WHERE block. HAVING (r6d) takes a parenthesized boolean
+    combination of aggregate / alias comparisons."""
     group_by, order_by, limit, offset, having = [], [], None, None, None
     rest = tail
-    m = _HAVING_RE.search(rest)
+    m = re.search(r"\bHAVING\b", rest, re.IGNORECASE)
     if m:
-        fn, dist, arg, alias, op, const = m.groups()
-        having = (
-            fn.upper() if fn else None,
-            bool(dist),
-            arg,
-            alias,
-            op,
-            float(const),
-        )
-        rest = rest[: m.start()] + rest[m.end():]
-    elif re.search(r"\bHAVING\b", rest, re.IGNORECASE):
-        raise SparqlError(
-            "HAVING supports `(AGG(?v) op number)` or `(?alias op number)`"
-        )
+        i = m.end()
+        while i < len(rest) and rest[i].isspace():
+            i += 1
+        if i >= len(rest) or rest[i] != "(":
+            raise SparqlError("HAVING needs a parenthesized constraint")
+        depth, j = 0, i
+        while j < len(rest):
+            if rest[j] == "(":
+                depth += 1
+            elif rest[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise SparqlError("unbalanced parens in HAVING")
+        having = _parse_having(rest[i + 1 : j])
+        rest = rest[: m.start()] + rest[j + 1 :]
     m = _GROUPBY_RE.search(rest)
     if m:
         group_by = re.findall(r"\?(\w+)", m.group(1))
@@ -2120,38 +2196,67 @@ def _select_frame(
                 else:
                     col = _AGG_FNS[fn](F.col(arg[1:]))
             cols.append(col.alias(alias))
+        having_ref = None
         if having is not None:
-            h_fn, h_dist, h_arg, h_alias, h_op, h_const = having
-            if h_fn is not None:
-                # inline aggregate: compute as a hidden column, filter,
-                # drop — same groupBy, no extra shuffle
-                if h_fn == "COUNT":
-                    if h_arg == "*":
-                        hcol = F.count(F.lit(1))
-                    elif h_dist:
-                        hcol = F.countDistinct(F.col(h_arg[1:]))
+            # resolve each comparison leaf to a column reference:
+            # inline aggregates become hidden __hav{i} columns in the
+            # SAME groupBy (no extra shuffle), aliases reuse the
+            # projected aggregate
+            n_hidden = [0]
+
+            def _resolve(node):
+                if node[0] in ("or", "and"):
+                    return (node[0], _resolve(node[1]), _resolve(node[2]))
+                if node[0] == "not":
+                    return ("not", _resolve(node[1]))
+                _, h_fn, h_dist, h_arg, h_alias, h_op, h_const = node
+                if h_fn is not None:
+                    if h_fn == "COUNT":
+                        if h_arg == "*":
+                            hcol = F.count(F.lit(1))
+                        elif h_dist:
+                            hcol = F.countDistinct(F.col(h_arg[1:]))
+                        else:
+                            hcol = F.count(F.col(h_arg[1:]))
                     else:
-                        hcol = F.count(F.col(h_arg[1:]))
+                        if h_arg == "*" or h_dist:
+                            raise SparqlError(
+                                f"HAVING {h_fn} needs a plain ?variable"
+                            )
+                        if h_arg[1:] not in df.columns:
+                            raise SparqlError(
+                                f"HAVING aggregate over unbound {h_arg}"
+                            )
+                        hcol = _AGG_FNS[h_fn](F.col(h_arg[1:]))
+                    ref = f"__hav{n_hidden[0]}"
+                    n_hidden[0] += 1
+                    cols.append(hcol.alias(ref))
                 else:
-                    if h_arg == "*" or h_dist:
-                        raise SparqlError(f"HAVING {h_fn} needs a plain ?variable")
-                    if h_arg[1:] not in df.columns:
-                        raise SparqlError(f"HAVING aggregate over unbound {h_arg}")
-                    hcol = _AGG_FNS[h_fn](F.col(h_arg[1:]))
-                cols.append(hcol.alias("__having"))
-                h_ref = "__having"
-            else:
-                if h_alias not in [a[4] for a in aggs]:
-                    raise SparqlError(
-                        f"HAVING alias ?{h_alias} is not a SELECT aggregate"
-                    )
-                h_ref = h_alias
+                    if h_alias not in [a[4] for a in aggs]:
+                        raise SparqlError(
+                            f"HAVING alias ?{h_alias} is not a SELECT aggregate"
+                        )
+                    ref = h_alias
+                return ("ref", ref, h_op, h_const)
+
+            having_ref = _resolve(having)
         # SPARQL aggregates run over the solution MULTISET — no distinct
         df = df.groupBy(*group_by).agg(*cols) if group_by else df.agg(*cols)
-        if having is not None:
-            df = df.filter(
-                _CMP[having[4]](F.col(h_ref).try_cast("double"), F.lit(having[5]))
-            )
+        if having_ref is not None:
+
+            def _havcol(node):
+                if node[0] == "or":
+                    return _havcol(node[1]) | _havcol(node[2])
+                if node[0] == "and":
+                    return _havcol(node[1]) & _havcol(node[2])
+                if node[0] == "not":
+                    return ~_havcol(node[1])
+                _, ref, h_op, h_const = node
+                return _CMP[h_op](
+                    F.col(ref).try_cast("double"), F.lit(h_const)
+                )
+
+            df = df.filter(_havcol(having_ref))
         # SELECT expressions compute post-aggregation, over the group
         # keys and aggregate aliases; then project in SELECT order
         df = _apply_exprs(df)
