@@ -2174,3 +2174,38 @@ def test_having_boolean_combinations(triples):
             "?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
             "HAVING (?n > 2 &&)",
         )
+
+
+def test_final_values_clause(triples):
+    """§18.2.4.3 (r6d): a query-level trailing VALUES joins the
+    solutions — after grouping for aggregate queries (so it can
+    constrain group keys and aliases), before projection/ORDER."""
+    from yamlpyowl_spark.operators.sparql import make_query
+
+    got = {
+        r["x"]
+        for r in make_query(
+            triples,
+            f"PREFIX e: <{E}> SELECT ?x ?a WHERE {{ ?x e:age ?a }} "
+            f'VALUES ?x {{ <{E}a> <{E}b> }}',
+        ).collect()
+    }
+    assert got == {E + "a", E + "b"}
+    # constrain an aggregate alias (numeric column: inline side casts)
+    rows = make_query(
+        triples,
+        f"PREFIX e: <{E}> SELECT ?p (COUNT(?o) AS ?n) "
+        "WHERE { ?s ?p ?o } GROUP BY ?p "
+        'VALUES ?n { "3" }',
+    ).collect()
+    assert {(r["p"], r["n"]) for r in rows} == {(E + "age", 3)}
+    # an in-group VALUES at the end of WHERE still parses as in-group
+    got2 = {
+        r["x"]
+        for r in make_query(
+            triples,
+            f"PREFIX e: <{E}> SELECT ?x WHERE {{ ?x e:age ?a . "
+            f"VALUES ?x {{ <{E}a> }} }}",
+        ).collect()
+    }
+    assert got2 == {E + "a"}

@@ -1109,23 +1109,63 @@ def _parse(src: str, outer_prefixes: dict | None = None):
     prefixes.update(
         (m.group(1), m.group(2)) for m in _PREFIX_RE.finditer(src)
     )
-    m = _SELECT_RE.search(src.strip())
+    body = src.strip()
+    # query-level final VALUES clause (§18.2.4.3, r6d): a trailing
+    # `VALUES ?v|( ?a ?b ) { rows }` OUTSIDE every brace pair joins the
+    # solutions after grouping/HAVING, before projection and ORDER/
+    # LIMIT. Datablocks contain no nested braces, so the span is
+    # regular; brace depth (string-literal-aware) distinguishes it
+    # from an in-group VALUES at the end of the WHERE block.
+    final_values = None
+    mv = re.search(
+        r"\bVALUES\s+(?:\([^()]*\)|\?\w+)\s*\{[^{}]*\}\s*$",
+        body,
+        re.IGNORECASE,
+    )
+    if mv is not None and _brace_depth_at(body, mv.start()) == 0:
+        [final_values] = _parse_group(body[mv.start():], prefixes)
+        body = body[: mv.start()]
+    m = _SELECT_RE.search(body)
     if not m:
         raise SparqlError("expected `SELECT ... WHERE { ... }`")
     select_items = _parse_projection(m.group(2), prefixes)
     group_by, order_by, limit, offset, having = _parse_modifiers(m.group(4) or "")
     items = _parse_group(m.group(3), prefixes)
-    return select_items, items, group_by, order_by, limit, offset, having
+    return (select_items, items, group_by, order_by, limit, offset, having,
+            final_values)
+
+
+def _brace_depth_at(s: str, idx: int) -> int:
+    """Brace nesting depth at position ``idx``, ignoring braces inside
+    quoted string literals (same scan discipline as
+    :func:`_extract_dataset`)."""
+    depth = 0
+    in_str: str | None = None
+    for i in range(idx):
+        ch = s[i]
+        if in_str is not None:
+            if ch == in_str and s[i - 1] != "\\":
+                in_str = None
+        elif ch in "\"'":
+            in_str = ch
+        elif ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+    return depth
 
 
 def parse_sparql(src: str) -> Tuple[List[str], List[Tuple[str, str, str]]]:
     """Legacy surface: (selected variables, plain triple patterns).
     Raises on FILTER/UNION/OPTIONAL — use :func:`make_query` for those."""
-    select_items, items, group_by, order_by, limit, offset, having = _parse(src)
+    (select_items, items, group_by, order_by, limit, offset, having,
+     final_values) = _parse(src)
     if any(k[0] != "t" for k in items):
         raise SparqlError("query uses FILTER/UNION/OPTIONAL — evaluate via make_query")
-    if group_by or order_by or limit is not None or offset is not None or having or any(
-        it[0] != "var" for it in select_items
+    if (
+        group_by or order_by or limit is not None or offset is not None
+        or having or final_values is not None
+        or any(it[0] != "var" for it in select_items)
     ):
         raise SparqlError("query uses aggregates/modifiers — evaluate via make_query")
     return ["?" + it[1] for it in select_items], [it[1] for it in items]
@@ -1351,6 +1391,73 @@ def _path_frame(
         cur = cur.filter(term_last == o)
     keep = [c for c in cur.columns if not c.startswith("_h")]
     return cur.select(*keep).distinct() if keep else cur.select(F.lit(1).alias(f"_m{idx}"))
+
+
+def _apply_values(spark, df, names, rows):
+    """Join a VALUES datablock against ``df`` (or stand alone when
+    ``df`` is None) — shared by the in-group compile and the
+    query-level final VALUES clause (§18.2.4.3). UNDEF leaves the
+    variable unconstrained for that row. When ``df`` carries a
+    non-string column of the same name (a final VALUES over an
+    aggregate alias), the inline side is try_cast to that type so the
+    join never hits an ANSI cast error."""
+
+    def _typed(inline):
+        if df is None:
+            return inline
+        dts = dict(df.dtypes)
+        for c in inline.columns:
+            dt = dts.get(c)
+            if dt is not None and dt != "string":
+                inline = inline.withColumn(
+                    c, F.expr(f"try_cast(`{c}` AS {dt})")
+                )
+        return inline
+
+    cols = [v[1:] for v in names]
+    schema = ", ".join(f"`{c}` string" for c in cols)
+    if df is None or all(None not in r for r in rows):
+        # no UNDEF against an existing frame: one inline
+        # relation (standalone UNDEFs become plain NULLs)
+        inline = _typed(spark.createDataFrame(rows, schema))
+        return inline if df is None else _merge(df, inline)
+    # UNDEF leaves the variable unconstrained for that row:
+    # group rows by their defined-column mask, join each
+    # group on only those columns, align schemas (missing
+    # vars -> NULL) and union — set semantics downstream
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[tuple(i for i, v in enumerate(r) if v is not None)].append(r)
+    parts = []
+    for mask, rs in groups.items():
+        if not mask:
+            parts.append(df)  # the all-UNDEF row keeps every solution
+            continue
+        sub_cols = [cols[i] for i in mask]
+        inline = _typed(
+            spark.createDataFrame(
+                [tuple(r[i] for i in mask) for r in rs],
+                ", ".join(f"`{c}` string" for c in sub_cols),
+            )
+        )
+        parts.append(_merge(df, inline))
+    all_cols: list = []
+    for p in parts:
+        for c in p.columns:
+            if c not in all_cols:
+                all_cols.append(c)
+    aligned = []
+    for p in parts:
+        missing = [c for c in all_cols if c not in p.columns]
+        for c in missing:
+            p = p.withColumn(c, F.lit(None).cast("string"))
+        aligned.append(p.select(*all_cols))
+    u = aligned[0]
+    for p in aligned[1:]:
+        u = u.unionByName(p)
+    return u
 
 
 def _merge(a: DataFrame, b: DataFrame, how: str = "inner") -> DataFrame:
@@ -1780,51 +1887,9 @@ def _compile(
             if shared:
                 df = df.join(m.select(*shared).distinct(), shared, "left_anti")
         elif kind == "values":
-            names, rows = item[1], item[2]
-            cols = [v[1:] for v in names]
-            spark = triples.sparkSession
-            schema = ", ".join(f"`{c}` string" for c in cols)
-            if df is None or all(None not in r for r in rows):
-                # no UNDEF against an existing frame: one inline
-                # relation (standalone UNDEFs become plain NULLs)
-                inline = spark.createDataFrame(rows, schema)
-                df = inline if df is None else _merge(df, inline)
-            else:
-                # UNDEF leaves the variable unconstrained for that row:
-                # group rows by their defined-column mask, join each
-                # group on only those columns, align schemas (missing
-                # vars -> NULL) and union — set semantics downstream
-                from collections import defaultdict
-
-                groups = defaultdict(list)
-                for r in rows:
-                    groups[tuple(i for i, v in enumerate(r) if v is not None)].append(r)
-                parts = []
-                for mask, rs in groups.items():
-                    if not mask:
-                        parts.append(df)  # the all-UNDEF row keeps every solution
-                        continue
-                    sub_cols = [cols[i] for i in mask]
-                    inline = spark.createDataFrame(
-                        [tuple(r[i] for i in mask) for r in rs],
-                        ", ".join(f"`{c}` string" for c in sub_cols),
-                    )
-                    parts.append(_merge(df, inline))
-                all_cols: list = []
-                for p in parts:
-                    for c in p.columns:
-                        if c not in all_cols:
-                            all_cols.append(c)
-                aligned = []
-                for p in parts:
-                    missing = [c for c in all_cols if c not in p.columns]
-                    for c in missing:
-                        p = p.withColumn(c, F.lit(None).cast("string"))
-                    aligned.append(p.select(*all_cols))
-                u = aligned[0]
-                for p in aligned[1:]:
-                    u = u.unionByName(p)
-                df = u
+            df = _apply_values(
+                triples.sparkSession, df, item[1], item[2]
+            )
         elif kind == "bind":
             var = item[1]
             if df is None:
@@ -2113,7 +2178,8 @@ def _select_frame(
     ``graph_var`` (r6): evaluate as a subquery under ``GRAPH ?g`` —
     patterns bind the graph column, aggregates group by it implicitly,
     and it stays in the output for the per-graph outer join."""
-    select_items, items, group_by, order_by, limit, offset, having = parsed
+    (select_items, items, group_by, order_by, limit, offset, having,
+     final_values) = parsed
     if graph_var is not None and (limit is not None or offset is not None):
         # per-graph LIMIT/OFFSET would need window semantics — loud,
         # not wrong
@@ -2257,6 +2323,12 @@ def _select_frame(
                 )
 
             df = df.filter(_havcol(having_ref))
+        if final_values is not None:
+            # §18.2.4.3: the final VALUES joins the grouped solutions
+            # (group keys and aggregate aliases), before projection
+            df = _apply_values(
+                triples.sparkSession, df, final_values[1], final_values[2]
+            )
         # SELECT expressions compute post-aggregation, over the group
         # keys and aggregate aliases; then project in SELECT order
         df = _apply_exprs(df)
@@ -2268,9 +2340,18 @@ def _select_frame(
         raise SparqlError("HAVING requires aggregates in the SELECT clause")
     elif group_by:
         # GROUP BY with no aggregates = projection to the keys, distinct
-        df = _apply_exprs(df.select(*group_by).distinct())
+        df = df.select(*group_by).distinct()
+        if final_values is not None:
+            df = _apply_values(
+                triples.sparkSession, df, final_values[1], final_values[2]
+            )
+        df = _apply_exprs(df)
         df = df.select(*[it[1] if it[0] == "var" else it[2] for it in select_items])
     else:
+        if final_values is not None:
+            df = _apply_values(
+                triples.sparkSession, df, final_values[1], final_values[2]
+            )
         df = _apply_exprs(df)
         df = df.select(
             *[it[1] if it[0] == "var" else it[2] for it in select_items]
