@@ -517,15 +517,20 @@ def _register_kg():
     @_q(
         "kg_sparql_having_offset",
         f"""SELECT pred AS p, count(obj) AS n FROM {_t()}
-            GROUP BY pred HAVING count(obj) > 10
+            GROUP BY pred
+            HAVING (count(obj) > 10 AND NOT count(obj) > 2000)
+                OR count(obj) = 4
             ORDER BY n DESC, pred OFFSET 1 LIMIT 3""",
     )
     def kg_sparql_having_offset(spark, sf_dir):
+        # r6d: boolean HAVING — && binds tighter than ||, ! negates;
+        # DuckDB mirrors with AND/OR/NOT
         from .operators.sparql import make_query
 
         q = (
             "SELECT ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } "
-            "GROUP BY ?p HAVING (?n > 10) ORDER BY DESC(?n) ?p OFFSET 1 LIMIT 3"
+            "GROUP BY ?p HAVING (?n > 10 && !(?n > 2000) || ?n = 4) "
+            "ORDER BY DESC(?n) ?p OFFSET 1 LIMIT 3"
         )
         return make_query(kg_triples(spark), q)
 
@@ -674,6 +679,25 @@ def _register_kg():
             f"SELECT ?g ?s FROM <{_ZF}1#> FROM NAMED <{_ZF}0#> WHERE {{ "
             f"{{ GRAPH ?g {{ ?s rdf:type owl:NamedIndividual }} }} UNION "
             f'{{ ?s rdf:type owl:NamedIndividual . BIND("default" AS ?g) }} }}'
+        )
+        return make_query(kg_triples(spark), q)
+
+    @_q(
+        "kg_sparql_final_values",
+        f"""SELECT pred AS p, count(obj) AS n FROM {_t()}
+            WHERE pred IN ('{V.RDF_TYPE}', '{V.RDFS_SUBCLASSOF}')
+            GROUP BY pred""",
+    )
+    def kg_sparql_final_values(spark, sf_dir):
+        # r6d: query-level final VALUES (§18.2.4.3) joins AFTER
+        # grouping — constraining a group key leaves per-group counts
+        # identical to a pre-filter, which is what DuckDB mirrors
+        from .operators.sparql import make_query
+
+        q = (
+            f"PREFIX rdf: <{V.RDF}> PREFIX rdfs: <{V.RDFS}> "
+            "SELECT ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+            "VALUES ?p { rdf:type rdfs:subClassOf }"
         )
         return make_query(kg_triples(spark), q)
 
@@ -2209,6 +2233,10 @@ _TAIL = [
     # r6c: FROM/FROM NAMED = isin filters over the same pattern
     # machinery the in-window graph/union rows gate
     "kg_sparql_from",
+    # r6d: final VALUES rides the in-group VALUES machinery
+    # (one shared _apply_values); the agg path is gated in-window by
+    # kg_sparql_agg/having_offset
+    "kg_sparql_final_values",
     # closure op stays gated in-window by kg_subclass_closure's big
     # siblings kg_sparql_path{,_star}
     "kg_subclass_closure",
