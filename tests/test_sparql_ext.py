@@ -2209,3 +2209,31 @@ def test_final_values_clause(triples):
         ).collect()
     }
     assert got2 == {E + "a"}
+
+
+def test_subquery_under_graph_var_per_graph_topk(quads):
+    """r6d: LIMIT/OFFSET in a subquery under GRAPH ?g slices WITHIN
+    each graph (row_number window partitioned by the graph column);
+    ORDER BY is required for determinism."""
+    # per graph, the lexically-first p-subject: g1 → a, g2 → b
+    got = {
+        tuple(r)
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?g ?s WHERE {{ GRAPH ?g {{ "
+            f"{{ SELECT ?s WHERE {{ ?s e:p ?o }} ORDER BY ?s LIMIT 1 }} "
+            f"}} }}",
+        ).collect()
+    }
+    assert got == {(E + "g1", E + "a"), (E + "g2", E + "b")}
+    # OFFSET past every row in a graph leaves that graph empty
+    got2 = {
+        tuple(r)
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> SELECT ?g ?s WHERE {{ GRAPH ?g {{ "
+            f"{{ SELECT ?s WHERE {{ ?s e:p ?o }} ORDER BY ?s OFFSET 1 }} "
+            f"}} }}",
+        ).collect()
+    }
+    assert got2 == set()

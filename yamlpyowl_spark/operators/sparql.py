@@ -101,8 +101,9 @@ does not track).
 
 Subqueries under ``GRAPH ?var`` evaluate per active graph (patterns
 bind the graph column, aggregates group by it implicitly); per-graph
-LIMIT/OFFSET inside such a subquery, and SERVICE anywhere, raise —
-loudly, not wrongly.
+LIMIT/OFFSET slices WITHIN each graph via a row_number window over
+the graph column (r6d) and requires ORDER BY for determinism;
+SERVICE anywhere raises — loudly, not wrongly.
 """
 
 from __future__ import annotations
@@ -2180,12 +2181,6 @@ def _select_frame(
     and it stays in the output for the per-graph outer join."""
     (select_items, items, group_by, order_by, limit, offset, having,
      final_values) = parsed
-    if graph_var is not None and (limit is not None or offset is not None):
-        # per-graph LIMIT/OFFSET would need window semantics — loud,
-        # not wrong
-        raise SparqlError(
-            "LIMIT/OFFSET in a subquery under GRAPH ?var is not supported"
-        )
     df = _compile(triples, items, graph_var, named)
     if any(it[0] == "star" for it in select_items):
         # SELECT *: every variable the pattern binds, in binding order
@@ -2359,6 +2354,27 @@ def _select_frame(
     for name, _ in order_by:
         if name not in df.columns:
             raise SparqlError(f"ORDER BY references unprojected variable ?{name}")
+    if graph_var is not None and (limit is not None or offset is not None):
+        # per-graph top-k (r6d): the subquery slices WITHIN each active
+        # graph, so LIMIT/OFFSET compile to row_number over a window
+        # partitioned by the graph column — one shuffle on the graph
+        # key, no per-graph driver loop. ORDER BY is required: an
+        # unordered per-graph slice would be nondeterministic.
+        if not order_by:
+            raise SparqlError(
+                "LIMIT/OFFSET in a subquery under GRAPH ?var needs ORDER BY"
+            )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(graph_var).orderBy(
+            *[F.col(n).desc() if d else F.col(n).asc() for n, d in order_by]
+        )
+        df = df.withColumn("__rn", F.row_number().over(w))
+        lo = offset or 0
+        cond = F.col("__rn") > lo
+        if limit is not None:
+            cond = cond & (F.col("__rn") <= lo + limit)
+        return df.filter(cond).drop("__rn")
     if order_by:
         df = df.orderBy(
             *[F.col(n).desc() if d else F.col(n).asc() for n, d in order_by]
