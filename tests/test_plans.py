@@ -248,3 +248,71 @@ def test_exprs_gate_single_shuffle_partial_agg(spark):
     # section after the InMemoryTableScan
     tail = plan.split("InMemoryTableScan", 1)[0]
     assert tail.count("Exchange") <= 1, tail
+
+
+def test_final_values_broadcasts_inline_side(spark):
+    """The query-level final VALUES joins a tiny inline relation —
+    Catalyst must broadcast it into the solutions, never shuffle the
+    big side on the VALUES key."""
+    from pyspark.sql import types as T
+
+    from yamlpyowl_spark.operators.sparql import make_query
+
+    schema = T.StructType([
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("obj_is_literal", T.BooleanType()),
+        T.StructField("obj_datatype", T.StringType()),
+        T.StructField("doc_iri", T.StringType()),
+    ])
+    E = "http://ex.org/"
+    t = spark.createDataFrame(
+        [(E + "a", E + "p", E + "b", False, None, E),
+         (E + "c", E + "p", E + "d", False, None, E)], schema
+    )
+    df = make_query(
+        t,
+        f"SELECT ?s WHERE {{ ?s <{E}p> ?o }} VALUES ?s {{ <{E}a> }}",
+    )
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_per_graph_topk_single_window(spark):
+    """Per-graph LIMIT under GRAPH ?g compiles to ONE Window
+    (row_number partitioned by the graph column) — no per-graph driver
+    loop, no self-join."""
+    from pyspark.sql import types as T
+
+    from yamlpyowl_spark.operators.sparql import make_query
+
+    schema = T.StructType([
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("obj_is_literal", T.BooleanType()),
+        T.StructField("obj_datatype", T.StringType()),
+        T.StructField("doc_iri", T.StringType()),
+    ])
+    E = "http://ex.org/"
+    t = spark.createDataFrame(
+        [(E + "a", E + "p", E + "b", False, None, E + "g1"),
+         (E + "b", E + "p", E + "c", False, None, E + "g2")], schema
+    )
+    df = make_query(
+        t,
+        f"SELECT ?g ?s WHERE {{ GRAPH ?g {{ {{ SELECT ?s WHERE "
+        f"{{ ?s <{E}p> ?o }} ORDER BY ?s LIMIT 1 }} }} }}",
+    )
+    df.collect()
+    # AQE prints Final + Initial sections; count operators once
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("+- Window ") == 1, plan
+    assert "row_number" in plan, plan
+    # Spark 4 pushes the per-partition limit BELOW the shuffle
+    # (partial WindowGroupLimit): each task forwards at most k rows
+    # per graph before the exchange — the 100-TB-safe shape
+    assert "WindowGroupLimit" in plan, plan

@@ -1413,7 +1413,13 @@ def _apply_values(spark, df, names, rows):
                 inline = inline.withColumn(
                     c, F.expr(f"try_cast(`{c}` AS {dt})")
                 )
-        return inline
+        # a datablock is typed-in rows — always tiny. Without the hint
+        # the parallelized local relation has UNKNOWN stats (Scan
+        # ExistingRDD defaults to sizeInBytes=MAX), so Catalyst would
+        # SORT-MERGE-JOIN it against the solutions: a full shuffle of
+        # the big side per VALUES block at scale (caught by
+        # test_final_values_broadcasts_inline_side)
+        return F.broadcast(inline)
 
     cols = [v[1:] for v in names]
     schema = ", ".join(f"`{c}` string" for c in cols)
