@@ -2237,3 +2237,28 @@ def test_subquery_under_graph_var_per_graph_topk(quads):
         ).collect()
     }
     assert got2 == set()
+
+
+def test_final_values_on_ask_and_construct(quads):
+    """r6d: the trailing VALUES clause also applies to ASK / CONSTRUCT
+    (relocated into the WHERE group — those forms have no grouping
+    stage, so the join point is equivalent)."""
+    [r] = make_query(
+        quads,
+        f"PREFIX e: <{E}> ASK {{ ?s e:p ?o }} VALUES ?s {{ <{E}a> }}",
+    ).collect()
+    assert r["ask"] is True
+    [r] = make_query(
+        quads,
+        f"PREFIX e: <{E}> ASK {{ ?s e:p ?o }} VALUES ?s {{ <{E}zzz> }}",
+    ).collect()
+    assert r["ask"] is False
+    got = {
+        tuple(r)
+        for r in make_query(
+            quads,
+            f"PREFIX e: <{E}> CONSTRUCT {{ ?s e:r ?o }} "
+            f"WHERE {{ ?s e:p ?o }} VALUES ?s {{ <{E}a> }}",
+        ).collect()
+    }
+    assert got == {(E + "a", E + "r", E + "b")}

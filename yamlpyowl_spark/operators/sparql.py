@@ -1136,6 +1136,25 @@ def _parse(src: str, outer_prefixes: dict | None = None):
             final_values)
 
 
+def _relocate_final_values(src: str) -> str:
+    """For ASK / CONSTRUCT / DESCRIBE (no grouping stage), a trailing
+    query-level VALUES clause is equivalent to the same datablock
+    INSIDE the WHERE group — relocate it textually so the form
+    regexes (which anchor on the final ``}``) match. Returns ``src``
+    unchanged when there is no depth-0 trailing VALUES or the text
+    before it does not end in a brace (e.g. a WHERE-less DESCRIBE —
+    left to fail loudly downstream)."""
+    mv = re.search(
+        r"\bVALUES\s+(?:\([^()]*\)|\?\w+)\s*\{[^{}]*\}\s*$", src, re.IGNORECASE
+    )
+    if mv is None or _brace_depth_at(src, mv.start()) != 0:
+        return src
+    pre = src[: mv.start()].rstrip()
+    if not pre.endswith("}"):
+        return src
+    return pre[:-1] + " " + src[mv.start():].strip() + " }"
+
+
 def _brace_depth_at(s: str, idx: int) -> int:
     """Brace nesting depth at position ``idx``, ignoring braces inside
     quoted string literals (same scan discipline as
@@ -2162,6 +2181,13 @@ def make_query(triples: DataFrame, sparql_src: str) -> DataFrame:
         head, _ = _strip_prefixes(sparql_src)
     else:
         named = None
+    if re.match(r"(ASK|CONSTRUCT|DESCRIBE)\b", head, re.IGNORECASE):
+        # these forms have no grouping stage, so a trailing VALUES
+        # clause (§18.2.4.3) is equivalent inside the WHERE group —
+        # relocate it so the form regexes (anchored on the final
+        # brace) match
+        sparql_src = _relocate_final_values(sparql_src)
+        head, _ = _strip_prefixes(sparql_src)
     if _ASK_RE.match(head):
         spark = triples.sparkSession
         return spark.createDataFrame(
