@@ -2262,3 +2262,17 @@ def test_final_values_on_ask_and_construct(quads):
         ).collect()
     }
     assert got == {(E + "a", E + "r", E + "b")}
+
+
+def test_order_by_inline_aggregate(triples):
+    """r6d: ORDER BY DESC(COUNT(?o)) sorts by a hidden aggregate
+    column in the same groupBy — no alias needed, no extra shuffle."""
+    rows = _q(
+        triples,
+        "?p WHERE { ?s ?p ?o } GROUP BY ?p "
+        "ORDER BY DESC(COUNT(?o)) ?p LIMIT 2",
+    ).collect()
+    # age has 3 facts; knows/likes/name have 1 each → tie broken by ?p
+    assert [r["p"] for r in rows] == [E + "age", E + "knows"]
+    with pytest.raises(SparqlError, match="ORDER BY aggregates"):
+        _q(triples, "?s WHERE { ?s e:age ?a } ORDER BY DESC(COUNT(?s))")

@@ -154,7 +154,16 @@ _ORDERBY_RE = re.compile(
     r"ORDER\s+BY\s+(.+?)(?=\bLIMIT\b|\bGROUP\b|\bOFFSET\b|\bHAVING\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
-_ORDER_ITEM_RE = re.compile(r"(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)", re.IGNORECASE)
+# an ORDER BY item: optional ASC()/DESC() wrapper around a plain
+# variable OR an inline aggregate (r6d — ORDER BY DESC(COUNT(?s)));
+# the conditional group closes the wrapper paren only when opened
+_ORDER_ITEM_RE = re.compile(
+    r"(?:(ASC|DESC)\s*\(\s*)?"
+    r"(?:(COUNT|SUM|MIN|MAX|AVG|SAMPLE)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)"
+    r"|\?(\w+))"
+    r"(?(1)\s*\))",
+    re.IGNORECASE,
+)
 _LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.IGNORECASE)
 _OFFSET_RE = re.compile(r"OFFSET\s+(\d+)", re.IGNORECASE)
 # one HAVING comparison leaf: AGG(?v) / COUNT(*) / ?alias vs a numeric
@@ -1062,10 +1071,14 @@ def _parse_modifiers(tail: str):
     m = _ORDERBY_RE.search(rest)
     if m:
         for om in _ORDER_ITEM_RE.finditer(m.group(1)):
-            if om.group(3) is not None:
-                order_by.append((om.group(3), False))
+            direction, fn, dist, arg, var = om.groups()
+            desc = direction is not None and direction.upper() == "DESC"
+            if var is not None:
+                order_by.append((var, desc))
             else:
-                order_by.append((om.group(2), om.group(1).upper() == "DESC"))
+                # inline aggregate sort key (r6d): resolved to a
+                # hidden column in the same groupBy at compile time
+                order_by.append((("agg", fn.upper(), bool(dist), arg), desc))
         rest = rest[: m.start()] + rest[m.end():]
     m = _LIMIT_RE.search(rest)
     if m:
@@ -2239,6 +2252,40 @@ def _select_frame(
             frame = frame.withColumn(alias, _operand_col(frame, ast))
         return frame
 
+    def _inline_agg(o_fn, o_dist, o_arg, where):
+        # shared builder for hidden aggregate columns (HAVING leaves,
+        # ORDER BY inline aggregates) — they ride the query's own
+        # groupBy, never an extra shuffle
+        if o_fn == "COUNT":
+            if o_arg == "*":
+                return F.count(F.lit(1))
+            if o_dist:
+                return F.countDistinct(F.col(o_arg[1:]))
+            return F.count(F.col(o_arg[1:]))
+        if o_arg == "*" or o_dist:
+            raise SparqlError(f"{where} {o_fn} needs a plain ?variable")
+        if o_arg[1:] not in df.columns:
+            raise SparqlError(f"{where} aggregate over unbound {o_arg}")
+        if o_fn == "SAMPLE":
+            # dialect: SAMPLE picks the minimum (deterministic)
+            return F.min(F.col(o_arg[1:]))
+        return _AGG_FNS[o_fn](F.col(o_arg[1:]))
+
+    # inline-aggregate ORDER BY keys (r6d) resolve to hidden __ord{i}
+    # columns computed alongside the query's aggregates
+    ord_resolved, ord_hidden, ord_has_agg = [], [], False
+    for o_key, o_desc in order_by:
+        if isinstance(o_key, tuple):
+            _, o_fn, o_dist, o_arg = o_key
+            ref = f"__ord{len(ord_hidden)}"
+            ord_hidden.append(
+                _inline_agg(o_fn, o_dist, o_arg, "ORDER BY").alias(ref)
+            )
+            ord_resolved.append((ref, o_desc))
+            ord_has_agg = True
+        else:
+            ord_resolved.append((o_key, o_desc))
+
     if aggs:
         extra = [v for v in plain if v not in group_by]
         if extra:
@@ -2289,6 +2336,7 @@ def _select_frame(
                 else:
                     col = _AGG_FNS[fn](F.col(arg[1:]))
             cols.append(col.alias(alias))
+        cols.extend(ord_hidden)
         having_ref = None
         if having is not None:
             # resolve each comparison leaf to a column reference:
@@ -2304,23 +2352,7 @@ def _select_frame(
                     return ("not", _resolve(node[1]))
                 _, h_fn, h_dist, h_arg, h_alias, h_op, h_const = node
                 if h_fn is not None:
-                    if h_fn == "COUNT":
-                        if h_arg == "*":
-                            hcol = F.count(F.lit(1))
-                        elif h_dist:
-                            hcol = F.countDistinct(F.col(h_arg[1:]))
-                        else:
-                            hcol = F.count(F.col(h_arg[1:]))
-                    else:
-                        if h_arg == "*" or h_dist:
-                            raise SparqlError(
-                                f"HAVING {h_fn} needs a plain ?variable"
-                            )
-                        if h_arg[1:] not in df.columns:
-                            raise SparqlError(
-                                f"HAVING aggregate over unbound {h_arg}"
-                            )
-                        hcol = _AGG_FNS[h_fn](F.col(h_arg[1:]))
+                    hcol = _inline_agg(h_fn, h_dist, h_arg, "HAVING")
                     ref = f"__hav{n_hidden[0]}"
                     n_hidden[0] += 1
                     cols.append(hcol.alias(ref))
@@ -2359,6 +2391,15 @@ def _select_frame(
         # SELECT expressions compute post-aggregation, over the group
         # keys and aggregate aliases; then project in SELECT order
         df = _apply_exprs(df)
+        if ord_has_agg:
+            # inline-aggregate sort keys live in hidden columns that
+            # the projection drops — order first (projection preserves
+            # row order), then clear the tail's order step
+            df = df.orderBy(
+                *[F.col(n).desc() if d else F.col(n).asc()
+                  for n, d in ord_resolved]
+            )
+            order_by = []
         df = df.select(
             *[it[1] if it[0] == "var" else it[4] if it[0] == "agg" else it[2]
               for it in select_items]
@@ -2366,13 +2407,24 @@ def _select_frame(
     elif having is not None:
         raise SparqlError("HAVING requires aggregates in the SELECT clause")
     elif group_by:
-        # GROUP BY with no aggregates = projection to the keys, distinct
-        df = df.select(*group_by).distinct()
+        # GROUP BY with no aggregates = projection to the keys,
+        # distinct — unless an inline-aggregate ORDER BY key needs a
+        # real groupBy to ride (same single shuffle either way)
+        if ord_has_agg:
+            df = df.groupBy(*group_by).agg(*ord_hidden)
+        else:
+            df = df.select(*group_by).distinct()
         if final_values is not None:
             df = _apply_values(
                 triples.sparkSession, df, final_values[1], final_values[2]
             )
         df = _apply_exprs(df)
+        if ord_has_agg:
+            df = df.orderBy(
+                *[F.col(n).desc() if d else F.col(n).asc()
+                  for n, d in ord_resolved]
+            )
+            order_by = []
         df = df.select(*[it[1] if it[0] == "var" else it[2] for it in select_items])
     else:
         if final_values is not None:
@@ -2384,6 +2436,12 @@ def _select_frame(
             *[it[1] if it[0] == "var" else it[2] for it in select_items]
         ).distinct()
     for name, _ in order_by:
+        if isinstance(name, tuple):
+            # an inline-aggregate sort key outside an aggregating
+            # SELECT has nothing to aggregate over
+            raise SparqlError(
+                "ORDER BY aggregates need aggregates in the SELECT clause"
+            )
         if name not in df.columns:
             raise SparqlError(f"ORDER BY references unprojected variable ?{name}")
     if graph_var is not None and (limit is not None or offset is not None):
