@@ -2276,3 +2276,55 @@ def test_order_by_inline_aggregate(triples):
     assert [r["p"] for r in rows] == [E + "age", E + "knows"]
     with pytest.raises(SparqlError, match="ORDER BY aggregates"):
         _q(triples, "?s WHERE { ?s e:age ?a } ORDER BY DESC(COUNT(?s))")
+
+
+def test_predicate_object_lists_and_a_shorthand(triples):
+    """r6d Turtle-style sugar: `;` shares the subject, `,` shares the
+    (subject, predicate); `a` is rdf:type."""
+    got = {
+        r["x"]
+        for r in _q(
+            triples, "?x WHERE { ?x e:age ?age ; e:knows ?y }"
+        ).collect()
+    }
+    assert got == {E + "a"}
+    got2 = {
+        r["x"]
+        for r in _q(
+            triples, '?x WHERE { ?x e:name "alice" , "alice" ; e:age ?a . }'
+        ).collect()
+    }
+    assert got2 == {E + "a"}
+    # trailing semicolon before '}' is legal
+    got3 = {
+        r["x"]
+        for r in _q(triples, "?x WHERE { ?x e:age ?a ; }").collect()
+    }
+    assert len(got3) == 3
+    # `a` rdf:type shorthand (needs typed rows)
+    from yamlpyowl_spark.operators.sparql import make_query
+
+    spark = triples.sparkSession
+    T2 = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    t = triples.unionByName(
+        spark.createDataFrame(
+            [(E + "a", T2, E + "Person", False, None, E)], SCHEMA
+        )
+    )
+    got4 = {
+        r["x"]
+        for r in make_query(
+            t, f"PREFIX e: <{E}> SELECT ?x WHERE {{ ?x a e:Person }}"
+        ).collect()
+    }
+    assert got4 == {E + "a"}
+    # `a` composes with the path grammar and sugar
+    got5 = {
+        r["x"]
+        for r in make_query(
+            t,
+            f"PREFIX e: <{E}> SELECT ?x WHERE "
+            f"{{ ?x a e:Person ; e:age ?g }}",
+        ).collect()
+    }
+    assert got5 == {E + "a"}

@@ -184,13 +184,17 @@ _TOKEN_RE = re.compile(
         (?P<num>-?\d+(?:\.\d+)?) |
         (?P<oror>\|\|) |
         (?P<op>!=|<=|>=|=|<|>|&&) | (?P<bang>!) |
-        (?P<arith>[+*/-]) | (?P<comma>,) | (?P<alt>\|) | (?P<caret>\^) |
+        (?P<arith>[+*/-]) | (?P<comma>,) | (?P<semi>;) |
+        (?P<alt>\|) | (?P<caret>\^) |
         (?P<pname>\w*:\w+) |
         (?P<ident>[A-Za-z_]\w*) |
         (?P<dot>\.)
     """,
     re.VERBOSE | re.IGNORECASE,
 )
+
+
+_RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
 class SparqlError(ValueError):
@@ -336,18 +340,42 @@ class _Parser:
                     items.extend(g1)  # plain nested group = same scope
                 continue
             # otherwise: a triple pattern — subject, property PATH
-            # (single predicate, `p+` closure, `p1/p2` sequence), object
+            # (single predicate, `p+` closure, `p1/p2` sequence),
+            # object — with the Turtle-style `;` predicate-object list
+            # and `,` object list sugar (r6d)
             s = _term_of(self.next(), self.prefixes)
-            path_ast = self._path()
-            o = _term_of(self.next(), self.prefixes)
-            if path_ast[0] == "link":
-                # single plain atom = a BGP pattern
-                items.append(("t", (s, path_ast[1], o)))
-            elif path_ast[0] == "inv" and path_ast[1][0] == "link":
-                # ^p just swaps ends
-                items.append(("t", (o, path_ast[1][1], s)))
-            else:
-                items.append(("path", s, path_ast, o))
+            while True:
+                path_ast = self._path()
+                while True:
+                    o = _term_of(self.next(), self.prefixes)
+                    self._emit_triple(items, s, path_ast, o)
+                    tok = self.peek()
+                    if tok is not None and _kind(tok) == "comma":
+                        self.next()
+                        continue
+                    break
+                tok = self.peek()
+                if tok is not None and _kind(tok) == "semi":
+                    self.next()
+                    nxt = self.peek()
+                    # a trailing `;` before `.` / `}` / end is legal
+                    while nxt is not None and _kind(nxt) == "semi":
+                        self.next()
+                        nxt = self.peek()
+                    if nxt is None or _kind(nxt) in ("rbrace", "dot"):
+                        break
+                    continue
+                break
+
+    def _emit_triple(self, items: list, s: str, path_ast, o: str) -> None:
+        if path_ast[0] == "link":
+            # single plain atom = a BGP pattern
+            items.append(("t", (s, path_ast[1], o)))
+        elif path_ast[0] == "inv" and path_ast[1][0] == "link":
+            # ^p just swaps ends
+            items.append(("t", (o, path_ast[1][1], s)))
+        else:
+            items.append(("path", s, path_ast, o))
 
     def _subquery_text(self) -> str:
         """The already-consumed '{' opened a nested SELECT: slice its
@@ -767,6 +795,15 @@ class _Parser:
             sub = self._path()
             self.expect("rparen")
             return sub
+        if (
+            nxt is not None
+            and _kind(nxt) == "ident"
+            and nxt.group("ident") == "a"
+        ):
+            # the `a` shorthand for rdf:type (case-sensitive per
+            # grammar — `A` is a plain identifier)
+            self.next()
+            return ("link", _RDF_TYPE_IRI)
         return ("link", _term_of(self.next(), self.prefixes))
 
     def _path_elt(self):
