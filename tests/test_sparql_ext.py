@@ -2328,3 +2328,32 @@ def test_predicate_object_lists_and_a_shorthand(triples):
         ).collect()
     }
     assert got5 == {E + "a"}
+
+
+def test_blank_node_property_lists_and_labels(triples):
+    """r6d: `[ :p ?o ]` allocates a query-scoped anonymous variable
+    (never projected, never joined across subqueries); `_:label` acts
+    as a variable with the same scoping (§4.1.4)."""
+    # object-position bracket: someone a knows who has an age
+    got = {
+        r["x"]
+        for r in _q(triples, "?x WHERE { ?x e:knows [ e:likes ?z ] }").collect()
+    }
+    assert got == {E + "a"}  # a knows b, b likes c
+    # subject-position bracket with its own list
+    got2 = {
+        r["z"]
+        for r in _q(triples, "?z WHERE { [ e:age ?g ; e:knows ?z ] }").collect()
+    }
+    assert got2 == {E + "b"}
+    # _:label shares bindings across patterns but is not projectable
+    got3 = {
+        r["z"]
+        for r in _q(
+            triples, "?z WHERE { _:n e:age ?g . _:n e:knows ?z }"
+        ).collect()
+    }
+    assert got3 == {E + "b"}
+    # bracket vars never appear in SELECT *
+    cols = _q(triples, "* WHERE { ?x e:knows [ e:likes ?z ] }").columns
+    assert set(cols) == {"x", "z"}

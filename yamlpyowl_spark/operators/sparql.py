@@ -185,6 +185,7 @@ _TOKEN_RE = re.compile(
         (?P<oror>\|\|) |
         (?P<op>!=|<=|>=|=|<|>|&&) | (?P<bang>!) |
         (?P<arith>[+*/-]) | (?P<comma>,) | (?P<semi>;) |
+        (?P<lbracket>\[) | (?P<rbracket>\]) |
         (?P<alt>\|) | (?P<caret>\^) |
         (?P<pname>\w*:\w+) |
         (?P<ident>[A-Za-z_]\w*) |
@@ -214,6 +215,12 @@ def _term_of(tok: re.Match, prefixes: dict) -> str:
     if pname is None:
         raise SparqlError(f"expected a term, got {tok.group(0)!r}")
     pfx, local = pname.split(":", 1)
+    if pfx == "_":
+        # `_:label` — a blank node label acts as a variable scoped to
+        # the query (§4.1.4); the `__` prefix keeps it out of
+        # projections and cross-(sub)query joins (all `__` columns
+        # drop at _compile end)
+        return "?__bnlbl_" + local
     if pfx not in prefixes:
         raise SparqlError(f"undeclared prefix: {pfx}")
     return prefixes[pfx] + local
@@ -248,6 +255,7 @@ class _Parser:
         self.prefixes = prefixes
         self.text = text  # raw block — subquery spans are re-parsed from it
         self.i = 0
+        self._bn = 0  # fresh `[...]` anonymous-node counter
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -342,30 +350,65 @@ class _Parser:
             # otherwise: a triple pattern — subject, property PATH
             # (single predicate, `p+` closure, `p1/p2` sequence),
             # object — with the Turtle-style `;` predicate-object list
-            # and `,` object list sugar (r6d)
-            s = _term_of(self.next(), self.prefixes)
+            # and `,` object list sugar, `[ ... ]` blank-node property
+            # lists, and `_:label` (r6d)
+            was_bracket = (
+                self.peek() is not None and _kind(self.peek()) == "lbracket"
+            )
+            s = self._term(items)
+            nxt = self.peek()
+            if was_bracket and (
+                nxt is None or _kind(nxt) in ("rbrace", "dot")
+            ):
+                # `[ :p :o ] .` — a TriplesNode subject may carry an
+                # empty outer property list
+                continue
+            self._property_list(items, s)
+
+    def _property_list(self, items: list, s: str) -> None:
+        """Verb ObjectList ( ';' ( Verb ObjectList )? )* for one
+        subject term."""
+        while True:
+            path_ast = self._path()
             while True:
-                path_ast = self._path()
-                while True:
-                    o = _term_of(self.next(), self.prefixes)
-                    self._emit_triple(items, s, path_ast, o)
-                    tok = self.peek()
-                    if tok is not None and _kind(tok) == "comma":
-                        self.next()
-                        continue
-                    break
+                o = self._term(items)
+                self._emit_triple(items, s, path_ast, o)
                 tok = self.peek()
-                if tok is not None and _kind(tok) == "semi":
+                if tok is not None and _kind(tok) == "comma":
                     self.next()
-                    nxt = self.peek()
-                    # a trailing `;` before `.` / `}` / end is legal
-                    while nxt is not None and _kind(nxt) == "semi":
-                        self.next()
-                        nxt = self.peek()
-                    if nxt is None or _kind(nxt) in ("rbrace", "dot"):
-                        break
                     continue
                 break
+            tok = self.peek()
+            if tok is not None and _kind(tok) == "semi":
+                self.next()
+                nxt = self.peek()
+                # a trailing `;` before `.` / `}` / `]` / end is legal
+                while nxt is not None and _kind(nxt) == "semi":
+                    self.next()
+                    nxt = self.peek()
+                if nxt is None or _kind(nxt) in ("rbrace", "dot", "rbracket"):
+                    return
+                continue
+            return
+
+    def _term(self, items: list) -> str:
+        """A subject/object term — or a `[ ... ]` blank-node property
+        list, which allocates a fresh anonymous variable (the `__`
+        prefix keeps it unprojectable and query-scoped) and appends
+        its inner triples to the current group."""
+        tok = self.peek()
+        if tok is not None and _kind(tok) == "lbracket":
+            self.next()
+            var = f"?__bnl{self._bn}"
+            self._bn += 1
+            nxt = self.peek()
+            if nxt is not None and _kind(nxt) == "rbracket":
+                self.next()
+                return var
+            self._property_list(items, var)
+            self.expect("rbracket")
+            return var
+        return _term_of(self.next(), self.prefixes)
 
     def _emit_triple(self, items: list, s: str, path_ast, o: str) -> None:
         if path_ast[0] == "link":
