@@ -99,6 +99,12 @@ and zero-arg ``BNODE`` are per-solution non-deterministic per spec
 (``BNODE(str)`` raises — it needs per-label node identity the engine
 does not track).
 
+Patterns accept the Turtle-style abbreviations (r6d): ``;``
+predicate-object lists, ``,`` object lists, the ``a`` → rdf:type
+shorthand, ``[ ... ]`` blank-node property lists (fresh anonymous
+variables, never projected) and ``_:label`` blank-node labels
+(query-scoped variables per §4.1.4).
+
 Subqueries under ``GRAPH ?var`` evaluate per active graph (patterns
 bind the graph column, aggregates group by it implicitly); per-graph
 LIMIT/OFFSET slices WITHIN each graph via a row_number window over
