@@ -2357,3 +2357,48 @@ def test_blank_node_property_lists_and_labels(triples):
     # bracket vars never appear in SELECT *
     cols = _q(triples, "* WHERE { ?x e:knows [ e:likes ?z ] }").columns
     assert set(cols) == {"x", "z"}
+
+
+def test_rdf_collection_in_pattern(spark):
+    """r6d: `( e1 e2 )` desugars to the rdf:first/rest/nil chain with
+    anonymous chain variables; `()` is the rdf:nil constant."""
+    from yamlpyowl_spark.operators.sparql import make_query
+
+    R = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = [
+        (E + "x", E + "p", "_:l0", False, None, E),
+        ("_:l0", R + "first", E + "a", False, None, E),
+        ("_:l0", R + "rest", "_:l1", False, None, E),
+        ("_:l1", R + "first", E + "b", False, None, E),
+        ("_:l1", R + "rest", R + "nil", False, None, E),
+        (E + "y", E + "p", R + "nil", False, None, E),
+    ]
+    t = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["s"]
+        for r in make_query(
+            t, f"PREFIX e: <{E}> SELECT ?s WHERE {{ ?s e:p ( e:a e:b ) }}"
+        ).collect()
+    }
+    assert got == {E + "x"}
+    # a shorter list constant does not match the two-element chain
+    got2 = make_query(
+        t, f"PREFIX e: <{E}> SELECT ?s WHERE {{ ?s e:p ( e:a ) }}"
+    ).collect()
+    assert got2 == []
+    # the empty collection is the rdf:nil constant
+    got3 = {
+        r["s"]
+        for r in make_query(
+            t, f"PREFIX e: <{E}> SELECT ?s WHERE {{ ?s e:p () }}"
+        ).collect()
+    }
+    assert got3 == {E + "y"}
+    # element variables bind through the chain
+    got4 = {
+        (r["s"], r["v"])
+        for r in make_query(
+            t, f"PREFIX e: <{E}> SELECT ?s ?v WHERE {{ ?s e:p ( ?v e:b ) }}"
+        ).collect()
+    }
+    assert got4 == {(E + "x", E + "a")}

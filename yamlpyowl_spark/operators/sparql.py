@@ -201,7 +201,11 @@ _TOKEN_RE = re.compile(
 )
 
 
-_RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_RDF_TYPE_IRI = _RDF_NS + "type"
+_RDF_FIRST = _RDF_NS + "first"
+_RDF_REST = _RDF_NS + "rest"
+_RDF_NIL = _RDF_NS + "nil"
 
 
 class SparqlError(ValueError):
@@ -358,16 +362,17 @@ class _Parser:
             # object — with the Turtle-style `;` predicate-object list
             # and `,` object list sugar, `[ ... ]` blank-node property
             # lists, and `_:label` (r6d)
-            was_bracket = (
-                self.peek() is not None and _kind(self.peek()) == "lbracket"
+            was_node = (
+                self.peek() is not None
+                and _kind(self.peek()) in ("lbracket", "lparen")
             )
             s = self._term(items)
             nxt = self.peek()
-            if was_bracket and (
+            if was_node and (
                 nxt is None or _kind(nxt) in ("rbrace", "dot")
             ):
-                # `[ :p :o ] .` — a TriplesNode subject may carry an
-                # empty outer property list
+                # `[ :p :o ] .` / `( :a :b ) .` — a TriplesNode subject
+                # may carry an empty outer property list
                 continue
             self._property_list(items, s)
 
@@ -414,6 +419,34 @@ class _Parser:
             self._property_list(items, var)
             self.expect("rbracket")
             return var
+        if tok is not None and _kind(tok) == "lparen":
+            # RDF collection `( e1 e2 ... )` — desugars to the
+            # rdf:first/rest chain the KG parse pipeline itself emits
+            # for YAML lists; `()` is rdf:nil (r6d)
+            self.next()
+            elems = []
+            while True:
+                nxt = self.peek()
+                if nxt is None:
+                    raise SparqlError("unterminated collection in pattern")
+                if _kind(nxt) == "rparen":
+                    self.next()
+                    break
+                elems.append(self._term(items))
+            if not elems:
+                return _RDF_NIL
+            head = prev = None
+            for e in elems:
+                node = f"?__bnl{self._bn}"
+                self._bn += 1
+                if prev is None:
+                    head = node
+                else:
+                    items.append(("t", (prev, _RDF_REST, node)))
+                items.append(("t", (node, _RDF_FIRST, e)))
+                prev = node
+            items.append(("t", (prev, _RDF_REST, _RDF_NIL)))
+            return head
         return _term_of(self.next(), self.prefixes)
 
     def _emit_triple(self, items: list, s: str, path_ast, o: str) -> None:
