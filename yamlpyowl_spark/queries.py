@@ -683,6 +683,29 @@ def _register_kg():
         return make_query(kg_triples(spark), q)
 
     @_q(
+        "kg_sparql_sugar",
+        f"""SELECT DISTINCT t1.subj AS x, t3.obj AS q
+            FROM {_t()} t1, {_t()} t2, {_t()} t3
+            WHERE t1.pred = '{V.RDF_TYPE}'
+              AND t1.obj = '{V.OWL_NAMED_INDIVIDUAL}'
+              AND t2.subj = t1.subj AND t2.pred = '{RR}hasPart'
+              AND t3.subj = t2.obj AND t3.pred = '{RR}hasPart'""",
+    )
+    def kg_sparql_sugar(spark, sf_dir):
+        # r6d Turtle-style sugar on the real KG: `a` rdf:type
+        # shorthand, `;` predicate-object list, and a `[ ... ]`
+        # blank-node property list (anonymous join node) — the DuckDB
+        # twin writes the three-way join explicitly
+        from .operators.sparql import make_query
+
+        q = (
+            f"PREFIX P: <{RR}> PREFIX owl: <{V.OWL}> "
+            "SELECT ?x ?q WHERE "
+            "{ ?x a owl:NamedIndividual ; P:hasPart [ P:hasPart ?q ] }"
+        )
+        return make_query(kg_triples(spark), q)
+
+    @_q(
         "kg_sparql_final_values",
         f"""SELECT pred AS p, count(obj) AS n FROM {_t()}
             WHERE pred IN ('{V.RDF_TYPE}', '{V.RDFS_SUBCLASSOF}')
@@ -2237,6 +2260,10 @@ _TAIL = [
     # (one shared _apply_values); the agg path is gated in-window by
     # kg_sparql_agg/having_offset
     "kg_sparql_final_values",
+    # r6d: parse-level sugar (a / ; / [ ]) compiles into the same BGP
+    # machinery the in-window rows gate; DuckDB twin is the explicit
+    # three-way join
+    "kg_sparql_sugar",
     # closure op stays gated in-window by kg_subclass_closure's big
     # siblings kg_sparql_path{,_star}
     "kg_subclass_closure",
