@@ -233,7 +233,11 @@ _SOUP = st.lists(
          "STRBEFORE", "STRAFTER", "MD5", "SHA1", "SHA256", "YEAR",
          "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "isNumeric",
          "langMatches", "ENCODE_FOR_URI", "TZ", "IRI", "URI", "NOW",
-         "DISTINCT", "(SUM(DISTINCT ?x) AS ?sd)"]
+         "DISTINCT", "(SUM(DISTINCT ?x) AS ?sd)",
+         # r6d sugar / clause surface
+         ";", "a", "[", "]", "_:b", "(", ")", "REDUCED",
+         "VALUES ?x { <http://e#a> }", "DESC(COUNT(?x))",
+         "FROM", "NAMED", "( ?x )", "[ e:name ?v ]"]
     ),
     max_size=25,
 )
