@@ -2406,3 +2406,44 @@ def test_rdf_collection_in_pattern(spark):
         ).collect()
     }
     assert got4 == {(E + "x", E + "a")}
+
+
+def test_typed_literal_objects(spark):
+    """r6d: `"lex"^^<dt>` in object position matches the lexical form
+    AND the stored datatype (NULL datatype reads as xsd:string);
+    language tags and non-object positions raise loudly."""
+    from yamlpyowl_spark.operators.sparql import make_query
+
+    X = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (E + "a", E + "v", "30", True, X + "integer", E),
+        (E + "b", E + "v", "30", True, X + "double", E),
+        (E + "c", E + "v", "30", True, None, E),  # plain → xsd:string
+    ]
+    t = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["s"]
+        for r in make_query(
+            t,
+            f'PREFIX e: <{E}> PREFIX xsd: <{X}> SELECT ?s WHERE '
+            f'{{ ?s e:v "30"^^xsd:integer }}',
+        ).collect()
+    }
+    assert got == {E + "a"}
+    got2 = {
+        r["s"]
+        for r in make_query(
+            t,
+            f'PREFIX e: <{E}> PREFIX xsd: <{X}> SELECT ?s WHERE '
+            f'{{ ?s e:v "30"^^xsd:string }}',
+        ).collect()
+    }
+    assert got2 == {E + "c"}
+    with pytest.raises(SparqlError, match="language-tagged"):
+        make_query(t, f'PREFIX e: <{E}> SELECT ?s WHERE {{ ?s e:v "x"@en }}')
+    with pytest.raises(SparqlError, match="quoted literal"):
+        make_query(
+            t,
+            f"PREFIX e: <{E}> PREFIX xsd: <{X}> SELECT ?s WHERE "
+            f"{{ ?s e:v <urn:x>^^xsd:string }}",
+        )

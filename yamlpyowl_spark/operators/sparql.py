@@ -188,7 +188,8 @@ _TOKEN_RE = re.compile(
         \?(?P<var>\w+) | (?P<qmark>\?) | <(?P<iri>[^<>\s]+)> |
         "(?P<lit>(?:[^"\\]|\\.)*)" |
         (?P<num>-?\d+(?:\.\d+)?) |
-        (?P<oror>\|\|) |
+        (?P<oror>\|\|) | (?P<dtsep>\^\^) |
+        @(?P<langtag>[A-Za-z][A-Za-z0-9-]*) |
         (?P<op>!=|<=|>=|=|<|>|&&) | (?P<bang>!) |
         (?P<arith>[+*/-]) | (?P<comma>,) | (?P<semi>;) |
         (?P<lbracket>\[) | (?P<rbracket>\]) |
@@ -447,14 +448,45 @@ class _Parser:
                 prev = node
             items.append(("t", (prev, _RDF_REST, _RDF_NIL)))
             return head
-        return _term_of(self.next(), self.prefixes)
+        base_tok = self.next()
+        term = _term_of(base_tok, self.prefixes)
+        nxt = self.peek()
+        if nxt is not None and _kind(nxt) == "dtsep":
+            # `"lex"^^<dt>` — a typed literal constrains BOTH the
+            # lexical form and the stored datatype (r6d); only valid
+            # after a quoted literal, and only in object position
+            # (enforced at emit time)
+            if _kind(base_tok) != "lit":
+                raise SparqlError("^^ datatype tag needs a quoted literal")
+            self.next()
+            dt = _term_of(self.next(), self.prefixes)
+            return ("typedlit", term, dt)
+        if nxt is not None and _kind(nxt) == "langtag":
+            # the engine's data model has no language tags (the YAML
+            # dialect never produces them) — loud, not wrong
+            raise SparqlError(
+                "language-tagged literals are outside the engine's data model"
+            )
+        return term
 
     def _emit_triple(self, items: list, s: str, path_ast, o: str) -> None:
+        if isinstance(s, tuple):
+            raise SparqlError("a typed literal cannot be a subject")
+        if isinstance(o, tuple) and not (
+            path_ast[0] == "link"
+            or (path_ast[0] == "inv" and path_ast[1][0] == "link")
+        ):
+            raise SparqlError(
+                "typed literals are only supported as plain-pattern objects"
+            )
         if path_ast[0] == "link":
             # single plain atom = a BGP pattern
             items.append(("t", (s, path_ast[1], o)))
         elif path_ast[0] == "inv" and path_ast[1][0] == "link":
-            # ^p just swaps ends
+            # ^p just swaps ends — a typed literal may not take the
+            # subject slot
+            if isinstance(o, tuple):
+                raise SparqlError("a typed literal cannot be a subject")
             items.append(("t", (o, path_ast[1][1], s)))
         else:
             items.append(("path", s, path_ast, o))
@@ -1314,6 +1346,8 @@ def parse_sparql(src: str) -> Tuple[List[str], List[Tuple[str, str, str]]]:
      final_values) = _parse(src)
     if any(k[0] != "t" for k in items):
         raise SparqlError("query uses FILTER/UNION/OPTIONAL — evaluate via make_query")
+    if any(isinstance(term, tuple) for _, pat in items for term in pat):
+        raise SparqlError("query uses typed literals — evaluate via make_query")
     if (
         group_by or order_by or limit is not None or offset is not None
         or having or final_values is not None
@@ -1340,6 +1374,16 @@ def _pattern_frame(
     t = triples
     cols = []
     for pos, term in zip(_POS, pat):
+        if isinstance(term, tuple):
+            # typed literal "lex"^^<dt>: lexical AND datatype must
+            # match (a stored NULL datatype reads as xsd:string, the
+            # RDF 1.1 plain-literal identification)
+            _, lex, dt = term
+            t = t.filter(
+                (F.col(pos) == lex)
+                & (F.coalesce(F.col("obj_datatype"), F.lit(_XSD_STRING)) == dt)
+            )
+            continue
         if term.startswith("?"):
             cols.append(F.col(pos).alias(term[1:]))
             # a FILTER in this group needs term metadata
@@ -2161,6 +2205,10 @@ def construct_query(
     df = _compile(triples, _parse_group(where_src, prefixes), named=named)
 
     def term_col(t: str):
+        if isinstance(t, tuple):
+            # typed literal in a template: the output frame carries
+            # (subj, pred, obj) only, so emit the lexical form
+            return F.lit(t[1])
         if t.startswith("?"):
             if t[1:] not in df.columns:
                 raise SparqlError(f"CONSTRUCT template variable never bound: {t}")
