@@ -2447,3 +2447,23 @@ def test_typed_literal_objects(spark):
             f"PREFIX e: <{E}> PREFIX xsd: <{X}> SELECT ?s WHERE "
             f"{{ ?s e:v <urn:x>^^xsd:string }}",
         )
+
+
+def test_boolean_literal_terms(spark):
+    """r6d: lowercase `true`/`false` in term position match the stored
+    boolean lexicals."""
+    from yamlpyowl_spark.operators.sparql import make_query
+
+    X = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (E + "a", E + "flag", "true", True, X + "boolean", E),
+        (E + "b", E + "flag", "false", True, X + "boolean", E),
+    ]
+    t = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["s"]
+        for r in make_query(
+            t, f"PREFIX e: <{E}> SELECT ?s WHERE {{ ?s e:flag true }}"
+        ).collect()
+    }
+    assert got == {E + "a"}

@@ -448,6 +448,16 @@ class _Parser:
                 prev = node
             items.append(("t", (prev, _RDF_REST, _RDF_NIL)))
             return head
+        tok2 = self.peek()
+        if (
+            tok2 is not None
+            and _kind(tok2) == "ident"
+            and tok2.group("ident") in ("true", "false")
+        ):
+            # boolean literals (lowercase per grammar) — the engine
+            # stores their lexical forms
+            self.next()
+            return tok2.group("ident")
         base_tok = self.next()
         term = _term_of(base_tok, self.prefixes)
         nxt = self.peek()
