@@ -248,3 +248,90 @@ def test_optional_filter_matches_duckdb(tdf2, ddb2, sparql_filter, sql_where):
         ).fetchall()
     }
     assert spark_got == duck_got, f"FILTER({sparql_filter})"
+
+
+# ---------------------------------------------------------------------------
+# r6d full-query constructs: boolean HAVING, final VALUES, ORDER BY
+# inline aggregates, typed literals, and `;` sugar — each evaluated by
+# make_query AND an explicit DuckDB query over the same rows
+# ---------------------------------------------------------------------------
+
+
+def test_having_boolean_matches_duckdb(tdf2, ddb2):
+    q = (
+        "SELECT ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+        "HAVING (?n > 2 && !(?n > 100) || ?n = 1)"
+    )
+    spark_got = {(r["p"], r["n"]) for r in make_query(tdf2, q).collect()}
+    duck_got = set(
+        ddb2.execute(
+            "SELECT pred, count(obj) FROM t GROUP BY pred "
+            "HAVING (count(obj) > 2 AND NOT count(obj) > 100) "
+            "OR count(obj) = 1"
+        ).fetchall()
+    )
+    assert spark_got == duck_got
+
+
+def test_final_values_matches_duckdb(tdf2, ddb2):
+    q = (
+        f"SELECT ?p (COUNT(?o) AS ?n) WHERE {{ ?s ?p ?o }} GROUP BY ?p "
+        f"VALUES ?p {{ <{E}knows> }}"
+    )
+    spark_got = {(r["p"], r["n"]) for r in make_query(tdf2, q).collect()}
+    duck_got = set(
+        ddb2.execute(
+            f"SELECT pred, count(obj) FROM t WHERE pred = '{E}knows' "
+            "GROUP BY pred"
+        ).fetchall()
+    )
+    assert spark_got == duck_got
+
+
+def test_order_by_inline_agg_matches_duckdb(tdf2, ddb2):
+    q = (
+        "SELECT ?p WHERE { ?s ?p ?o } GROUP BY ?p "
+        "ORDER BY DESC(COUNT(?o)) ?p"
+    )
+    spark_got = [r["p"] for r in make_query(tdf2, q).collect()]
+    duck_got = [
+        r[0]
+        for r in ddb2.execute(
+            "SELECT pred FROM t GROUP BY pred "
+            "ORDER BY count(obj) DESC, pred"
+        ).fetchall()
+    ]
+    assert spark_got == duck_got
+
+
+def test_typed_literal_matches_duckdb(tdf2, ddb2):
+    q = (
+        f"PREFIX e: <{E}> PREFIX xsd: <{XSD}> SELECT ?x WHERE "
+        f'{{ ?x e:v "30"^^xsd:integer }}'
+    )
+    spark_got = {r["x"] for r in make_query(tdf2, q).collect()}
+    duck_got = {
+        r[0]
+        for r in ddb2.execute(
+            f"SELECT DISTINCT subj FROM t WHERE pred = '{E}v' "
+            f"AND obj = '30' AND obj_is_literal "
+            f"AND coalesce(obj_datatype, '{XSD}string') = '{XSD}integer'"
+        ).fetchall()
+    }
+    assert spark_got == duck_got
+
+
+def test_semicolon_sugar_matches_duckdb(tdf2, ddb2):
+    q = (
+        f"PREFIX e: <{E}> SELECT ?x ?y WHERE "
+        f"{{ ?x e:v ?v ; e:knows ?y }}"
+    )
+    spark_got = {(r["x"], r["y"]) for r in make_query(tdf2, q).collect()}
+    duck_got = set(
+        ddb2.execute(
+            f"SELECT DISTINCT a.subj, b.obj FROM t a JOIN t b "
+            f"ON a.subj = b.subj WHERE a.pred = '{E}v' "
+            f"AND b.pred = '{E}knows'"
+        ).fetchall()
+    )
+    assert spark_got == duck_got
