@@ -911,3 +911,39 @@ def test_unparseable_facet_range_is_inert_in_owlrl():
     got = _infer_doc(rs)
     assert (E + "alice", V.RDF_TYPE, E + "Adult", False) not in got
     assert not any(p == V.YPO + "facetViolation" for _, p, _, _ in got)
+
+
+def test_dt_not_type_ill_typed_literal(spark):
+    """r6d dt-not-type: an asserted literal outside its declared
+    datatype's lexical/value space yields ypo:datatypeViolation on the
+    fact's subject; well-typed and unknown-datatype literals do not."""
+    from pyspark.sql import functions as F
+
+    from yamlpyowl_spark import vocab as V
+    from yamlpyowl_spark.operators.owlrl import owlrl_materialize
+
+    X = "http://www.w3.org/2001/XMLSchema#"
+    E = "http://ex.org/dt#"
+    rows = [
+        (E + "a", E + "v", "999", True, X + "byte", E),        # out of range
+        (E + "b", E + "v", "apple", True, X + "integer", E),   # bad lexical
+        (E + "c", E + "v", "42", True, X + "integer", E),      # fine
+        (E + "d", E + "v", "zzz", True, E + "customType", E),  # unknown → alone
+        (E + "e", E + "v", "2024-99-99", True, X + "date", E), # bad date
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_datatype string, doc_iri string",
+    )
+    got = {
+        (r["subj"], r["obj"])
+        for r in owlrl_materialize(t)
+        .filter(F.col("pred") == V.YPO + "datatypeViolation")
+        .collect()
+    }
+    assert got == {
+        (E + "a", E + "v"),
+        (E + "b", E + "v"),
+        (E + "e", E + "v"),
+    }

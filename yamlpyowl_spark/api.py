@@ -648,12 +648,14 @@ class OntologyManager:
         YPO_PROPERTY_VIOLATION = YPO + "propertyViolation"
         YPO_IDENTITY_VIOLATION = YPO + "identityViolation"
         YPO_FACET_VIOLATION = YPO + "facetViolation"
+        YPO_DATATYPE_VIOLATION = YPO + "datatypeViolation"
         DIAG_PREDS = (
             YPO_DL_UNSUPPORTED,
             YPO_DISJOINT_VIOLATION,
             YPO_PROPERTY_VIOLATION,
             YPO_IDENTITY_VIOLATION,
             YPO_FACET_VIOLATION,
+            YPO_DATATYPE_VIOLATION,
         )
         diag_counts = {
             r["pred"]: r["n"]
@@ -674,7 +676,8 @@ class OntologyManager:
         n_pv = diag_counts.get(YPO_PROPERTY_VIOLATION, 0)
         n_iv = diag_counts.get(YPO_IDENTITY_VIOLATION, 0)
         n_fv = diag_counts.get(YPO_FACET_VIOLATION, 0)
-        if n_dw or n_pv or n_iv or n_fv:
+        n_dtv = diag_counts.get(YPO_DATATYPE_VIOLATION, 0)
+        if n_dw or n_pv or n_iv or n_fv or n_dtv:
             # cax-dw / prp-irp / prp-asyp / prp-pdw: Pellet raises
             # OwlReadyInconsistentOntologyError here; this engine is a
             # materializer, so the inconsistency is LOUD but non-fatal
@@ -698,6 +701,10 @@ class OntologyManager:
                 parts.append(
                     f"{n_fv} datatype facet-range violation(s) "
                     "(ypo:facetViolation)"
+                )
+            if n_dtv:
+                parts.append(
+                    f"{n_dtv} ill-typed literal(s) (ypo:datatypeViolation)"
                 )
             warnings.warn(
                 f"sync_reasoner: ontology is INCONSISTENT — {' and '.join(parts)}; "

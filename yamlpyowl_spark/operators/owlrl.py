@@ -1015,7 +1015,9 @@ def owlrl_materialize(triples: DataFrame) -> DataFrame:
     """Distributed materialization: one rule pass per document via
     ``applyInPandas`` (grouped on ``doc_iri``). Returns the inferred
     delta with the standard fact schema (entity triples only)."""
-    src = triples.select("doc_iri", "subj", "pred", "obj", "obj_is_literal").distinct()
+    src = triples.select(
+        "doc_iri", "subj", "pred", "obj", "obj_is_literal", "obj_datatype"
+    ).distinct()
 
     def per_doc(pdf):
         import pandas as pd
@@ -1024,7 +1026,19 @@ def owlrl_materialize(triples: DataFrame) -> DataFrame:
             return pd.DataFrame(columns=OUT_COLS)
         doc_iri = pdf["doc_iri"].iloc[0]
         rows = list(zip(pdf["subj"], pdf["pred"], pdf["obj"], pdf["obj_is_literal"]))
-        out = sorted(infer_doc_fixpoint(rows))
+        out = set(infer_doc_fixpoint(rows))
+        # dt-not-type (r6d): an asserted literal whose lexical form is
+        # outside its DECLARED datatype's lexical/value space is an
+        # inconsistency Pellet raises on — same canon() evaluator as
+        # the facet checks (xsd:byte "999" is ill-typed, unknown
+        # datatypes are left alone, never silently validated)
+        for s, p, o, il, dt in zip(
+            pdf["subj"], pdf["pred"], pdf["obj"], pdf["obj_is_literal"],
+            pdf["obj_datatype"],
+        ):
+            if il and dt and _FX.lexically_valid(o, dt) is False:
+                out.add((s, V.YPO + "datatypeViolation", p, False))
+        out = sorted(out)
         return pd.DataFrame(
             {
                 "subj": [t[0] for t in out],

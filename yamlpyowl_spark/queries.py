@@ -2189,18 +2189,22 @@ def _register_owlrl():
         t = (
             kg_triples(spark)
             .filter(F.col("src_repo") == "org/regional-rules")
-            .select("doc_iri", "subj", "pred", "obj", "obj_is_literal")
+            .select(
+                "doc_iri", "subj", "pred", "obj", "obj_is_literal",
+                "obj_datatype",
+            )
         )
         OWLNS = "http://www.w3.org/2002/07/owl#"
         inject = spark.createDataFrame(
             [
-                (RR, RR + "containsDirective", OWLNS + "propertyChainAxiom", "_:r5chain0", False),
-                (RR, "_:r5chain0", RDF + "first", RR + "hasPart", False),
-                (RR, "_:r5chain0", RDF + "rest", "_:r5chain1", False),
-                (RR, "_:r5chain1", RDF + "first", RR + "hasDirective", False),
-                (RR, "_:r5chain1", RDF + "rest", RDF + "nil", False),
+                (RR, RR + "containsDirective", OWLNS + "propertyChainAxiom", "_:r5chain0", False, None),
+                (RR, "_:r5chain0", RDF + "first", RR + "hasPart", False, None),
+                (RR, "_:r5chain0", RDF + "rest", "_:r5chain1", False, None),
+                (RR, "_:r5chain1", RDF + "first", RR + "hasDirective", False, None),
+                (RR, "_:r5chain1", RDF + "rest", RDF + "nil", False, None),
             ],
-            "doc_iri string, subj string, pred string, obj string, obj_is_literal boolean",
+            "doc_iri string, subj string, pred string, obj string, "
+            "obj_is_literal boolean, obj_datatype string",
         )
         return (
             owlrl_materialize(t.unionByName(inject))
