@@ -558,3 +558,48 @@ def test_substring_rejects_float_and_bad_arity():
                     [("p", ["?x", "?v"]),
                      ("substring", ["?z", "?v", "1", "2", "3"])],
                     [("q", ["?x", "?z"])])
+
+
+# ---------------------------------------------------------------------------
+# fuzz: arbitrary rule text must parse or raise ParseError /
+# UnsupportedSWRLError — never another exception type, never hang
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as hy_st
+
+
+@settings(max_examples=300, deadline=None)
+@given(hy_st.text(max_size=120))
+def test_swrl_fuzz_arbitrary_text(src):
+    from yamlpyowl_spark.operators.swrl import UnsupportedSWRLError, encode_rule
+    from yamlpyowl_spark.parser.document import ParseError, _parse_swrl
+
+    try:
+        body, head = _parse_swrl(src)
+        encode_rule("http://d#", body, head)
+    except (ParseError, UnsupportedSWRLError):
+        pass
+
+
+_RULE_SOUP = hy_st.lists(
+    hy_st.sampled_from(
+        ["P", "Q", "hasName", "greaterThan", "add", "mod", "stringConcat",
+         "substring", "upperCase", "contains", "stringLength",
+         "(", ")", ",", "->", "?x", "?y", "?z", "const", "3", "1.5",
+         '"s"', '"a,b"', "differentFrom", "A", " "]
+    ),
+    max_size=18,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_RULE_SOUP)
+def test_swrl_fuzz_token_soup(parts):
+    from yamlpyowl_spark.operators.swrl import UnsupportedSWRLError, encode_rule
+    from yamlpyowl_spark.parser.document import ParseError, _parse_swrl
+
+    try:
+        body, head = _parse_swrl(" ".join(parts))
+        encode_rule("http://d#", body, head)
+    except (ParseError, UnsupportedSWRLError):
+        pass
