@@ -603,3 +603,41 @@ def test_swrl_fuzz_token_soup(parts):
         encode_rule("http://d#", body, head)
     except (ParseError, UnsupportedSWRLError):
         pass
+
+
+def test_boolean_not_builtin(spark):
+    """r6d swrlb:booleanNot — result-first: binds the flipped boolean
+    lexical ("1"/"0" accepted, canonical "true"/"false" emitted),
+    drops non-boolean bindings, checks when the result is pre-bound.
+    Spark pipeline == sequential oracle."""
+    from yamlpyowl_spark.operators.swrl import forward_chain
+    from yamlpyowl_spark.sources.artifacts import sequential_forward_chain
+
+    E = "http://ex.org/bn#"
+    SRC = "https://w3id.org/yamlpyowl-spark/vocab#ruleSrc"
+    schema = ("subj string, pred string, obj string, obj_is_literal boolean, "
+              "obj_datatype string, doc_iri string")
+    rows = [
+        (E, SRC, "hasFlag(?x, ?f), booleanNot(?g, ?f) -> hasUnflag(?x, ?g)",
+         True, None, E),
+        (E, SRC, "hasFlag(?x, ?f), hasOther(?x, ?o), booleanNot(?o, ?f) "
+                 "-> Opposite(?x)", True, None, E),
+        (E + "a", E + "hasFlag", "true", True, None, E),
+        (E + "b", E + "hasFlag", "0", True, None, E),
+        (E + "c", E + "hasFlag", "maybe", True, None, E),  # drops
+        (E + "a", E + "hasOther", "false", True, None, E),
+        (E + "b", E + "hasOther", "0", True, None, E),
+    ]
+    t = spark.createDataFrame(rows, schema)
+    got = {(r["subj"], r["pred"].split("#")[-1], r["obj"])
+           for r in forward_chain(t).collect()}
+    assert (E + "a", "hasUnflag", "false") in got
+    assert (E + "b", "hasUnflag", "true") in got
+    assert not any(s == E + "c" for s, _, _ in got)
+    # check form: a's other ("false") == not(true) ✓; b's ("0") is the
+    # lexical "0", not the canonical "true" → no match
+    assert (E + "a", "type", E + "Opposite") in got
+    assert not any(s == E + "b" and p == "type" for s, p, _ in got)
+    seq = {(s, p.split("#")[-1], o)
+           for s, p, o, il, dt, d in sequential_forward_chain(rows)}
+    assert seq == got

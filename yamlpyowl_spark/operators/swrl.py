@@ -33,6 +33,9 @@ heads which the reference's Pellet path also accepts):
   or check like the arithmetic batch; ``contains/startsWith/
   endsWith(?x, ?y)`` filter; double-quoted constants allowed (commas
   inside quotes survive the arg split) (r6c);
+  ``booleanNot(?z, ?x)`` flips the boolean lexicals ("1"/"0"
+  accepted, canonical "true"/"false" emitted; non-boolean bindings
+  drop) (r6d);
   ``substring(?z, ?s, start[, length])`` in the INTEGER fragment
   (r6d): XPath character positions ``p >= start`` and
   ``p < start + length`` (1-based; a negative/zero ``start`` shifts
@@ -113,8 +116,12 @@ _STR_FN = {
     "upperCase": "uc",
     "lowerCase": "lc",
     "substring": "ss",
+    # swrlb:booleanNot — result-first over the boolean lexicals
+    # ("true"/"false"/"1"/"0"; a non-boolean binding drops the row);
+    # binds the canonical lexical of the flipped value
+    "booleanNot": "bn",
 }
-_SF_SQL = frozenset(("sc", "sl", "uc", "lc", "ss"))
+_SF_SQL = frozenset(("sc", "sl", "uc", "lc", "ss", "bn"))
 _STR_CHECK = {"contains": "ct", "startsWith": "sw", "endsWith": "ew"}
 _SCK_SQL = {"ct": "contains", "sw": "startswith", "ew": "endswith"}
 _INVALID = "!unsupported"
@@ -356,7 +363,7 @@ def encode_rule(doc_iri: str, body: list, head: list) -> Tuple[str, List[str]]:
     return ";".join(sig) + "=>" + ";".join(hsig), slots
 
 
-_ATOM_RE = re.compile(r"(P|T|gt|lt|ge|le|eq|ne|ad|sb|ml|md|sc|sl|uc|lc|ss|ct|sw|ew)\(([^)]*)\)")
+_ATOM_RE = re.compile(r"(P|T|gt|lt|ge|le|eq|ne|ad|sb|ml|md|sc|sl|uc|lc|ss|bn|ct|sw|ew)\(([^)]*)\)")
 
 
 @lru_cache(maxsize=4096)
@@ -696,6 +703,13 @@ def _eval_template_once(
                         f"CASE WHEN {stc} IS NULL THEN NULL "
                         f"ELSE substring({es[0]}, try_cast({base} AS INT)) END"
                     )
+            elif op == "bn":
+                # boolean lexicals only; anything else yields NULL and
+                # the row drops (comparison-builtin skip semantics)
+                expr = (
+                    f"CASE WHEN {es[0]} IN ('true', '1') THEN 'false' "
+                    f"WHEN {es[0]} IN ('false', '0') THEN 'true' END"
+                )
             else:
                 expr = f"lower({es[0]})"
             if outv in bound:
@@ -703,7 +717,7 @@ def _eval_template_once(
             else:
                 bound.add(outv)
                 b = b.selectExpr(*bcols, f"{expr} AS v{outv}")
-                if op == "ss":
+                if op in ("ss", "bn"):
                     b = b.filter(f"v{outv} IS NOT NULL")
                 bcols.append(f"v{outv}")
             continue

@@ -171,6 +171,7 @@ _SEQ_STR_FN = {
     "upperCase": "uc",
     "lowerCase": "lc",
     "substring": "ss",
+    "booleanNot": "bn",
 }
 _SEQ_STR_CHECK = {"contains": "ct", "startsWith": "sw", "endsWith": "ew"}
 _I64 = 2**63
@@ -365,6 +366,15 @@ def _seq_eval_rule(body, head, facts, types):
                         if lo >= 2**31:
                             continue
                         r = vals[0][lo - 1 :]
+                elif op == "bn":
+                    # twin of the Spark CASE: boolean lexicals flip,
+                    # anything else drops the row
+                    if vals[0] in ("true", "1"):
+                        r = "false"
+                    elif vals[0] in ("false", "0"):
+                        r = "true"
+                    else:
+                        continue
                 else:
                     r = vals[0].lower()
                 if out in b:
