@@ -49,18 +49,30 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 3) -> DataFrame:
     """Brute-force cosine top-k: queries = vec_id < n_queries against
     the full table. The query side is tiny → broadcast it; the scan
     side streams once. Output (query_id, neighbor_id, rank,
-    cos_x1e6)."""
+    cos_x1e6).
+
+    Norms are projected ONCE per row on each side before the join
+    (r7): inlining ``_norm`` into the post-join expression re-runs the
+    64-element fold per PAIR — n_queries× per neighbor row — for the
+    same double (the fold is deterministic, so hoisting it cannot
+    change a bit of ``cos_x1e6``)."""
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_nrm"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("c_nrm"),
+    )
     sims = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos_x1e6",
-            F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")) * 1e6).cast(
+            F.round(_dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm")) * 1e6).cast(
                 "bigint"
             ),
         )
@@ -75,9 +87,8 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 3) -> DataFrame:
     )
 
 
-def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """Sign-of-dot-product signature per vector → bucket id. At scale,
-    ANN = equi-join on the bucket instead of a cross join."""
+def _bucket_sig(n_planes: int = N_PLANES):
+    """Sign-of-dot-product bucket expression over ``embedding``."""
     planes = deterministic_planes(n_planes)
     sig = None
     for p, comps in enumerate(planes):
@@ -88,21 +99,38 @@ def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
         )
         bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    return emb.select("vec_id", "label", sig.cast("bigint").alias("bucket"))
+    return sig.cast("bigint")
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Sign-of-dot-product signature per vector → bucket id. At scale,
+    ANN = equi-join on the bucket instead of a cross join."""
+    return emb.select("vec_id", "label", _bucket_sig(n_planes).alias("bucket"))
 
 
 def near_dup_pairs(emb: DataFrame, min_cos_x1e6: int = 250_000) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: the scale path —
     LSH-bucket equi-join (never an all-pairs product) then exact cosine
-    on candidates only. Returns (vec_a, vec_b, cos_x1e6)."""
+    on candidates only. Returns (vec_a, vec_b, cos_x1e6).
+
+    r7 restructure (guide §2.3/§2.4): the bucket signature, embedding
+    and the vector's norm are projected in ONE scan — the previous
+    shape re-joined ``lsh_buckets`` output to ``emb`` on vec_id (a full
+    extra shuffle join just to re-attach a column the same scan already
+    had), and re-ran the 64-element norm fold per candidate PAIR
+    instead of per vector (the fold is deterministic, so hoisting
+    cannot change ``cos_x1e6``). The final ``distinct()`` is dropped:
+    each vector has exactly ONE bucket row, so a pair can match at most
+    once — the pairs are unique by construction (the oracle SQL has no
+    DISTINCT either)."""
     # materialize once — the self-join would otherwise evaluate the
     # bucket signatures twice (no exchange reuse via broadcast)
-    b = (
-        lsh_buckets(emb)
-        .join(emb, "vec_id")
-        .select("vec_id", "bucket", "embedding")
-        .localCheckpoint()
-    )
+    b = emb.select(
+        "vec_id",
+        _bucket_sig().alias("bucket"),
+        "embedding",
+        _norm("embedding").alias("nrm"),
+    ).localCheckpoint()
     pairs = (
         b.alias("x")
         .join(b.alias("y"), "bucket")
@@ -112,14 +140,15 @@ def near_dup_pairs(emb: DataFrame, min_cos_x1e6: int = 250_000) -> DataFrame:
             F.col("y.vec_id").alias("vec_b"),
             F.col("x.embedding").alias("ea"),
             F.col("y.embedding").alias("eb"),
+            F.col("x.nrm").alias("na"),
+            F.col("y.nrm").alias("nb"),
         )
     )
-    cos = F.round(_dot("ea", "eb") / (_norm("ea") * _norm("eb")) * 1e6).cast("bigint")
+    cos = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")) * 1e6).cast("bigint")
     return (
         pairs.withColumn("cos_x1e6", cos)
         .filter(F.col("cos_x1e6") >= min_cos_x1e6)
         .select("vec_a", "vec_b", "cos_x1e6")
-        .distinct()
     )
 
 
@@ -144,7 +173,9 @@ def ivf_topk(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent")
     )
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_nrm"),
     )
     qd2 = F.expr(
         "aggregate(zip_with(q_emb, cent, (x, y) -> "
@@ -160,14 +191,25 @@ def ivf_topk(
         .withColumn("qd2_x1e6", F.round(qd2 * 1e6).cast("bigint"))
         .withColumn("prn", F.row_number().over(wq))
         .filter(F.col("prn") <= n_probe)
-        .select("query_id", "q_emb", "centroid_id")
+        .select("query_id", "q_emb", "q_nrm", "centroid_id")
     )
+    # candidate-side norm hoisted to one fold per VECTOR (r7): the
+    # deterministic 64-element fold yields the same double whether run
+    # per vector or per (query, candidate) pair — only the eval count
+    # changes (n_probe-bounded candidates × queries → one per vector)
     cand = (
         probes.join(assign, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .join(emb.select("vec_id", F.col("embedding").alias("c_emb")), "vec_id")
+        .join(
+            emb.select(
+                "vec_id",
+                F.col("embedding").alias("c_emb"),
+                _norm("embedding").alias("c_nrm"),
+            ),
+            "vec_id",
+        )
     )
-    cos = F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")) * 1e6).cast(
+    cos = F.round(_dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm")) * 1e6).cast(
         "bigint"
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -130,12 +130,41 @@ def kg_nodes(spark: SparkSession) -> DataFrame:
     return pipe.nodes(pipe.triples(parsed))
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive fan-out for CPU-heavy per-row operators (r7,
+    guide §2.2/§2.5 input skew): a small parquet input written as one
+    row group scans as 1-2 effective tasks no matter the split config,
+    which serializes the md5-minhash / cosine-fold compute that
+    dominates these tables on a single core (measured 20s -> 2s on the
+    sf1.0 minhash materialization at local[32]). Repartition only when
+    the scan has fewer splits than the session's parallelism — on a
+    real cluster input (thousands of splits) this is a provable no-op,
+    so it is not a local-mode constant. Filters still push into the
+    scan (Catalyst moves deterministic predicates below Repartition),
+    and every registered query's output is a partitioning-invariant
+    row set (md5/deterministic arithmetic only), so results are
+    byte-identical."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+# the ~0.6 s round-robin exchange of the raw rows only pays for itself
+# when expensive per-row work follows (minhash explode, cosine folds) —
+# spread stays OFF for scan-light queries (exact dedup, pruned-column
+# counts), ON at the call sites marked spread=True below
+
+
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(df) if spread else df
+
+
+def _emb(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(df) if spread else df
 
 
 # ---------------------------------------------------------------------------
@@ -1011,7 +1040,7 @@ def _register_docops():
 
     @_q("doc_minhash_signatures", f"WITH {_SH_CTE} {_SIG_SELECT}")
     def doc_minhash_signatures(spark, sf_dir):
-        return docops.minhash_signatures(_docs(spark, sf_dir))
+        return docops.minhash_signatures(_docs(spark, sf_dir, spread=True))
 
     _band_parts = []
     rows_per_band = docops.MINHASH_K // docops.LSH_BANDS
@@ -1027,7 +1056,7 @@ def _register_docops():
             FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
     )
     def doc_lsh_candidates(spark, sf_dir):
-        return docops.lsh_candidate_pairs(_docs(spark, sf_dir))
+        return docops.lsh_candidate_pairs(_docs(spark, sf_dir, spread=True))
 
     @_q(
         "doc_ngram_jaccard",
@@ -1307,7 +1336,7 @@ def _register_embops():
              ) WHERE rank <= 3""",
     )
     def emb_cosine_topk(spark, sf_dir):
-        return embops.cosine_topk(_emb(spark, sf_dir))
+        return embops.cosine_topk(_emb(spark, sf_dir, spread=True))
 
     planes = embops.deterministic_planes()
     plane_terms = []
@@ -1338,7 +1367,7 @@ def _register_embops():
             ) WHERE cos_x1e6 >= 250000""",
     )
     def emb_near_dup_pairs(spark, sf_dir):
-        return embops.near_dup_pairs(_emb(spark, sf_dir))
+        return embops.near_dup_pairs(_emb(spark, sf_dir, spread=True))
 
     _d2 = (
         f"list_sum(list_transform(range(1, {dim + 1}), "
@@ -1406,7 +1435,7 @@ def _register_embops():
     def emb_ivf_topk(spark, sf_dir):
         # probe-bounded ANN search: the scale path that replaces
         # emb_cosine_topk's broadcast-cross-join baseline at 100 TB
-        return embops.ivf_topk(_emb(spark, sf_dir))
+        return embops.ivf_topk(_emb(spark, sf_dir, spread=True))
 
 
 # -- classic relational (coverage of scan/filter/agg/join/window) -------------
