@@ -227,6 +227,43 @@ def test_incremental_dedup_candidates_match_batch(spark, tmp_path):
     assert not any(n == 105 for n, _ in got)
 
 
+def test_incremental_dedup_drain_empty_and_multifile(spark, tmp_path):
+    """r7 drain internals (foreachBatch + parquet sink): an empty drop
+    returns an empty frame with the pair schema (the seeded sink), and
+    a multi-file drop yields the same candidate set as one file."""
+    from pyspark.sql import functions as F
+
+    from yamlpyowl_spark.streaming.dedup_incremental import (
+        drain_incremental_candidates,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(i, base + f" tail{i % 2}") for i in range(10)], ["doc_id", "text"]
+    )
+
+    # empty drop: no input files -> seeded sink only
+    d_empty = str(tmp_path / "empty_drop")
+    spark.createDataFrame([], "doc_id long, text string").write.parquet(d_empty)
+    out = drain_incremental_candidates(spark, d_empty, corpus)
+    assert out.columns == ["new_doc_id", "corpus_doc_id"]
+    assert out.count() == 0
+
+    # multi-file drop == single-file drop (per-batch banding is
+    # partition-invariant)
+    new = spark.createDataFrame(
+        [(100 + i, base + f" tail{i % 2}") for i in range(4)], ["doc_id", "text"]
+    )
+    d1 = str(tmp_path / "one_file")
+    new.coalesce(1).write.parquet(d1)
+    dn = str(tmp_path / "many_files")
+    new.repartition(4).write.parquet(dn)
+    got1 = {tuple(r) for r in drain_incremental_candidates(spark, d1, corpus).collect()}
+    gotn = {tuple(r) for r in drain_incremental_candidates(spark, dn, corpus).collect()}
+    assert got1 == gotn
+    assert got1, "fixture produced no candidates — weak test"
+
+
 def test_stateless_minhash_matches_groupby(spark):
     from yamlpyowl_spark.operators import docops
 

@@ -58,13 +58,28 @@ def incremental_candidates(
 def drain_incremental_candidates(
     spark, stream_path: str, corpus_docs: DataFrame
 ) -> DataFrame:
-    """Run :func:`incremental_candidates` as a REAL availableNow
-    streaming query over a file source and return the DISTINCT
-    candidate pairs from the sink (append mode — a stateless join
-    emits as batches arrive)."""
+    """Run the incremental LSH ingest as a REAL availableNow streaming
+    query over a file source and return the DISTINCT candidate pairs.
+
+    r7: the drain runs the per-batch banding inside ``foreachBatch``
+    with the BATCH ``minhash_signatures`` (explode → map-side partial
+    min, whole-stage codegen) instead of the per-row
+    ``minhash_signatures_stateless`` expression — the two are
+    bit-identical by contract (module doc + tests), but the row-local
+    higher-order-function form evaluates outside codegen and measured
+    ~6× slower (10.4 s → ~2 s for a 49.6k-doc drop at local[32],
+    guide §1.2 "per-task work"). ``foreachBatch`` hands each
+    micro-batch over as a plain batch DataFrame, which is exactly what
+    makes the aggregate legal here (a streaming groupBy would need a
+    watermark and update mode). Results land in a parquet sink per
+    batch — nothing is collected to the driver (the previous memory
+    sink held every candidate row driver-side, guide §5).
+
+    :func:`incremental_candidates` (the stateless per-row form) remains
+    the operator for true continuous/low-latency sinks where a batch
+    aggregate per trigger is not wanted."""
     import os
     import tempfile
-    import uuid
 
     schema = spark.read.parquet(stream_path).schema
     if os.path.isfile(stream_path):
@@ -72,15 +87,35 @@ def drain_incremental_candidates(
         os.symlink(os.path.abspath(stream_path), os.path.join(d, "part-0.parquet"))
         stream_path = d
     stream = spark.readStream.schema(schema).parquet(stream_path)
-    pairs = incremental_candidates(stream, corpus_docs)
-    name = f"inc_{uuid.uuid4().hex}"
+
+    static_buckets = docops.banded_signatures(
+        docops.minhash_signatures(corpus_docs)
+    ).localCheckpoint()
+
+    out_dir = tempfile.mkdtemp(prefix="inc_out_")
+    pair_schema = "new_doc_id " + dict(stream.dtypes)["doc_id"] + ", corpus_doc_id " + dict(
+        corpus_docs.dtypes
+    )["doc_id"]
+    # seed the sink so an empty drain still reads back with the schema
+    spark.createDataFrame([], pair_schema).write.mode("overwrite").parquet(out_dir)
+
+    def _process_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        cands = (
+            docops.banded_signatures(docops.minhash_signatures(batch_df))
+            .alias("n")
+            .join(static_buckets.alias("s"), ["band", "bucket"])
+            .select(
+                F.col("n.doc_id").alias("new_doc_id"),
+                F.col("s.doc_id").alias("corpus_doc_id"),
+            )
+        )
+        cands.write.mode("append").parquet(out_dir)
+
     q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
+        stream.writeStream.foreachBatch(_process_batch)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="inc_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).distinct()
+    return spark.read.parquet(out_dir).distinct()
