@@ -20,6 +20,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# label-side broadcast bound (rows of the two-string label tuple):
+# see the dispatch note inside connected_components
+_BROADCAST_LABEL_ROWS = 100_000
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Kiveris et al. large-star: connect every strictly-larger neighbor
@@ -113,9 +117,21 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # r7 latency work (guide §3.1, §1.2): one count of the label table
+    # (its row count — one row per node — is invariant across rounds)
+    # drives a measured-size broadcast dispatch for the per-round
+    # joins, and the convergence count doubles as the action that
+    # materializes the round's LAZY checkpoint (eager-checkpoint +
+    # count was two actions per round). Past the bound the shuffle
+    # plans are exactly the previous ones; hints never change labels.
+    small = labels.count() <= _BROADCAST_LABEL_ROWS
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     for _ in range(max_iter):
         msgs = (
-            sym.join(labels, sym.a == labels.node)
+            sym.join(_b(labels), sym.a == labels.node)
             .select(F.col("b").alias("node"), "component")
         )
         # carry the OLD label through the aggregation (each node has
@@ -137,13 +153,13 @@ def connected_components(
             F.col("node").alias("jnode"), F.col("component").alias("jcomp")
         )
         new_labels = (
-            new_labels.join(jump, new_labels.component == jump.jnode, "left")
+            new_labels.join(_b(jump), new_labels.component == jump.jnode, "left")
             .select(
                 "node",
                 F.least(F.col("component"), F.coalesce("jcomp", "component")).alias("component"),
                 "old",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("component") != F.col("old")).count()
         labels = new_labels.drop("old")

@@ -12,6 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+# closure-side broadcast bound (rows of the two-string pair tuple):
+# see the dispatch note inside transitive_closure
+_BROADCAST_PAIR_ROWS = 100_000
+
+
 def transitive_closure(
     edges: DataFrame,
     src: str = "src",
@@ -25,10 +30,22 @@ def transitive_closure(
     ≤ 2^k is present — O(log diameter) rounds instead of O(diameter).
     Each round costs one join + one anti-join + one checkpoint; for
     driver-loop iteration the round count IS the latency, and deep
-    chains at corpus scale stay bounded."""
+    chains at corpus scale stay bounded.
+
+    r7 latency work (guide §3.1, §1.2): the per-round convergence count
+    doubles as the action that materializes the round's LAZY checkpoint
+    (one action per round instead of eager-checkpoint + isEmpty), and
+    the counts it returns drive a measured-size broadcast dispatch —
+    while the known closure size stays under ``_BROADCAST_PAIR_ROWS``
+    the round's join sides are broadcast-hinted, collapsing the
+    sort-merge exchanges (and their AQE stage jobs) that dominate a
+    small-graph closure; a closure past the bound keeps the shuffle
+    plans exactly as before. Hints never change the result set."""
     base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     closure = base.localCheckpoint()
     delta = closure
+    n_closure = closure.count()
+    n_delta = n_closure
 
     for _ in range(max_iter):
         # every genuinely-new pair decomposes into two halves of which
@@ -39,17 +56,26 @@ def transitive_closure(
         # closure, and a dataset-alias self-join trips constraint
         # propagation at the checkpoint (`key not found` in
         # rewriteStatsAndConstraints)
+        small = (n_closure + n_delta) <= _BROADCAST_PAIR_ROWS
+
+        def _b(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if small else df
+
         c2 = closure.select(F.col("src").alias("csrc"), F.col("dst").alias("cdst"))
-        fwd = delta.join(c2, F.col("dst") == F.col("csrc")).select(
+        fwd = delta.join(_b(c2), F.col("dst") == F.col("csrc")).select(
             "src", F.col("cdst").alias("dst")
         )
-        bwd = c2.join(delta, F.col("cdst") == F.col("src")).select(
+        bwd = c2.join(_b(delta), F.col("cdst") == F.col("src")).select(
             F.col("csrc").alias("src"), "dst"
         )
         new_paths = fwd.union(bwd).distinct()
-        delta = new_paths.join(closure, ["src", "dst"], "left_anti").localCheckpoint()
-        if delta.isEmpty():
+        delta = new_paths.join(_b(closure), ["src", "dst"], "left_anti").localCheckpoint(
+            eager=False
+        )
+        n_delta = delta.count()
+        if n_delta == 0:
             break
         closure = closure.union(delta).localCheckpoint()
+        n_closure += n_delta
 
     return closure

@@ -126,6 +126,11 @@ _STR_CHECK = {"contains": "ct", "startsWith": "sw", "endsWith": "ew"}
 _SCK_SQL = {"ct": "contains", "sw": "startswith", "ew": "endswith"}
 _INVALID = "!unsupported"
 
+# fact-side broadcast bound for the fixpoint's per-atom joins (rows of
+# the ~150-byte fact tuple ≈ 15 MB broadcast at the bound) — see the
+# dispatch note in forward_chain
+_BROADCAST_FACT_ROWS = 100_000
+
 
 def _unquote(a: str) -> str:
     """Strip surrounding double quotes from a SWRL string constant
@@ -880,6 +885,23 @@ def forward_chain(
     facts = base.localCheckpoint()
     had_type_heads = any("T(" in k.split("=>")[1] for k in templates)
 
+    # data-driven join-strategy dispatch (r7, guide §3.1): ONE count on
+    # the checkpointed base decides whether the fact/type sides of the
+    # per-atom joins fit a broadcast. When they do, every atom join
+    # compiles to a BroadcastHashJoin over ONE reused broadcast instead
+    # of a sort-merge join — on the bench corpus that removes ~30 AQE
+    # shuffle-stage jobs per fixpoint round (the dominant cost of a
+    # tiny-data fixpoint is job count, not bytes). The bound is in rows
+    # of the ~150-byte fact tuple (~15 MB at the threshold, inside the
+    # session's 64 MB autoBroadcastJoinThreshold with headroom for the
+    # per-round delta growth); a corpus past the bound keeps the
+    # shuffle plans unchanged — this is measured-size dispatch, not a
+    # local-mode constant.
+    broadcast_facts = facts.count() <= _BROADCAST_FACT_ROWS
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if (broadcast_facts and df is not None) else df
+
     def _minus(a: DataFrame, b: DataFrame) -> DataFrame:
         # null-safe anti-join: obj_datatype is NULL for non-literals
         # and a plain equi-join would never match NULLs
@@ -936,7 +958,7 @@ def forward_chain(
     for rnd in range(max_iter):
         if rnd == 0:
             outs = [
-                _eval_template(k, rules, facts, types, delta=None, types_delta=None)
+                _eval_template(k, rules, _b(facts), _b(types), delta=None, types_delta=None)
                 for k in templates
             ]
         else:
@@ -951,8 +973,8 @@ def forward_chain(
                     if tk == k and preds & delta_preds
                 ]
                 out = _eval_template(
-                    k, rules, facts, types,
-                    delta=delta, types_delta=types_delta,
+                    k, rules, _b(facts), _b(types),
+                    delta=_b(delta), types_delta=_b(types_delta),
                     live_positions=live,
                 )
                 if out is not None:
@@ -965,7 +987,7 @@ def forward_chain(
         # checkpoint AND returns the delta's predicate set in ONE job
         # (pred is never NULL, so empty set <=> empty delta) — replaces
         # r3's checkpoint+isEmpty pair and r4's extra distinct+collect
-        delta = _minus(new, facts).localCheckpoint(eager=False)
+        delta = _minus(new, _b(facts)).localCheckpoint(eager=False)
         delta_preds = set(delta.agg(F.collect_set("pred")).head()[0])
         if not delta_preds:
             break
