@@ -111,11 +111,18 @@ def drain_incremental_candidates(
         )
         cands.write.mode("append").parquet(out_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(_process_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="inc_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .windowed import scoped_state_partitions
+
+    # the per-batch groupBy minhash inside foreachBatch plans with the
+    # streaming session's shuffle setting — size it like the stateful
+    # drains (64 near-empty shuffle partitions per micro-batch cost
+    # more scheduling than the aggregation itself at drain scale)
+    with scoped_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(_process_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="inc_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir).distinct()

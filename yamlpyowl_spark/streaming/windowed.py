@@ -23,10 +23,39 @@ against Kafka/rate sources on a cluster).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 SESSION_GAP_SEC = 1800
+
+
+@contextmanager
+def scoped_state_partitions(spark, n: int | None = None):
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of a
+    streaming drain and restore it afterwards.
+
+    Streaming stateful operators take their state-store partition count
+    from this setting at first-batch planning (AQE cannot coalesce a
+    streaming shuffle), and every partition pays state-provider init +
+    commit per batch — 64 near-empty HDFS-backed stores cost ~1 s per
+    drain at local[32] (measured, r7). The default sizes the count to
+    the session's parallelism (state cardinality for these drains is
+    bounded by open windows × types / distinct keys in the watermark,
+    thousands of rows — orders of magnitude under a per-partition
+    load concern at any input scale); production jobs with huge state
+    pass an explicit ``n``. Batch queries planned inside the scope are
+    unaffected in practice: AQE re-coalesces their shuffles at runtime."""
+    sc = spark.sparkContext
+    if n is None:
+        n = max(8, sc.defaultParallelism // 4)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def windowed_event_counts(
@@ -96,15 +125,16 @@ def drain_windowed_event_counts(
             "n_events",
         )
     name = f"wec_{uuid.uuid4().hex}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="wec_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="wec_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -139,16 +169,17 @@ def drain_dedup_counts(spark, input_path: str, watermark: str = "2 hours") -> Da
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     deduped = dedup_stream(stream)
     name = f"sdd_{uuid.uuid4().hex}"
-    q = (
-        deduped.select("event_type", "event_id")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdd_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            deduped.select("event_type", "event_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sdd_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("event_type")
