@@ -14,7 +14,7 @@ import os
 import tempfile
 import zipfile
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 
 def ship_package(spark: SparkSession) -> str:
@@ -72,4 +72,46 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ship_package(spark)
+    if os.environ.get("YPO_SESSION_WARMUP", "1") != "0":
+        _warm_session(spark)
     return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """Engine + Python-worker warm-up at session build (r7).
+
+    The first query of a fresh session otherwise pays all lazy engine
+    init — SQL framework, whole-stage-codegen compiler, exchange/AQE
+    machinery — plus the Python worker pool spawn for the first Arrow
+    stage (~5 s each measured at local[32]; a 60-row first job took
+    5.5 s cold vs 0.1 s warm). A long-lived session pays this exactly
+    once, so it belongs to session construction, not to whichever
+    operator happens to run first. The warm-up is data-independent
+    (spark.range only — it never touches an input table and computes
+    no query result) and idempotent; set YPO_SESSION_WARMUP=0 to skip
+    (e.g. for sessions that never run SQL)."""
+    try:
+        n = spark.sparkContext.defaultParallelism
+
+        def _ident(batches):
+            yield from batches
+
+        # one tiny shuffle (exchange + AQE path) and one Arrow stage
+        # wide enough to spawn the full worker pool concurrently
+        (
+            spark.range(0, 4 * n, 1, n)
+            .groupBy((F.col("id") % 4).alias("k"))
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        (
+            spark.range(0, n, 1, n)
+            .mapInArrow(_ident, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:
+        pass  # a degraded session (no noop sink, restricted master) still works
