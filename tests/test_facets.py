@@ -133,3 +133,23 @@ def test_lexically_valid_plain_datatype():
 def test_unsupported_base_fails_parse():
     m = _range_model(XSD + "hexBinary", [(XSD + "length", "4")])
     assert FX.parse_data_range(m, "_:r") is None
+
+
+def test_float_special_lexicals_valid():
+    # XSD float/double lexical space includes NaN/INF/-INF (ADVICE r6:
+    # rejecting them made dt-not-type flag a consistent ontology)
+    for dt in (XSD + "float", XSD + "double"):
+        assert FX.lexically_valid("NaN", dt) is True
+        assert FX.lexically_valid("INF", dt) is True
+        assert FX.lexically_valid("-INF", dt) is True
+    # xsd:decimal's does NOT
+    assert FX.lexically_valid("NaN", XSD + "decimal") is False
+    assert FX.lexically_valid("INF", XSD + "decimal") is False
+
+
+def test_float_specials_in_ordered_ranges():
+    m = _range_model(XSD + "double", [(XSD + "minInclusive", "0")])
+    rng = FX.parse_data_range(m, "_:r")
+    assert FX.literal_in_range("INF", rng)       # INF >= 0
+    assert not FX.literal_in_range("-INF", rng)  # -INF < 0
+    assert not FX.literal_in_range("NaN", rng)   # NaN unordered

@@ -2467,3 +2467,78 @@ def test_boolean_literal_terms(spark):
         ).collect()
     }
     assert got == {E + "a"}
+
+
+# -- r7 correctness fixes (ADVICE r6 + verdict wrong #1) ---------------------
+
+
+def test_substr_negative_start_xpath_window(triples):
+    # XPath fn:substring window semantics: SUBSTR("alice", -1, 3) keeps
+    # positions max(-1,1)..(-1+3-1) -> "a"; Spark's native negative
+    # start (count from the end) must NOT leak through
+    got = {
+        tuple(r)
+        for r in _q(
+            triples,
+            '?n ?s WHERE { ?x e:name ?n . BIND(SUBSTR(?n, -1, 3) AS ?s) }',
+        ).collect()
+    }
+    assert got == {("alice", "a")}
+    # fully out-of-window start yields ""
+    got = {
+        r[1]
+        for r in _q(
+            triples,
+            '?n ?s WHERE { ?x e:name ?n . BIND(SUBSTR(?n, -5, 3) AS ?s) }',
+        ).collect()
+    }
+    assert got == {""}
+
+
+def test_seconds_fractional(spark):
+    rows = [(E + "x", E + "at", "2024-03-15T10:30:05.7", True, None, E)]
+    t = spark.createDataFrame(rows, SCHEMA)
+    got = [
+        r[0]
+        for r in make_query(
+            t,
+            f"PREFIX e: <{E}> SELECT ?s WHERE "
+            f"{{ ?x e:at ?t . BIND(SECONDS(?t) AS ?s) }}",
+        ).collect()
+    ]
+    assert got == [5.7]
+
+
+def test_count_distinct_star_raises(triples):
+    with pytest.raises(SparqlError, match=r"COUNT\(DISTINCT \*\)"):
+        _q(triples, "(COUNT(DISTINCT *) AS ?n) WHERE { ?x e:age ?a }")
+
+
+def test_order_by_expression_key_raises(triples):
+    # previously misparsed silently: STRLEN(?v) sorted ascending by ?v
+    with pytest.raises(SparqlError, match="ORDER BY"):
+        _q(triples, "?a WHERE { ?x e:age ?a } ORDER BY STRLEN(?a)")
+    with pytest.raises(SparqlError, match="ORDER BY"):
+        _q(triples, "?a WHERE { ?x e:age ?a } ORDER BY DESC(STRLEN(?a))")
+
+
+def test_group_by_expression_key_raises(triples):
+    # previously grabbed ['x','s'] as group keys
+    with pytest.raises(SparqlError, match="GROUP BY"):
+        _q(
+            triples,
+            "?s (COUNT(?a) AS ?n) WHERE { ?x e:age ?a } "
+            "GROUP BY (STR(?x) AS ?s)",
+        )
+
+
+def test_order_and_group_by_plain_keys_still_parse(triples):
+    got = [
+        tuple(r)
+        for r in _q(
+            triples,
+            "?x (COUNT(?a) AS ?n) WHERE { ?x e:age ?a } "
+            "GROUP BY ?x ORDER BY DESC(?n) ?x LIMIT 2",
+        ).collect()
+    ]
+    assert len(got) == 2 and all(n == 1 for _, n in got)

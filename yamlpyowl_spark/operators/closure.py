@@ -75,7 +75,10 @@ def transitive_closure(
         n_delta = delta.count()
         if n_delta == 0:
             break
-        closure = closure.union(delta).localCheckpoint()
+        # lazy: the next round's first action (or the caller's)
+        # materializes it — one fewer job per round; the union of two
+        # checkpointed frames keeps lineage depth 1 either way
+        closure = closure.union(delta).localCheckpoint(eager=False)
         n_closure += n_delta
 
     return closure

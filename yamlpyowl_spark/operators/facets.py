@@ -74,6 +74,9 @@ _NUMERIC = frozenset(
     )
 )
 _INTEGRAL = frozenset(d for d in _NUMERIC if "decimal" not in d and "float" not in d and "double" not in d)
+# IEEE bases whose lexical space includes NaN/INF/-INF (xsd:decimal's
+# does not)
+_FLOATY = frozenset((XSD + "float", XSD + "double"))
 _STRINGY = frozenset(XSD + n for n in ("string", "normalizedString", "token", "anyURI", "language", "Name", "NCName"))
 _TEMPORAL = frozenset(XSD + n for n in ("dateTime", "date", "time"))
 SUPPORTED_BASES = _NUMERIC | _STRINGY | _TEMPORAL
@@ -108,8 +111,15 @@ def canon(lex: str, base_dt: str):
     ``None`` when the lexical form is outside the datatype's lexical
     (or bounded value) space."""
     if base_dt in _NUMERIC:
+        s = lex.strip()
+        if base_dt in _FLOATY and s in ("NaN", "INF", "-INF"):
+            # XSD float/double special lexicals ARE valid (ADVICE r6:
+            # rejecting them made dt-not-type flag a consistent
+            # ontology). Return the IEEE value; ordered-facet
+            # comparisons special-case the non-finite cases.
+            return float("nan") if s == "NaN" else float(s.replace("INF", "inf"))
         try:
-            v = Decimal(lex.strip())
+            v = Decimal(s)
         except (InvalidOperation, ValueError, ArithmeticError):
             return None
         if v.is_nan() or v.is_infinite():
@@ -201,6 +211,13 @@ def literal_in_range(lex: str, rng: Tuple[str, Tuple[Tuple[str, str], ...]]) -> 
         if facet in _ORDER_FACETS:
             b = canon(bound, base)
             name = facet[len(XSD):]
+            if isinstance(v, float) and v != v:
+                # NaN is unordered under every XSD order facet
+                return False
+            if isinstance(v, float) or isinstance(b, float):
+                # a non-finite value or bound: compare in float space
+                # (±INF order correctly against any finite bound)
+                v, b = float(v), float(b)
             try:
                 if name == "minInclusive" and not (v >= b):
                     return False

@@ -1005,6 +1005,18 @@ def infer_doc_fixpoint(rows) -> Set[Tuple[str, str, str, bool]]:
         if not delta:
             break
         acc |= delta
+    else:
+        # every pass produced new facts and the cap cut the loop: the
+        # closure is not proven complete — say so loudly instead of
+        # silently returning it (ADVICE r6; the loud-boundary
+        # principle). The warning lands in the executor task log.
+        import warnings
+
+        warnings.warn(
+            "OWL-RL doc fixpoint hit the 16-pass cap while still "
+            "deriving new facts — the returned closure may be partial",
+            stacklevel=2,
+        )
     return acc
 
 

@@ -1227,11 +1227,43 @@ def _parse_modifiers(tail: str):
         rest = rest[: m.start()] + rest[j + 1 :]
     m = _GROUPBY_RE.search(rest)
     if m:
-        group_by = re.findall(r"\?(\w+)", m.group(1))
+        # position-walk the clause so ANY unconsumed text raises —
+        # re.findall silently grabbed the inner variables of
+        # `GROUP BY (STR(?x) AS ?s)` as group keys (r6 verdict wrong #1;
+        # same bug class as the r5 `IN (?w)` fix: loudly, not wrongly)
+        clause, pos, n = m.group(1), 0, len(m.group(1))
+        while True:
+            while pos < n and clause[pos].isspace():
+                pos += 1
+            if pos >= n:
+                break
+            gm = re.compile(r"\?(\w+)").match(clause, pos)
+            if gm is None:
+                raise SparqlError(
+                    f"unsupported GROUP BY key at {clause[pos:].strip()!r}: "
+                    f"this dialect groups by plain ?variables only"
+                )
+            group_by.append(gm.group(1))
+            pos = gm.end()
         rest = rest[: m.start()] + rest[m.end():]
     m = _ORDERBY_RE.search(rest)
     if m:
-        for om in _ORDER_ITEM_RE.finditer(m.group(1)):
+        # same position-walk: `ORDER BY STRLEN(?v)` previously compiled
+        # to an ascending sort on ?v and DESC(STRLEN(?v)) dropped the
+        # DESC — unconsumed clause text must raise instead
+        clause, pos, n = m.group(1), 0, len(m.group(1))
+        while True:
+            while pos < n and clause[pos].isspace():
+                pos += 1
+            if pos >= n:
+                break
+            om = _ORDER_ITEM_RE.match(clause, pos)
+            if om is None:
+                raise SparqlError(
+                    f"unsupported ORDER BY key at {clause[pos:].strip()!r}: "
+                    f"this dialect sorts by ?variables or "
+                    f"ASC()/DESC() of a variable or inline aggregate"
+                )
             direction, fn, dist, arg, var = om.groups()
             desc = direction is not None and direction.upper() == "DESC"
             if var is not None:
@@ -1240,6 +1272,7 @@ def _parse_modifiers(tail: str):
                 # inline aggregate sort key (r6d): resolved to a
                 # hidden column in the same groupBy at compile time
                 order_by.append((("agg", fn.upper(), bool(dist), arg), desc))
+            pos = om.end()
         rest = rest[: m.start()] + rest[m.end():]
     m = _LIMIT_RE.search(rest)
     if m:
@@ -1786,8 +1819,15 @@ def _operand_col(df: DataFrame, node):
     if kind == "substr":
         _, arg, start, length = node
         base = _str_col(df, arg)
-        # SPARQL SUBSTR is 1-based like SQL substring
-        return F.substring(base, start, length if length is not None else 2147483647)
+        # SPARQL SUBSTR is 1-based; XPath fn:substring WINDOW semantics
+        # for start < 1 (chars at positions max(start,1) .. start+length),
+        # not Spark's count-from-the-end negative start (ADVICE r6; the
+        # SWRL substring builtin already clamps this way)
+        lo = max(start, 1)
+        if length is None:
+            return F.substring(base, lo, 2147483647)
+        n = start + length - lo
+        return F.substring(base, lo, n) if n > 0 else F.lit("")
     if kind == "replace":
         # SPARQL REPLACE is regex-based and replaces every match
         return F.regexp_replace(_str_col(df, node[1]), node[2], node[3])
@@ -1815,8 +1855,21 @@ def _operand_col(df: DataFrame, node):
         }.get(fn)
         if col is not None:
             return col(ts).cast("bigint")
-        # SECONDS is xsd:decimal (fractional seconds survive)
-        return F.second(ts).cast("double")
+        # SECONDS is xsd:decimal: fractional seconds must SURVIVE, and
+        # Spark's second() truncates to the integer second — extract the
+        # seconds field from the lexical form instead (ADVICE r6);
+        # a valid timestamp whose lexical form carries no seconds field
+        # falls back to the truncating reading rather than NULL
+        secs = F.regexp_extract(
+            _str_col(df, arg), r"[T ]\d{2}:\d{2}:(\d{2}(?:\.\d+)?)", 1
+        )
+        return F.when(
+            ts.isNotNull(),
+            F.coalesce(
+                F.nullif(secs, F.lit("")).try_cast("double"),
+                F.second(ts).cast("double"),
+            ),
+        )
     if kind == "concat":
         return F.concat(*[_str_col(df, a) for a in node[1]])
     if kind == "coalesce":
@@ -2435,6 +2488,11 @@ def _select_frame(
         # groupBy, never an extra shuffle
         if o_fn == "COUNT":
             if o_arg == "*":
+                if o_dist:
+                    raise SparqlError(
+                        f"COUNT(DISTINCT *) is not supported by this "
+                        f"dialect ({where}); COUNT(*) or COUNT(DISTINCT ?v)"
+                    )
                 return F.count(F.lit(1))
             if o_dist:
                 return F.countDistinct(F.col(o_arg[1:]))
@@ -2473,6 +2531,16 @@ def _select_frame(
         for _, fn, dist, arg, alias, sep in aggs:
             if fn == "COUNT":
                 if arg == "*":
+                    if dist:
+                        # counting DISTINCT SOLUTIONS needs null-safe
+                        # distinctness over every bound column, which
+                        # countDistinct does not give (rows with any
+                        # NULL vanish) — raise loudly rather than
+                        # silently count the multiset (ADVICE r6)
+                        raise SparqlError(
+                            "COUNT(DISTINCT *) is not supported by this "
+                            "dialect; COUNT(*) or COUNT(DISTINCT ?v)"
+                        )
                     col = F.count(F.lit(1))
                 elif dist:
                     col = F.countDistinct(F.col(arg[1:]))
