@@ -146,6 +146,11 @@ def connected_components(
                 F.max("old").alias("old"),
             )
         )
+        # checkpoint the aggregate BEFORE the pointer-jump self-join:
+        # both join sides then read the materialized result instead of
+        # each recomputing the aggregation (under a broadcast build
+        # there is no exchange to reuse between the sides)
+        new_labels = new_labels.localCheckpoint(eager=False)
         # pointer jumping: component := component's component — turns the
         # O(diameter) propagation into O(log d) rounds (matters for chain
         # graphs; star-shaped alias graphs converge in 2 either way)

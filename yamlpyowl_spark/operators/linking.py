@@ -48,6 +48,25 @@ def canonical_mapping(nodes: DataFrame, salt_buckets: int = 16) -> DataFrame:
     return m.join(final, "link_key").select("iri", "link_key", "canonical_iri")
 
 
+def link_key_stats(nodes: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """(link_key, n_mentions, canonical_iri) — the per-group linking
+    summary, computed in the SAME two-stage salted aggregation that
+    finds the canonical (min + count ride one partial aggregate).
+    Equivalent to ``canonical_mapping(...).groupBy(link_key,
+    canonical_iri).count()`` — the canonical is unique per key — but
+    with no join of the full mention table and one fewer shuffle of it
+    (r7, guide §2.3 aggregate-before-shuffle)."""
+    m = mention_keys(nodes).select("iri", "link_key")
+    partial = (
+        m.withColumn("salt", F.pmod(F.hash("iri"), F.lit(salt_buckets)))
+        .groupBy("link_key", "salt")
+        .agg(F.min("iri").alias("min_iri"), F.count("*").alias("n"))
+    )
+    return partial.groupBy("link_key").agg(
+        F.sum("n").alias("n_mentions"), F.min("min_iri").alias("canonical_iri")
+    )
+
+
 def alias_edges(nodes: DataFrame, salt_buckets: int = 16) -> DataFrame:
     """Star-shaped alias graph: mention → group canonical."""
     mapping = canonical_mapping(nodes, salt_buckets)
@@ -98,7 +117,9 @@ def canonical_edges(edges: DataFrame, canonical: DataFrame) -> DataFrame:
     predicate (properties are nodes too; without this, fork copies of
     the same logical edge keep distinct per-document predicate IRIs and
     never collapse)."""
-    mapping = canonical.select("iri", "canonical_id").distinct()
+    # snapshot once: the mapping feeds THREE joins below and would
+    # otherwise re-run its distinct (a full shuffle) per join (r7)
+    mapping = canonical.select("iri", "canonical_id").distinct().localCheckpoint()
     return (
         edges.join(mapping.withColumnRenamed("iri", "src_id"), "src_id", "left")
         .withColumnRenamed("canonical_id", "src_canon")

@@ -801,10 +801,14 @@ def _register_kg():
             FROM nodes GROUP BY 1""",
     )
     def kg_entity_linking(spark, sf_dir):
-        mapping = canonical_mapping(kg_nodes(spark))
-        return mapping.groupBy("link_key", "canonical_iri").agg(
-            F.count("*").alias("n_mentions")
-        ).select("link_key", "n_mentions", "canonical_iri")
+        # r7: fused salted aggregate (min + count in one partial pass)
+        # replaces canonical_mapping + join-back + re-aggregate — same
+        # rows, one fewer shuffle of the full mention table
+        from .operators.linking import link_key_stats
+
+        return link_key_stats(kg_nodes(spark)).select(
+            "link_key", "n_mentions", "canonical_iri"
+        )
 
     @_q(
         "kg_connected_components",
@@ -1479,7 +1483,10 @@ def _register_more_kg():
         # 25k-doc corpus); and the CC result feeds three joins
         nodes = pipe.nodes(triples).localCheckpoint()
         canon = canonical_nodes(nodes).localCheckpoint()
-        edges = pipe.edges(triples).localCheckpoint()
+        # edges has a single consumer (the canonical_edges join chain
+        # scans it once) and is a cheap filter over the persisted
+        # parse — a checkpoint there was one pure-cost job (r7)
+        edges = pipe.edges(triples)
         return canonical_edges(edges, canon).groupBy("src_id", "pred", "dst_id").agg(
             F.count("*").alias("n")
         )
