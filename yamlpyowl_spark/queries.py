@@ -1685,7 +1685,11 @@ def _register_relational():
         from .streaming.dedup_incremental import drain_incremental_candidates
 
         docs = _docs(spark, sf_dir)
-        corpus = docs.filter(F.col("doc_id") < 400)
+        # spread AFTER the filter: the predicate pushes into the scan,
+        # so only the 400 corpus rows shuffle, and their minhash (the
+        # static bucket build) runs parallel instead of on the single
+        # effective scan task
+        corpus = _spread(docs.filter(F.col("doc_id") < 400))
         d = tempfile.mkdtemp(prefix="inc_src_")
         # many files, not one: the file-source micro-batch parallelism
         # IS the file layout (one file = one task = a serial minhash —
