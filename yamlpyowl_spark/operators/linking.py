@@ -24,6 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# mapping-side broadcast bound (rows of the two-string (iri, canonical)
+# tuple ≈ 200 B/row → ~20 MB at the bound, inside the session's 64 MB
+# autoBroadcastJoinThreshold): see the dispatch note in canonical_edges
+_BROADCAST_MAPPING_ROWS = 100_000
+
 
 def normalized_label(col):
     """IRI-normalization for linking: local name, lowercased, with
@@ -90,6 +95,12 @@ def canonical_nodes(nodes: DataFrame, salt_buckets: int = 16) -> DataFrame:
     from .cc import connected_components
 
     mapping = canonical_mapping(nodes, salt_buckets).localCheckpoint()
+    # measured-size dispatch for the rewrite join below (r7, guide
+    # §3.1): comp has at most one row per mapping row, so the mapping
+    # count (one job on the checkpointed frame) bounds it. Under the
+    # bound the node rewrite is a BroadcastHashJoin — no shuffle of
+    # either side; past it the shuffle plan stands unchanged.
+    small = mapping.count() <= _BROADCAST_MAPPING_ROWS
     overlapping = not (
         mapping.groupBy("iri")
         .agg(F.countDistinct("canonical_iri").alias("nk"))
@@ -105,8 +116,9 @@ def canonical_nodes(nodes: DataFrame, salt_buckets: int = 16) -> DataFrame:
         comp = mapping.select(
             F.col("iri").alias("node"), F.col("canonical_iri").alias("component")
         ).distinct()
+    comp = comp.withColumnRenamed("node", "iri")
     return (
-        nodes.join(comp.withColumnRenamed("node", "iri"), "iri", "left")
+        nodes.join(F.broadcast(comp) if small else comp, "iri", "left")
         .withColumn("canonical_id", F.coalesce("component", "iri"))
         .drop("component")
     )
@@ -120,12 +132,25 @@ def canonical_edges(edges: DataFrame, canonical: DataFrame) -> DataFrame:
     # snapshot once: the mapping feeds THREE joins below and would
     # otherwise re-run its distinct (a full shuffle) per join (r7)
     mapping = canonical.select("iri", "canonical_id").distinct().localCheckpoint()
+    # measured-size broadcast dispatch (r7, guide §3.1): ONE count of
+    # the checkpointed mapping decides the join strategy for all three
+    # rewrites. Under the bound each left join compiles to a
+    # BroadcastHashJoin — the edge table is never shuffled (it was
+    # exchanged once PER JOIN KEY before: 3 full shuffles of the edge
+    # set) and the single broadcast is reused three times. Past the
+    # bound the sort-merge plans stand unchanged; a join hint cannot
+    # change the rewritten rows.
+    small = mapping.count() <= _BROADCAST_MAPPING_ROWS
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     return (
-        edges.join(mapping.withColumnRenamed("iri", "src_id"), "src_id", "left")
+        edges.join(_b(mapping.withColumnRenamed("iri", "src_id")), "src_id", "left")
         .withColumnRenamed("canonical_id", "src_canon")
-        .join(mapping.withColumnRenamed("iri", "dst_id"), "dst_id", "left")
+        .join(_b(mapping.withColumnRenamed("iri", "dst_id")), "dst_id", "left")
         .withColumnRenamed("canonical_id", "dst_canon")
-        .join(mapping.withColumnRenamed("iri", "pred"), "pred", "left")
+        .join(_b(mapping.withColumnRenamed("iri", "pred")), "pred", "left")
         .withColumnRenamed("canonical_id", "pred_canon")
         .select(
             F.coalesce("src_canon", F.col("src_id")).alias("src_id"),
