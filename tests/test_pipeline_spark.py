@@ -364,6 +364,46 @@ def test_transitive_closure_doubling_deep_chain(spark):
     assert got == want
 
 
+def test_transitive_closure_driver_regime_matches_distributed(spark):
+    """The measured-tiny driver-BFS regime must return the exact pair
+    set of the distributed loops — including cycles (a node reaches
+    itself only via a real cycle) and self-loops — and the regime
+    dispatch must be invisible at the boundary."""
+    import random
+
+    from yamlpyowl_spark.operators import closure as C
+
+    random.seed(7)
+    cases = [
+        [("a", "b"), ("b", "a")],                       # 2-cycle: a→a, b→b appear
+        [("a", "a")],                                   # self-loop only
+        [(f"n{random.randrange(40)}", f"n{random.randrange(40)}") for _ in range(70)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src string, dst string")
+        fast = {(r["src"], r["dst"]) for r in transitive_closure(df).collect()}
+        old = C._DRIVER_CLOSURE_EDGES
+        C._DRIVER_CLOSURE_EDGES = 0  # force the distributed loops
+        try:
+            slow = {(r["src"], r["dst"]) for r in transitive_closure(df).collect()}
+        finally:
+            C._DRIVER_CLOSURE_EDGES = old
+        assert fast == slow
+
+    # output-cap abort hands off to the distributed loop, same answer
+    chain = spark.createDataFrame(
+        [(f"c{i:02d}", f"c{i+1:02d}") for i in range(20)], "src string, dst string"
+    )
+    old_cap = C._DRIVER_CLOSURE_PAIRS
+    C._DRIVER_CLOSURE_PAIRS = 5  # 20-node chain closure is 210 pairs
+    try:
+        capped = {(r["src"], r["dst"]) for r in transitive_closure(chain).collect()}
+    finally:
+        C._DRIVER_CLOSURE_PAIRS = old_cap
+    want = {(f"c{i:02d}", f"c{j:02d}") for i in range(21) for j in range(i + 1, 21)}
+    assert capped == want
+
+
 def test_corpus_derived_import_map(spark, source, import_map, parsed):
     """A corpus that VENDORS its imported OWL file as a row resolves
     ns: imports from the scan itself: build_import_map_from_corpus over

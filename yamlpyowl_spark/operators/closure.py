@@ -39,6 +39,45 @@ def small_loop_planning(spark, small: bool):
 # see the dispatch note inside transitive_closure
 _BROADCAST_PAIR_ROWS = 100_000
 
+# driver-closure regime bounds (r7, guide §1.2/§3.1): a MEASURED-tiny
+# edge relation (subclass hierarchies, transitive-property graphs — a
+# few hundred distinct pairs at every SF) pays the iterative loop
+# almost entirely in Spark job latency (~2 jobs × ~120 ms per doubling
+# round), not compute. Under these bounds the closure is computed on
+# the driver from ONE bounded collect and shipped back as a local
+# relation — the exact bounded-collect discipline rule_table's
+# bad-rule probe established. Both bounds are hard caps, not hints:
+# past either, the distributed loops below run unchanged.
+_DRIVER_CLOSURE_EDGES = 5_000      # collect ≤ ~1 MB of string pairs
+_DRIVER_CLOSURE_PAIRS = 500_000    # abort cap on the result size
+
+
+def _py_closure(pairs, cap: int):
+    """Exact transitive closure of a tiny edge list on the driver.
+    Per-source BFS (cycle-safe; a source reaches itself only via a real
+    cycle, matching the distributed semantics of 1+ hops). Returns None
+    if the result would exceed ``cap`` — caller falls back to the
+    distributed loop."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+    out = []
+    for s in adj:
+        seen = set()
+        stack = list(adj[s])
+        while stack:
+            v = stack.pop()
+            if v not in seen:
+                seen.add(v)
+                if v in adj:
+                    stack.extend(adj[v])
+        out.extend((s, v) for v in seen)
+        if len(out) > cap:
+            return None
+    return sorted(out)
+
 
 def transitive_closure(
     edges: DataFrame,
@@ -67,6 +106,19 @@ def transitive_closure(
     spark = edges.sparkSession
     base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     closure = base.localCheckpoint()
+
+    # driver-closure regime: ONE bounded probe (limit N+1 — never an
+    # unbounded collect) answers both "how big" and "what are the
+    # rows". If the relation fits, the whole closure is one Python
+    # BFS + one parallelize — 2 jobs total instead of ~2 per doubling
+    # round; identical pair set by construction (1+-hop reachability
+    # over the same distinct string pairs).
+    probe = closure.limit(_DRIVER_CLOSURE_EDGES + 1).collect()
+    if len(probe) <= _DRIVER_CLOSURE_EDGES:
+        pairs = _py_closure([(r["src"], r["dst"]) for r in probe], _DRIVER_CLOSURE_PAIRS)
+        if pairs is not None:
+            return spark.createDataFrame(pairs, schema=closure.schema)
+
     delta = closure
     n_closure = closure.count()
     n_delta = n_closure
