@@ -494,10 +494,24 @@ def rule_table(triples: DataFrame) -> DataFrame:
     ``slots = [reason, src]`` so the caller can raise or skip.
 
     Includes rules synthesized from owl:TransitiveProperty and
-    owl:inverseOf axioms, built with pure column expressions."""
-    srcs = (
-        triples.filter(F.col("pred") == V.YPO_RULE_SRC).select("doc_iri", "obj").distinct()
+    owl:inverseOf axioms, built with pure column expressions.
+
+    One scan: the three rule sources (rule srcs, transitive-property
+    axioms, inverseOf axioms) ride a single filtered pass over the
+    triple table with ONE wide distinct; the per-branch projections
+    dedupe on the resulting tiny frame (r7, guide §2.2 — it was three
+    full scans + three full-width shuffles of the triple table)."""
+    rel = (
+        triples.filter(
+            (F.col("pred") == V.YPO_RULE_SRC)
+            | ((F.col("pred") == V.RDF_TYPE) & (F.col("obj") == V.OWL_TRANSITIVE))
+            | (F.col("pred") == V.OWL_INVERSE_OF)
+        )
+        .select("doc_iri", "pred", "subj", "obj")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
+    srcs = rel.filter(F.col("pred") == V.YPO_RULE_SRC).select("doc_iri", "obj").distinct()
 
     def batches(it):
         import pandas as pd
@@ -517,10 +531,13 @@ def rule_table(triples: DataFrame) -> DataFrame:
 
     parsed = srcs.mapInPandas(batches, _RULES_SCHEMA)
 
+    # pred (and obj, for the transitive branch) are constants inside
+    # each branch, so the wide distinct above already dedupes them —
+    # no per-branch re-shuffle needed. srcs keeps its distinct: two
+    # rule NODES (distinct subj) can carry the same src text.
     trans = (
-        triples.filter((F.col("pred") == V.RDF_TYPE) & (F.col("obj") == V.OWL_TRANSITIVE))
+        rel.filter((F.col("pred") == V.RDF_TYPE) & (F.col("obj") == V.OWL_TRANSITIVE))
         .select("doc_iri", "subj")
-        .distinct()
         .select(
             "doc_iri",
             F.lit(TRANSITIVE_KEY).alias("template_key"),
@@ -528,11 +545,7 @@ def rule_table(triples: DataFrame) -> DataFrame:
         )
     )
     # inverseOf rows are (subj=q, obj=p); fire both directions
-    inv = (
-        triples.filter(F.col("pred") == V.OWL_INVERSE_OF)
-        .select("doc_iri", "subj", "obj")
-        .distinct()
-    )
+    inv = rel.filter(F.col("pred") == V.OWL_INVERSE_OF).select("doc_iri", "subj", "obj")
     inv_both = inv.select(
         "doc_iri",
         F.lit(INVERSE_KEY).alias("template_key"),
@@ -869,13 +882,16 @@ def forward_chain(
         warnings.warn("skipping unsupported SWRL rules: " + "; ".join(msgs) + more)
         rules = rules.filter(F.col("template_key") != _INVALID)
 
-    templates = [
-        r[0]
-        for r in rules.select("template_key")
-        .filter(F.col("template_key") != _INVALID)
+    # ONE bounded collect serves both the template list and the
+    # relevance index below (r7 — the template list was a second
+    # distinct+collect over the same checkpointed rules)
+    distinct_rules = (
+        rules.filter(F.col("template_key") != _INVALID)
+        .select("template_key", "slots")
         .distinct()
         .collect()
-    ]
+    )
+    templates = sorted({r["template_key"] for r in distinct_rules})
     if not templates:
         return spark.createDataFrame([], base.schema)
 
@@ -922,18 +938,11 @@ def forward_chain(
     # skipped instead of scheduled.
     atom_preds: dict = {}
     if templates:
-        # ONE distinct scan of the (checkpointed) rules table; the slot
-        # extraction per template shape happens driver-side on the
-        # bounded distinct-rule set (r4 built this as a union of one
-        # filter-scan per prop atom — ~2× the whole index's cost in
-        # scheduling alone)
+        # slot extraction per template shape happens driver-side on the
+        # bounded distinct-rule set collected above (r4 built this as a
+        # union of one filter-scan per prop atom — ~2× the whole
+        # index's cost in scheduling alone)
         shapes = {k: _parse_template(k)[0] for k in templates}
-        distinct_rules = (
-            rules.filter(F.col("template_key") != _INVALID)
-            .select("template_key", "slots")
-            .distinct()
-            .collect()
-        )
         for r in distinct_rules:
             tbody = shapes.get(r["template_key"])
             if tbody is None:
