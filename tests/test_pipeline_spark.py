@@ -404,6 +404,33 @@ def test_transitive_closure_driver_regime_matches_distributed(spark):
     assert capped == want
 
 
+def test_connected_components_driver_regime_matches_distributed(spark):
+    """The measured-tiny driver union-find must return the exact
+    (node, min-label component) set of the distributed propagation —
+    chains (pointer jumping), merged stars, and duplicate/self edges."""
+    import random
+
+    from yamlpyowl_spark.operators import cc as CC
+
+    random.seed(13)
+    cases = [
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(12)],          # chain
+        [("h1", "a"), ("h1", "b"), ("h2", "b"), ("h2", "c"),
+         ("z", "z"), ("a", "a"), ("h1", "a")],                      # merged stars + self/dup
+        [(f"n{random.randrange(50):02d}", f"n{random.randrange(50):02d}") for _ in range(60)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src string, dst string")
+        fast = {(r["node"], r["component"]) for r in CC.connected_components(df).collect()}
+        old = CC._DRIVER_CC_EDGES
+        CC._DRIVER_CC_EDGES = 0  # force the distributed loop
+        try:
+            slow = {(r["node"], r["component"]) for r in CC.connected_components(df).collect()}
+        finally:
+            CC._DRIVER_CC_EDGES = old
+        assert fast == slow
+
+
 def test_corpus_derived_import_map(spark, source, import_map, parsed):
     """A corpus that VENDORS its imported OWL file as a row resolves
     ns: imports from the scan itself: build_import_map_from_corpus over

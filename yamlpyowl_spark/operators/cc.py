@@ -24,6 +24,42 @@ from pyspark.sql import DataFrame, functions as F
 # see the dispatch note inside connected_components
 _BROADCAST_LABEL_ROWS = 100_000
 
+# driver-CC regime bound (r7, guide §1.2): a MEASURED-tiny edge set
+# (the alias/near-dup graphs at the verification SFs are a few hundred
+# pairs) pays the iterative label-propagation loop almost entirely in
+# Spark job latency, not compute. Under the bound the components come
+# from ONE bounded probe + a driver union-find shipped back as a local
+# relation — the bounded-collect discipline the closure/rule operators
+# already use. Hard cap: past it, the distributed loop runs unchanged
+# (CC output is ≤ 2 rows per edge, so no separate output cap needed).
+_DRIVER_CC_EDGES = 5_000
+
+
+def _py_components(edge_rows):
+    """Exact min-label connected components of a tiny edge list on the
+    driver: union-find attaching the larger root under the smaller, so
+    every set's root IS its minimum label (string order — identical to
+    the distributed min-label propagation)."""
+    parent = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return sorted((n, find(n)) for n in parent)
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Kiveris et al. large-star: connect every strictly-larger neighbor
@@ -106,6 +142,19 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+
+    # driver-CC regime: ONE bounded probe (limit N+1 — never an
+    # unbounded collect) answers both "how big" and "what are the
+    # rows"; a tiny graph resolves in 2 jobs instead of ~4 per
+    # propagation round. Node set parity with the loop below: a node
+    # appears iff it rides at least one non-self edge.
+    probe = e.limit(_DRIVER_CC_EDGES + 1).collect()
+    if len(probe) <= _DRIVER_CC_EDGES:
+        rows = _py_components([(r["a"], r["b"]) for r in probe])
+        return edges.sparkSession.createDataFrame(
+            rows, schema="node string, component string"
+        )
+
     # symmetric closure once; persisted for reuse across rounds
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
 
