@@ -1230,3 +1230,46 @@ def test_parseable_facet_range_not_flagged_unparseable_still_is(spark):
     bad = dl_model_search(spark.createDataFrame(doc(XSD_NS + "totalDigits"), schema)).collect()
     flagged = {r["obj"] for r in bad if r["pred"] == YPO_DL_UNSUPPORTED}
     assert flagged == {OWL + "onDatatype", OWL + "withRestrictions"}
+
+
+def test_backtracking_recheck_after_prune():
+    """r7 watched-constraint regression: the hasValue constraint on
+    `a` fails for the first candidate (h1) and must be RE-evaluated
+    (not treated as cached-clean) after the backtrack assigns h2;
+    injectivity then pins b away from h2. Exact model set asserted —
+    a stale-verdict bug would add or drop a model."""
+    from yamlpyowl_spark.operators.dlreason import (
+        OWL, OWL_ALL_DIFFERENT, OWL_DISTINCT_MEMBERS, OWL_FUNCTIONAL,
+        OWL_HAS_VALUE, OWL_INV_FUNCTIONAL, OWL_ON_PROPERTY, OWL_NOTHING,
+        RDF_FIRST, RDF_NIL, RDF_REST, RDFS_DOMAIN, RDFS_RANGE,
+    )
+
+    P = CE + "p"
+    rows = [
+        *_enum(CE + "Man", CE + "a", CE + "b"),
+        *_enum(CE + "House", CE + "h1", CE + "h2"),
+        (P, RDF_TYPE, OWL_FUNCTIONAL),
+        (P, RDF_TYPE, OWL_INV_FUNCTIONAL),
+        (P, RDFS_DOMAIN, CE + "Man"),
+        (P, RDFS_RANGE, CE + "House"),
+        (CE + "a", RDF_TYPE, "_:r"),
+        ("_:r", OWL_ON_PROPERTY, P),
+        ("_:r", OWL_HAS_VALUE, CE + "h2"),
+        ("_:ad", RDF_TYPE, OWL_ALL_DIFFERENT),
+        ("_:ad", OWL_DISTINCT_MEMBERS, "_:adl0"),
+        ("_:adl0", RDF_FIRST, CE + "a"), ("_:adl0", RDF_REST, "_:adl1"),
+        ("_:adl1", RDF_FIRST, CE + "b"), ("_:adl1", RDF_REST, RDF_NIL),
+    ]
+    stats = {}
+    inferred = _solve_doc(rows, stats=stats, max_models=50)
+    got_models = {
+        tuple(sorted((k, v) for k, v in mdl.items())) for mdl in stats["models"]
+    }
+    va, vb = (P, CE + "a"), (P, CE + "b")
+    want_models = {
+        tuple(sorted([(va, CE + "h2"), (vb, CE + "h1")])),
+        tuple(sorted([(va, CE + "h2"), (vb, OWL_NOTHING)])),
+    }
+    assert got_models == want_models
+    assert (CE + "a", P, CE + "h2") in inferred
+    assert (CE + "b", P, CE + "h1") not in inferred

@@ -363,18 +363,27 @@ def _solve_doc(
         lit_facts.setdefault((p_l, s_l), []).append(o_l)
     fm = _DocModel([*rows, *lit_rows])
 
+    _rng_memo: dict = {}
+    _RNG_MISS = object()
+
     def data_range_of(node: Optional[str]):
         """Parsed data range for an allValuesFrom / someValuesFrom /
         onDataRange target: a blank node decodes via the facet
         evaluator; a bare supported XSD datatype is the facet-free
-        range (lexical-space membership only)."""
+        range (lexical-space membership only). Memoized — the node
+        graph is static per solve."""
         if node is None:
             return None
-        if node.startswith("_:"):
-            return _FX.parse_data_range(fm, node)
-        if node in _FX.SUPPORTED_BASES:
-            return (node, ())
-        return None
+        r = _rng_memo.get(node, _RNG_MISS)
+        if r is _RNG_MISS:
+            if node.startswith("_:"):
+                r = _FX.parse_data_range(fm, node)
+            elif node in _FX.SUPPORTED_BASES:
+                r = (node, ())
+            else:
+                r = None
+            _rng_memo[node] = r
+        return r
 
     (
         m,
@@ -472,33 +481,67 @@ def _solve_doc(
 
     ground = dict(facts)  # (p, s) -> o, includes owl:Nothing rows
 
+    # static hot-path indexes (r7, guide §4 — init once per solve, not
+    # per search step): m, ground, the variable KEY set and the
+    # restriction graph never change during search — only `assignment`
+    # does — so val()'s full-table scans and holds()'s repeated node
+    # decodes fold into one-time inversions. Iteration order of the
+    # source dicts is preserved, so every first-match lookup returns
+    # the same row the linear scans did.
+    ground_inv: Dict[Tuple[str, str], str] = {}
+    for (_gp, _gs), _go in ground.items():
+        ground_inv.setdefault((_gp, _go), _gs)
+    vars_by_prop: Dict[str, List[Tuple[str, str]]] = {}
+    for _v in variables:
+        vars_by_prop.setdefault(_v[0], []).append(_v)
+    prop_subjects_memo: Dict[str, List[str]] = {}
+
+    # watched-variable read recording (r7): while a constraint is being
+    # evaluated, `_reads_box[0]` is a set collecting every variable CELL
+    # the evaluation read. A constraint's three-valued verdict under an
+    # assignment depends only on the cells it read, so it needs
+    # re-evaluation only after one of those cells is written (classic
+    # watched-literals argument; see consistent()).
+    _reads_box: list = [None]
+
+    def _rd(v):
+        rs = _reads_box[0]
+        if rs is not None:
+            rs.add(v)
+        return assignment[v]
+
     def val(p: str, s: str):
         """Current value of p(s): assigned var, else ground fact, else
         via declared inverse; None if unknown, OWL_NOTHING if absent."""
         if (p, s) in variables:
-            return assignment[(p, s)]
+            return _rd((p, s))
         if (p, s) in ground:
             return ground[(p, s)]
         q = inverse_of.get(p)
         if q is not None:
             # p(s) = x  <=>  q(x) = s for functional inverses
-            for (qq, x), o in list(ground.items()):
-                if qq == q and o == s:
-                    return x
-            hits = [x for (qq, x) in variables if qq == q and assignment[(qq, x)] == s]
-            if hits:
-                return hits[0]
+            x = ground_inv.get((q, s))
+            if x is not None:
+                return x
+            qvars = vars_by_prop.get(q, ())
+            for qv in qvars:
+                if _rd(qv) == s:
+                    return qv[1]
             # unknown only if some q-var could still take value s
-            for (qq, x), dom in variables.items():
-                if qq == q and assignment[(qq, x)] is None and s in dom:
+            for qv in qvars:
+                if _rd(qv) is None and s in variables[qv]:
                     return None
             return OWL_NOTHING
         return None
 
     def prop_subjects(p: str) -> List[str]:
-        """Candidate subjects x for which p(x) may exist."""
-        out = [s for (pp, s) in variables if pp == p]
-        out += [s for (pp, s) in ground if pp == p and s not in out]
+        """Candidate subjects x for which p(x) may exist (static per
+        solve; memoized)."""
+        out = prop_subjects_memo.get(p)
+        if out is None:
+            out = [s for (pp, s) in variables if pp == p]
+            out += [s for (pp, s) in ground if pp == p and s not in out]
+            prop_subjects_memo[p] = out
         return out
 
     def _max_distinct(names) -> int:
@@ -531,6 +574,13 @@ def _solve_doc(
                     return k
         return 1
 
+    # static decode caches for holds(): the restriction-node structure
+    # and the asserted type extents never change during search, so each
+    # node's property/value/bound reads run once, not per search step
+    _type_sets: Dict[str, Set[str]] = {}
+    _node_decode: Dict[str, tuple] = {}
+    _card_decode: Dict[str, tuple] = {}
+
     # compile restriction trees into three-valued checkers
     def holds(entity: str, node: str):
         """True/False/None(=unknown) — does `entity` satisfy the class
@@ -540,15 +590,32 @@ def _solve_doc(
                 return True
             if node in enums:
                 return entity in enums[node]
-            return entity in m.subjects(V.RDF_TYPE, node) or None
-        on_p = m.obj(node, OWL_ON_PROPERTY)
+            ts = _type_sets.get(node)
+            if ts is None:
+                ts = set(m.subjects(V.RDF_TYPE, node))
+                _type_sets[node] = ts
+            return entity in ts or None
+        dec = _node_decode.get(node)
+        if dec is None:
+            on_p0 = m.obj(node, OWL_ON_PROPERTY)
+            # anonymous Inverse(q): on_p is a blank node with owl:inverseOf q
+            iq = (
+                m.obj(on_p0, V.OWL_INVERSE_OF)
+                if on_p0 is not None and on_p0.startswith("_:")
+                else None
+            )
+            dec = (
+                on_p0,
+                iq,
+                m.obj(node, OWL_HAS_VALUE),
+                m.obj(node, OWL_HAS_SELF),
+                m.obj(node, OWL_ALL_VALUES_FROM),
+                m.obj(node, OWL_SOME_VALUES_FROM),
+            )
+            _node_decode[node] = dec
+        on_p, inv_q, hv, hs, av, sv = dec
         if on_p is None:
             return None
-        inv_q = inverse_of.get(on_p) if on_p.startswith("_:") else None
-        if on_p.startswith("_:"):
-            # anonymous Inverse(q): on_p is a blank node with owl:inverseOf q
-            inv_q = m.obj(on_p, V.OWL_INVERSE_OF)
-        hv = m.obj(node, OWL_HAS_VALUE)
         if hv is not None:
             if inv_q:
                 # Inverse(q).value(v): q(v) == entity
@@ -556,7 +623,6 @@ def _solve_doc(
                 return None if got is None else got == entity
             got = val(on_p, entity)
             return None if got is None else got == hv
-        hs = m.obj(node, OWL_HAS_SELF)
         if hs is not None and hs.lower() in ("true", "1"):
             # r6: p hasSelf — the entity relates to ITSELF via p
             if inv_q:
@@ -565,7 +631,6 @@ def _solve_doc(
             else:
                 got = val(on_p, entity)
             return None if got is None else got == entity
-        av = m.obj(node, OWL_ALL_VALUES_FROM)
         if av is not None:
             # r6c — only(data range): every asserted LITERAL value must
             # be in the range; data values are given, so this is
@@ -603,7 +668,6 @@ def _solve_doc(
             if got == OWL_NOTHING:
                 return True
             return holds(got, av)
-        sv = m.obj(node, OWL_SOME_VALUES_FROM)
         if sv is not None:
             # r6c — some(data range): an asserted literal in the range
             # is a witness (True); with none, the open world still
@@ -652,9 +716,20 @@ def _solve_doc(
         # bounds read through fm: hand-authored cardinality numbers
         # are LITERAL rows, which only facet-using docs ship — for all
         # other docs fm and m hold identical rows
-        minc = _card_int(fm, node, OWL_MIN_CARDINALITY)
-        maxc = _card_int(fm, node, OWL_MAX_CARDINALITY)
-        card = _card_int(fm, node, OWL_CARDINALITY)
+        cd = _card_decode.get(node)
+        if cd is None:
+            cd = (
+                _card_int(fm, node, OWL_MIN_CARDINALITY),
+                _card_int(fm, node, OWL_MAX_CARDINALITY),
+                _card_int(fm, node, OWL_CARDINALITY),
+                _card_int(fm, node, OWL_QUALIFIED_CARDINALITY),
+                _card_int(fm, node, OWL_MIN_QUALIFIED_CARDINALITY),
+                _card_int(fm, node, OWL_MAX_QUALIFIED_CARDINALITY),
+                m.obj(node, OWL_ON_CLASS),
+                m.obj(node, _FX.ON_DATA_RANGE),
+            )
+            _card_decode[node] = cd
+        minc, maxc, card, qcard, qmin, qmax, on_c, on_dr = cd
         if card is not None or minc is not None or maxc is not None:
             # dialect (conservative both ways, documented): the lower
             # bound counts DISTINCT NAMES present in the model (closed
@@ -668,7 +743,7 @@ def _solve_doc(
             names = set(m.objs(entity, on_p))
             unknown = False
             if (on_p, entity) in variables:
-                a = assignment[(on_p, entity)]
+                a = _rd((on_p, entity))
                 if a is None:
                     unknown = True
                 elif a != OWL_NOTHING:
@@ -686,9 +761,6 @@ def _solve_doc(
             if lo is not None and len(names) < lo:
                 return False
             return True
-        qcard = _card_int(fm, node, OWL_QUALIFIED_CARDINALITY)
-        qmin = _card_int(fm, node, OWL_MIN_QUALIFIED_CARDINALITY)
-        qmax = _card_int(fm, node, OWL_MAX_QUALIFIED_CARDINALITY)
         if qcard is not None or qmin is not None or qmax is not None:
             # r6 qualified cardinality: count only successors IN the
             # onClass — lower bound over successors PROVABLY in C,
@@ -697,7 +769,6 @@ def _solve_doc(
             # unqualified checkers' logic relativized to C membership)
             if inv_q:
                 return None  # inverse qualified cardinality: undecidable here
-            on_c = m.obj(node, OWL_ON_CLASS)
             if on_c is None:
                 # r6c — onDataRange-qualified: count DISTINCT CANONICAL
                 # literal values in the range (distinct canonical
@@ -706,7 +777,7 @@ def _solve_doc(
                 # the upper bound prunes with certainty; the lower
                 # bound stays open-world (an unstated value may exist
                 # in another model — unknown, never False)
-                rng_q = data_range_of(m.obj(node, _FX.ON_DATA_RANGE))
+                rng_q = data_range_of(on_dr)
                 if rng_q is None:
                     return None
                 lo2 = qcard if qcard is not None else qmin
@@ -727,7 +798,7 @@ def _solve_doc(
             names = set(m.objs(entity, on_p))
             unknown = False
             if (on_p, entity) in variables:
-                a = assignment[(on_p, entity)]
+                a = _rd((on_p, entity))
                 if a is None:
                     unknown = True
                 elif a != OWL_NOTHING:
@@ -862,6 +933,25 @@ def _solve_doc(
     models: List[Dict[Tuple[str, str], str]] = []
     steps = 0
 
+    # incremental constraint checking (r7, the watched-variables
+    # argument): a constraint evaluated under assignment A with read
+    # set R has the same three-valued verdict under ANY assignment
+    # agreeing with A on R — so it is re-evaluated only after one of
+    # its watched cells is written. Every constraint starts dirty; a
+    # constraint that returns False STAYS dirty (the prune forces a
+    # write before the next consistent() call, but the write need not
+    # touch the new read set). consistent() only ever returns True
+    # when every constraint is provably not-False under the current
+    # assignment — exactly the original full-loop contract.
+    _n_con = len(constraints)
+    _con_dirty = [True] * _n_con
+    _con_watch: List[set] = [set() for _ in range(_n_con)]
+    _watchers: Dict[Tuple[str, str], set] = {}
+
+    def _touch(v):
+        for ci in _watchers.get(v, ()):
+            _con_dirty[ci] = True
+
     def consistent() -> bool:
         if static_unsat:
             return False
@@ -922,9 +1012,22 @@ def _solve_doc(
                     if declared_different(v[1], other_subj):
                         return False
                 by_val.setdefault(a, []).append(v[1])
-        for s, r in constraints:
-            if holds(s, r) is False:
-                return False
+        for ci in range(_n_con):
+            if not _con_dirty[ci]:
+                continue
+            s, r = constraints[ci]
+            _reads_box[0] = rs = set()
+            h = holds(s, r)
+            _reads_box[0] = None
+            old_watch = _con_watch[ci]
+            for v in old_watch - rs:
+                _watchers[v].discard(ci)
+            for v in rs - old_watch:
+                _watchers.setdefault(v, set()).add(ci)
+            _con_watch[ci] = rs
+            if h is False:
+                return False  # stays dirty: next state must re-check it
+            _con_dirty[ci] = False
         return True
 
     def search(i: int):
@@ -949,9 +1052,11 @@ def _solve_doc(
             if steps > max_steps:
                 return
             assignment[var] = cand
+            _touch(var)
             if consistent():
                 search(i + 1)
             assignment[var] = None
+            _touch(var)
 
     # a statically-unsatisfiable doc has NO models even when it
     # creates no CSP variables (consistent() never runs for the empty
