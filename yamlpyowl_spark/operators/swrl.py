@@ -131,6 +131,15 @@ _INVALID = "!unsupported"
 # dispatch note in forward_chain
 _BROADCAST_FACT_ROWS = 100_000
 
+# driver-rules regime bound (r7): when the corpus's rule-bearing
+# triples fit one bounded probe (limit N+1 — never an unbounded
+# collect), the rule table is parsed on the driver with the same
+# _parse_swrl/encode_rule functions and shipped back as a local
+# relation — saving the Arrow parse stage plus the bad-rule and
+# distinct-rule collect jobs. Past the bound forward_chain uses the
+# distributed rule_table path unchanged.
+_DRIVER_RULE_ROWS = 10_000
+
 
 def _unquote(a: str) -> str:
     """Strip surrounding double quotes from a SWRL string constant
@@ -487,6 +496,57 @@ _RULES_SCHEMA = T.StructType(
 )
 
 
+def _rule_rel(triples: DataFrame) -> DataFrame:
+    """The three rule sources (rule srcs, transitive-property axioms,
+    inverseOf axioms) in one filtered pass with ONE wide distinct."""
+    return (
+        triples.filter(
+            (F.col("pred") == V.YPO_RULE_SRC)
+            | ((F.col("pred") == V.RDF_TYPE) & (F.col("obj") == V.OWL_TRANSITIVE))
+            | (F.col("pred") == V.OWL_INVERSE_OF)
+        )
+        .select("doc_iri", "pred", "subj", "obj")
+        .distinct()
+    )
+
+
+def _encode_one(doc_iri: str, src: str):
+    """(template_key, slots) for one rule src — invalid rules become
+    the `!unsupported` diagnostic row (same contract as rule_table)."""
+    try:
+        body, head = _parse_swrl(src)
+        return encode_rule(doc_iri, body, head)
+    except Exception as e:  # noqa: BLE001 — recorded as a row
+        return _INVALID, [f"{type(e).__name__}: {e}", src]
+
+
+def _rule_rows_local(triples: DataFrame):
+    """Driver-rules regime: ONE bounded probe of the rule-bearing
+    triples; if they fit, the full (doc_iri, template_key, slots) rule
+    list is built driver-side with the SAME parse/encode functions the
+    distributed path maps. Returns None past the bound."""
+    probe = _rule_rel(triples).limit(_DRIVER_RULE_ROWS + 1).collect()
+    if len(probe) > _DRIVER_RULE_ROWS:
+        return None
+    out = []
+    seen_srcs = set()
+    for r in probe:
+        d, p, s, o = r["doc_iri"], r["pred"], r["subj"], r["obj"]
+        if p == V.YPO_RULE_SRC:
+            if (d, o) in seen_srcs:
+                continue
+            seen_srcs.add((d, o))
+            key, slots = _encode_one(d, o)
+            out.append((d, key, list(slots)))
+        elif p == V.OWL_INVERSE_OF:
+            out.append((d, INVERSE_KEY, [o, s]))
+            out.append((d, INVERSE_KEY, [s, o]))
+        else:  # rdf:type owl:TransitiveProperty
+            out.append((d, TRANSITIVE_KEY, [s, s, s]))
+    out.sort()
+    return out
+
+
 def rule_table(triples: DataFrame) -> DataFrame:
     """``(doc_iri, template_key, slots)`` — one row per rule instance,
     fully distributed (Arrow-batched parse; nothing is collected).
@@ -501,16 +561,7 @@ def rule_table(triples: DataFrame) -> DataFrame:
     triple table with ONE wide distinct; the per-branch projections
     dedupe on the resulting tiny frame (r7, guide §2.2 — it was three
     full scans + three full-width shuffles of the triple table)."""
-    rel = (
-        triples.filter(
-            (F.col("pred") == V.YPO_RULE_SRC)
-            | ((F.col("pred") == V.RDF_TYPE) & (F.col("obj") == V.OWL_TRANSITIVE))
-            | (F.col("pred") == V.OWL_INVERSE_OF)
-        )
-        .select("doc_iri", "pred", "subj", "obj")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    rel = _rule_rel(triples).localCheckpoint(eager=False)
     srcs = rel.filter(F.col("pred") == V.YPO_RULE_SRC).select("doc_iri", "obj").distinct()
 
     def batches(it):
@@ -867,38 +918,82 @@ def forward_chain(
         .distinct()
     )
 
-    rules = rule_table(triples).localCheckpoint()
-    # bounded diagnostic: collect at most 6 bad rules (5 to show + 1 to
-    # know there are more), never the full set — 10^9 documents with a
-    # systematic bad rule must not become an unbounded driver collect
-    bad_df = rules.filter(F.col("template_key") == _INVALID).select("doc_iri", "slots")
-    bad = bad_df.limit(6).collect()
-    if bad:
-        n_bad = bad_df.count() if len(bad) >= 6 else len(bad)
-        msgs = [f"{r['doc_iri']}: {r['slots'][0]} in rule {r['slots'][1]!r}" for r in bad[:5]]
-        more = f" (+{n_bad - 5} more)" if n_bad > 5 else ""
-        if on_unsupported == "raise":
-            raise UnsupportedSWRLError("unsupported SWRL fragment: " + "; ".join(msgs) + more)
-        warnings.warn("skipping unsupported SWRL rules: " + "; ".join(msgs) + more)
-        rules = rules.filter(F.col("template_key") != _INVALID)
+    local_rules = _rule_rows_local(triples)
+    if local_rules is not None:
+        # driver-rules regime: the rule list is already on the driver —
+        # the bad-rule diagnostic, template list and relevance index
+        # need no further jobs; the joins below read the local relation
+        bad = [(d, slots) for d, k, slots in local_rules if k == _INVALID]
+        if bad:
+            n_bad = len(bad)
+            msgs = [f"{d}: {slots[0]} in rule {slots[1]!r}" for d, slots in bad[:5]]
+            more = f" (+{n_bad - 5} more)" if n_bad > 5 else ""
+            if on_unsupported == "raise":
+                raise UnsupportedSWRLError(
+                    "unsupported SWRL fragment: " + "; ".join(msgs) + more
+                )
+            warnings.warn("skipping unsupported SWRL rules: " + "; ".join(msgs) + more)
+            local_rules = [r for r in local_rules if r[1] != _INVALID]
+        distinct_pairs = sorted(
+            {(k, tuple(slots)) for _, k, slots in local_rules}
+        )
+        # checkpoint the local relation: the fixpoint joins read it
+        # once per template per round, and an RDD-backed snapshot plans
+        # exactly like the distributed path's checkpointed rule table
+        rules = spark.createDataFrame(
+            [(d, k, list(s)) for d, k, s in local_rules], _RULES_SCHEMA
+        ).localCheckpoint()
+    else:
+        rules = rule_table(triples).localCheckpoint()
+        # bounded diagnostic: collect at most 6 bad rules (5 to show +
+        # 1 to know there are more), never the full set — 10^9
+        # documents with a systematic bad rule must not become an
+        # unbounded driver collect
+        bad_df = rules.filter(F.col("template_key") == _INVALID).select(
+            "doc_iri", "slots"
+        )
+        bad = bad_df.limit(6).collect()
+        if bad:
+            n_bad = bad_df.count() if len(bad) >= 6 else len(bad)
+            msgs = [
+                f"{r['doc_iri']}: {r['slots'][0]} in rule {r['slots'][1]!r}"
+                for r in bad[:5]
+            ]
+            more = f" (+{n_bad - 5} more)" if n_bad > 5 else ""
+            if on_unsupported == "raise":
+                raise UnsupportedSWRLError(
+                    "unsupported SWRL fragment: " + "; ".join(msgs) + more
+                )
+            warnings.warn("skipping unsupported SWRL rules: " + "; ".join(msgs) + more)
+            rules = rules.filter(F.col("template_key") != _INVALID)
 
-    # ONE bounded collect serves both the template list and the
-    # relevance index below (r7 — the template list was a second
-    # distinct+collect over the same checkpointed rules)
-    distinct_rules = (
-        rules.filter(F.col("template_key") != _INVALID)
-        .select("template_key", "slots")
-        .distinct()
-        .collect()
-    )
-    templates = sorted({r["template_key"] for r in distinct_rules})
+        # ONE bounded collect serves both the template list and the
+        # relevance index below (r7 — the template list was a second
+        # distinct+collect over the same checkpointed rules)
+        distinct_pairs = sorted(
+            {
+                (r["template_key"], tuple(r["slots"]))
+                for r in rules.filter(F.col("template_key") != _INVALID)
+                .select("template_key", "slots")
+                .distinct()
+                .collect()
+            }
+        )
+    templates = sorted({k for k, _ in distinct_pairs})
     if not templates:
         return spark.createDataFrame([], base.schema)
 
-    closure = _closure_pairs(triples).localCheckpoint()
-    types = _closed_types(triples, closure).localCheckpoint()
-
+    # derive the closure and type tables from the CHECKPOINTED fact
+    # base, not the raw triple table (r7, guide §2.2): both operators
+    # filter out blank-node participants themselves, and base is
+    # exactly the distinct non-blank triples — identical inputs, but
+    # the scans read the tiny materialized snapshot instead of
+    # re-scanning and re-shuffling the full parse twice. (The rule
+    # probe above must NOT do this: anonymous Inverse(p) blank nodes
+    # legitimately carry owl:inverseOf rows.)
     facts = base.localCheckpoint()
+    closure = _closure_pairs(facts).localCheckpoint()
+    types = _closed_types(facts, closure).localCheckpoint()
     had_type_heads = any("T(" in k.split("=>")[1] for k in templates)
 
     # data-driven join-strategy dispatch (r7, guide §3.1): ONE count on
@@ -943,15 +1038,13 @@ def forward_chain(
         # union of one filter-scan per prop atom — ~2× the whole
         # index's cost in scheduling alone)
         shapes = {k: _parse_template(k)[0] for k in templates}
-        for r in distinct_rules:
-            tbody = shapes.get(r["template_key"])
+        for key, slots in distinct_pairs:
+            tbody = shapes.get(key)
             if tbody is None:
                 continue
             for j, a in enumerate(tbody):
                 if a[0] == "prop":
-                    atom_preds.setdefault((r["template_key"], j), set()).add(
-                        r["slots"][a[1]]
-                    )
+                    atom_preds.setdefault((key, j), set()).add(slots[a[1]])
 
     # semi-naive: round 1 seeds with a full evaluation; later rounds
     # re-join only bindings touching at least one new fact (property
@@ -992,19 +1085,14 @@ def forward_chain(
                 # every template is provably dead this round
                 break
         new = reduce(lambda a, c: a.unionByName(c), outs).distinct()
-        # lazy checkpoint: the collect_set action materializes the
-        # checkpoint AND returns the delta's predicate set in ONE job
-        # (pred is never NULL, so empty set <=> empty delta) — replaces
-        # r3's checkpoint+isEmpty pair and r4's extra distinct+collect
+        # lazy checkpoints + ONE action per round: the tagged-union
+        # aggregate below materializes the delta checkpoint AND (for
+        # type-head rule sets) the types-delta checkpoint, returning
+        # the delta's predicate set and the types-delta row count
+        # together (pred is never NULL, so empty set <=> empty delta;
+        # collect_set skips the NULL-pred tag rows) — replaces the
+        # separate per-round types_delta.count() action (r7)
         delta = _minus(new, _b(facts)).localCheckpoint(eager=False)
-        delta_preds = set(delta.agg(F.collect_set("pred")).head()[0])
-        if not delta_preds:
-            break
-        # facts/types are unions of already-checkpointed frames: lineage
-        # stays depth-1 without their own checkpoint jobs (2 fewer
-        # materializations per round than r2)
-        facts = facts.unionByName(delta)
-        inferred_acc = delta if inferred_acc is None else inferred_acc.unionByName(delta)
         if had_type_heads:
             # inferred class memberships must feed later class atoms —
             # close only the DELTA's types and anti-join against the
@@ -1014,13 +1102,37 @@ def forward_chain(
                 .join(types, ["doc_iri", "inst", "cls"], "left_anti")
                 .localCheckpoint(eager=False)
             )
-            types = types.unionByName(types_delta)
-            if types_delta.count() == 0:
-                # one action: materializes the lazy checkpoint and
-                # answers emptiness. No new closed types: class-atom
-                # delta plans would all be empty — skip them next round
-                types_delta = None
+            row = (
+                delta.select("pred", F.lit(1).alias("__d"))
+                .unionByName(
+                    types_delta.select(
+                        F.lit(None).cast("string").alias("pred"),
+                        F.lit(0).alias("__d"),
+                    )
+                )
+                .agg(
+                    F.collect_set(F.when(F.col("__d") == 1, F.col("pred"))).alias("p"),
+                    F.sum(F.lit(1) - F.col("__d")).alias("nt"),
+                )
+                .head()
+            )
+            delta_preds = set(row["p"])
+            n_types_delta = row["nt"] or 0
         else:
+            delta_preds = set(delta.agg(F.collect_set("pred")).head()[0])
+            n_types_delta = 0
+        if not delta_preds:
+            break
+        # facts/types are unions of already-checkpointed frames: lineage
+        # stays depth-1 without their own checkpoint jobs (2 fewer
+        # materializations per round than r2)
+        facts = facts.unionByName(delta)
+        inferred_acc = delta if inferred_acc is None else inferred_acc.unionByName(delta)
+        if had_type_heads and n_types_delta:
+            types = types.unionByName(types_delta)
+        else:
+            # no new closed types: class-atom delta plans would all be
+            # empty — skip them next round
             types_delta = None
 
     if inferred_acc is None:
