@@ -95,18 +95,20 @@ def canonical_nodes(nodes: DataFrame, salt_buckets: int = 16) -> DataFrame:
     from .cc import connected_components
 
     mapping = canonical_mapping(nodes, salt_buckets).localCheckpoint()
-    # measured-size dispatch for the rewrite join below (r7, guide
-    # §3.1): comp has at most one row per mapping row, so the mapping
-    # count (one job on the checkpointed frame) bounds it. Under the
-    # bound the node rewrite is a BroadcastHashJoin — no shuffle of
-    # either side; past it the shuffle plan stands unchanged.
-    small = mapping.count() <= _BROADCAST_MAPPING_ROWS
-    overlapping = not (
-        mapping.groupBy("iri")
-        .agg(F.countDistinct("canonical_iri").alias("nk"))
-        .filter(F.col("nk") > 1)
-        .isEmpty()
-    )
+    # ONE aggregate on the checkpointed mapping answers both dispatch
+    # questions (r7): the row count drives the measured-size broadcast
+    # for the rewrite join below (comp has at most one row per mapping
+    # row — under the bound it is a BroadcastHashJoin, past it the
+    # shuffle plan stands), and "some iri has >1 distinct canonical"
+    # is exactly distinct(iri, canonical) > distinct(iri) — the
+    # groupBy + isEmpty probe this replaces.
+    stats = mapping.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("iri").alias("ni"),
+        F.countDistinct("iri", "canonical_iri").alias("nic"),
+    ).head()
+    small = stats["n"] <= _BROADCAST_MAPPING_ROWS
+    overlapping = stats["nic"] > stats["ni"]
     if overlapping:
         edges = mapping.filter(F.col("iri") != F.col("canonical_iri")).select(
             F.col("iri").alias("src"), F.col("canonical_iri").alias("dst")
