@@ -151,8 +151,15 @@ def connected_components(
     probe = e.limit(_DRIVER_CC_EDGES + 1).collect()
     if len(probe) <= _DRIVER_CC_EDGES:
         rows = _py_components([(r["a"], r["b"]) for r in probe])
+        # Arrow path (pandas → LocalTableScan): a tuple-list
+        # createDataFrame plans as a pickled Python RDD re-evaluated on
+        # every downstream action (~1.4 s each measured); the Arrow
+        # local relation is JVM-resident
+        import pandas as pd
+
         return edges.sparkSession.createDataFrame(
-            rows, schema="node string, component string"
+            pd.DataFrame(rows, columns=["node", "component"]),
+            schema="node string, component string",
         )
 
     # symmetric closure once; persisted for reuse across rounds

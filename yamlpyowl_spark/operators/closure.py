@@ -117,7 +117,16 @@ def transitive_closure(
     if len(probe) <= _DRIVER_CLOSURE_EDGES:
         pairs = _py_closure([(r["src"], r["dst"]) for r in probe], _DRIVER_CLOSURE_PAIRS)
         if pairs is not None:
-            return spark.createDataFrame(pairs, schema=closure.schema)
+            # ship back through the Arrow path (pandas → LocalTableScan):
+            # a tuple-list createDataFrame plans as a pickled Python RDD
+            # that re-runs a Python worker pass on EVERY downstream
+            # action (~1.4 s each measured); the Arrow local relation
+            # is JVM-resident and costs ~0.1 s
+            import pandas as pd
+
+            return spark.createDataFrame(
+                pd.DataFrame(pairs, columns=["src", "dst"]), schema=closure.schema
+            )
 
     delta = closure
     n_closure = closure.count()

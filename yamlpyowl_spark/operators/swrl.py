@@ -937,11 +937,19 @@ def forward_chain(
         distinct_pairs = sorted(
             {(k, tuple(slots)) for _, k, slots in local_rules}
         )
-        # checkpoint the local relation: the fixpoint joins read it
-        # once per template per round, and an RDD-backed snapshot plans
-        # exactly like the distributed path's checkpointed rule table
+        # ship back through the Arrow path (pandas → LocalTableScan,
+        # JVM-resident — a tuple-list createDataFrame plans as a
+        # pickled Python RDD re-run on every downstream action) and
+        # checkpoint once: the fixpoint joins read it per template per
+        # round
+        import pandas as pd
+
         rules = spark.createDataFrame(
-            [(d, k, list(s)) for d, k, s in local_rules], _RULES_SCHEMA
+            pd.DataFrame(
+                [(d, k, list(s)) for d, k, s in local_rules],
+                columns=["doc_iri", "template_key", "slots"],
+            ),
+            schema=_RULES_SCHEMA,
         ).localCheckpoint()
     else:
         rules = rule_table(triples).localCheckpoint()
