@@ -119,6 +119,8 @@ from typing import List, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..schema import arrow_local_df
+
 _PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>]+)>", re.IGNORECASE)
 # greedy body capture pairs with the LAST '}': everything after it is the
 # solution-modifier tail (GROUP BY / ORDER BY / LIMIT)
@@ -1464,7 +1466,7 @@ def _identity_frame(triples: DataFrame, s: str, o: str) -> DataFrame:
     extras = [t for t in (s, o) if not t.startswith("?")]
     if extras:
         nodes = nodes.unionByName(
-            triples.sparkSession.createDataFrame([(t,) for t in extras], ["n"])
+            arrow_local_df(triples.sparkSession, [(t,) for t in extras], ["n"])
         )
     nodes = nodes.distinct()
     return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
@@ -1664,7 +1666,7 @@ def _apply_values(spark, df, names, rows):
     if df is None or all(None not in r for r in rows):
         # no UNDEF against an existing frame: one inline
         # relation (standalone UNDEFs become plain NULLs)
-        inline = _typed(spark.createDataFrame(rows, schema))
+        inline = _typed(arrow_local_df(spark, rows, schema))
         return inline if df is None else _merge(df, inline)
     # UNDEF leaves the variable unconstrained for that row:
     # group rows by their defined-column mask, join each
@@ -1682,7 +1684,8 @@ def _apply_values(spark, df, names, rows):
             continue
         sub_cols = [cols[i] for i in mask]
         inline = _typed(
-            spark.createDataFrame(
+            arrow_local_df(
+                spark,
                 [tuple(r[i] for i in mask) for r in rs],
                 ", ".join(f"`{c}` string" for c in sub_cols),
             )
@@ -2328,7 +2331,7 @@ def describe_query(
             one = df.select(F.col(v).alias("r"))
             res = one if res is None else res.unionByName(one)
     if head_consts:
-        one = spark.createDataFrame([(c,) for c in head_consts], ["r"])
+        one = arrow_local_df(spark, [(c,) for c in head_consts], ["r"])
         res = one if res is None else res.unionByName(one)
     res = res.distinct()
     return (
@@ -2433,8 +2436,8 @@ def make_query(triples: DataFrame, sparql_src: str) -> DataFrame:
         head, _ = _strip_prefixes(sparql_src)
     if _ASK_RE.match(head):
         spark = triples.sparkSession
-        return spark.createDataFrame(
-            [(ask_query(triples, sparql_src, named=named),)], "ask boolean"
+        return arrow_local_df(
+            spark, [(ask_query(triples, sparql_src, named=named),)], "ask boolean"
         )
     if _CONSTRUCT_RE.match(head) or _CONSTRUCT_WHERE_RE.match(head):
         return construct_query(triples, sparql_src, named=named)

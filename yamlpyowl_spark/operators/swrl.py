@@ -80,6 +80,7 @@ from .. import vocab as V
 from ..parser.document import _parse_swrl
 from ..parser.model import ParseError
 from .closure import transitive_closure
+from ..schema import arrow_local_df
 
 _BUILTINS = {
     "greaterThan": "gt",
@@ -989,7 +990,7 @@ def forward_chain(
         )
     templates = sorted({k for k, _ in distinct_pairs})
     if not templates:
-        return spark.createDataFrame([], base.schema)
+        return arrow_local_df(spark, [], base.schema)
 
     # derive the closure and type tables from the CHECKPOINTED fact
     # base, not the raw triple table (r7, guide §2.2): both operators
@@ -1144,5 +1145,5 @@ def forward_chain(
             types_delta = None
 
     if inferred_acc is None:
-        return spark.createDataFrame([], base.schema)
+        return arrow_local_df(spark, [], base.schema)
     return inferred_acc.distinct()

@@ -23,6 +23,7 @@ from .operators import docops, embops
 from .operators.bgp import bgp
 from .operators.cc import connected_components
 from .operators.closure import transitive_closure
+from . import schema as _schema_mod
 from .operators.linking import canonical_mapping
 from .plans.pipeline import KGPipeline
 from .sources.artifacts import (
@@ -579,7 +580,7 @@ def _register_kg():
         t = kg_triples(spark)
         pos = ask_query(t, f"PREFIX P: <{RR}> ASK {{ ?x P:hasPart P:dresden }}")
         neg = ask_query(t, f"PREFIX P: <{RR}> ASK {{ ?x P:hasPart P:atlantis }}")
-        return spark.createDataFrame([(pos and not neg,)], "ask boolean")
+        return _schema_mod.arrow_local_df(spark, [(pos and not neg,)], "ask boolean")
 
     @_q(
         "kg_sparql_construct",
@@ -970,7 +971,7 @@ def _register_kg():
             (AR + n, AR + "hasV", str(v), True, V.XSD_INTEGER, AR)
             for n, v in _ar_vals
         ]
-        t = spark.createDataFrame(
+        t = _schema_mod.arrow_local_df(spark, 
             rows,
             "subj string, pred string, obj string, obj_is_literal boolean, "
             "obj_datatype string, doc_iri string",
@@ -1020,7 +1021,7 @@ def _register_kg():
             (ST + n, ST + "hasName", s, True, V.XSD_STRING, ST)
             for n, s in _st_vals
         ]
-        t = spark.createDataFrame(
+        t = _schema_mod.arrow_local_df(spark, 
             rows,
             "subj string, pred string, obj string, obj_is_literal boolean, "
             "obj_datatype string, doc_iri string",
@@ -1950,7 +1951,7 @@ def _register_dlreason():
             + restr("carol", "_:r3", "maxQualifiedCardinality", 1, "Cold")
             + [(Q + "carol", Q + "q", Q + "h1")]
         )
-        t = spark.createDataFrame(
+        t = _schema_mod.arrow_local_df(spark, 
             [(s, p, o, False, None, Q) for s, p, o in rows],
             "subj string, pred string, obj string, obj_is_literal boolean, "
             "obj_datatype string, doc_iri string",
@@ -2026,7 +2027,7 @@ def _register_dlreason():
                 (DJ + "p1", OWL + "propertyDisjointWith", DJ + "p2"),
             ]
         )
-        t = spark.createDataFrame(
+        t = _schema_mod.arrow_local_df(spark, 
             [(s, p, o, False, None, DJ) for s, p, o in rows],
             "subj string, pred string, obj string, obj_is_literal boolean, "
             "obj_datatype string, doc_iri string",
@@ -2102,7 +2103,7 @@ def _register_dlreason():
             + rdf_list("k", KY + "hasID")
             + rdf_list("ad", KY + "x", KY + "y")
         )
-        t = spark.createDataFrame(
+        t = _schema_mod.arrow_local_df(spark, 
             [(s, p, o, False, None, KY) for s, p, o in rows],
             "subj string, pred string, obj string, obj_is_literal boolean, "
             "obj_datatype string, doc_iri string",
@@ -2235,7 +2236,7 @@ def _register_owlrl():
             )
         )
         OWLNS = "http://www.w3.org/2002/07/owl#"
-        inject = spark.createDataFrame(
+        inject = _schema_mod.arrow_local_df(spark, 
             [
                 (RR, RR + "containsDirective", OWLNS + "propertyChainAxiom", "_:r5chain0", False, None),
                 (RR, "_:r5chain0", RDF + "first", RR + "hasPart", False, None),

@@ -68,3 +68,28 @@ PROGRESS_SCHEMA = T.StructType(
         T.StructField("run_id", T.StringType(), False),
     ]
 )
+
+
+def arrow_local_df(spark, rows, schema):
+    """JVM-resident local relation from driver rows (pandas → Arrow →
+    LocalTableScan). A tuple-list ``createDataFrame`` plans as a
+    pickled Python RDD instead, re-running a Python worker pass on
+    EVERY downstream action (~0.4–1.7 s at local[32]) — measurably
+    wrong for the small inline relations (VALUES datablocks, ASK
+    results, driver-computed closures) queries touch once per action.
+
+    ``schema`` is a DDL string, a StructType, or a plain column-name
+    list (types then inferred from the values, as the tuple path
+    would). Values must be Arrow-convertible (strings/bools/numbers/
+    None — the callers' contract)."""
+    import pandas as pd
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    if isinstance(schema, T.StructType):
+        cols = [f.name for f in schema.fields]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=cols), schema=schema
+        )
+    # plain column-name list: keep the tuple path's type inference
+    return spark.createDataFrame(pd.DataFrame(rows, columns=list(schema)))

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators import docops
+from ..schema import arrow_local_df
 
 
 def incremental_candidates(
@@ -105,7 +106,7 @@ def drain_incremental_candidates(
         corpus_docs.dtypes
     )["doc_id"]
     # seed the sink so an empty drain still reads back with the schema
-    spark.createDataFrame([], pair_schema).write.mode("overwrite").parquet(out_dir)
+    arrow_local_df(spark, [], pair_schema).write.mode("overwrite").parquet(out_dir)
 
     def _process_batch(batch_df: DataFrame, _batch_id: int) -> None:
         cands = (
