@@ -88,8 +88,19 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
             w, h, c, nf = 8, 8, 3, 4 + (i % 5)
             data = _keystream(f"{seed}:vid:{i}", w * h * c * nf)
             meta = (w, h, c, None, nf, "fake-rgb8-frames")
-        rows.append((i, kind, bytearray(data), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+        meta_d = dict(
+            zip(("width", "height", "channels", "sample_rate", "n_frames", "format"), meta)
+        )
+        rows.append((i, kind, bytes(data), meta_d))
+    # Arrow path (pandas → LocalTableScan, JVM-resident): the
+    # tuple-list createDataFrame planned as a pickled Python RDD that
+    # re-ran a Python worker pass per downstream action (r7)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "data", "meta"]),
+        schema=MEDIA_SCHEMA,
+    )
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
