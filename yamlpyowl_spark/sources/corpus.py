@@ -139,6 +139,10 @@ def write_corpus_parquet(out_path: str, row_group_size: int = 256, **kw) -> int:
 
 
 def corpus_df(spark, **kw):
-    from ..schema import SOURCE_SCHEMA
+    from ..schema import SOURCE_SCHEMA, arrow_local_df
 
-    return spark.createDataFrame(corpus_rows(**kw), schema=SOURCE_SCHEMA)
+    # Arrow path (pandas → LocalTableScan): the tuple-list
+    # createDataFrame plans as a pickled Python RDD that re-ships the
+    # whole corpus through a Python worker pass on every action that
+    # reads it (r7; ~50 MB for the 25k-doc bench corpus)
+    return arrow_local_df(spark, list(corpus_rows(**kw)), SOURCE_SCHEMA)
