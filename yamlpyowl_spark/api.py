@@ -390,8 +390,10 @@ class OntologyManager:
         import hashlib
 
         self._lineage = (repo, path, "0" * 40, hashlib.sha256(content.encode()).hexdigest())
-        src = spark.createDataFrame(
-            [(repo, path, "0" * 40, "yaml", content)], SOURCE_SCHEMA
+        from .schema import arrow_local_df
+
+        src = arrow_local_df(
+            spark, [(repo, path, "0" * 40, "yaml", content)], SOURCE_SCHEMA
         )
         from .plans.pipeline import KGPipeline
 
@@ -523,7 +525,9 @@ class OntologyManager:
         full = [
             (s, p, o, il, dt, self.iri) + self._lineage for s, p, o, il, dt in rows
         ]
-        new = self.spark.createDataFrame(full, self.triples.schema)
+        from .schema import arrow_local_df
+
+        new = arrow_local_df(self.spark, full, self.triples.schema)
         old = self.triples
         self.triples = old.unionByName(new).persist()
         self.triples.count()  # materialize before releasing the old blocks
